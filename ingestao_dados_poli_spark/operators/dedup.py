@@ -1,0 +1,329 @@
+"""Large-scale document deduplication operators.
+
+Extends the reference's relational surface (it has none of these —
+SURVEY §7 step 6) with the dedup family a 100 TB training-data pipeline
+needs: exact (hash groupBy), MinHash+LSH banding, SimHash, and n-gram
+Jaccard. Everything below is built from JVM-side column expressions
+(xxhash64 / higher-order array functions) — no Python in the hot path —
+so signatures are computed inside whole-stage codegen during the scan,
+and the only shuffles are the ones inherent to the algorithm (bucket
+group-bys / candidate-pair joins).
+
+Scale notes (how each behaves at 100 TB):
+- exact: one shuffle on a 128-bit fingerprint; skew-free by construction
+  (hash keys are uniform).
+- MinHash LSH: rows explode ×num_bands (metadata-sized rows: doc_id +
+  band hash only — NOT the text), then one shuffle on band-bucket; pairs
+  are emitted per-bucket with a self-join. Bucket-size cap guards
+  against degenerate buckets (boilerplate docs) exploding quadratically.
+- SimHash: signature is one 63-bit long per doc; candidate pairs via
+  band buckets on signature chunks, verified by hamming distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.functions.text import normalize_text, shingles
+
+
+# ---------------------------------------------------------------- exact
+
+def fingerprint_exact(col: Column | str) -> Column:
+    """md5 of normalized text — matches DuckDB's md5 for oracle checks."""
+    return F.md5(normalize_text(col))
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact (normalized) dedup: keep the lowest-id doc per fingerprint.
+
+    groupBy on the fingerprint (uniform 128-bit key → no skew), min(id),
+    then a semi-join back. Two shuffles total; both on hash-uniform keys.
+    """
+    fp = fingerprint_exact(text_col).alias("_fp")
+    keep = (
+        df.select(F.col(id_col), fp)
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_fp")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# -------------------------------------------------------------- MinHash
+
+def minhash_signature(
+    text_col: Column | str, num_hashes: int = 64, k: int = 5, pre_shingled: bool = False
+) -> Column:
+    """array<bigint> MinHash signature over word k-shingles.
+
+    Each hash function is xxhash64(shingle, seed_i); the signature element
+    is the min over shingles. All higher-order functions — computed
+    during the scan, no shuffle, no UDF. Pass ``pre_shingled=True`` when
+    ``text_col`` is already an array of shingles (preferred: compute the
+    shingle column in its own projection so it isn't re-evaluated per
+    hash function).
+    """
+    if pre_shingled:
+        sh = F.col(text_col) if isinstance(text_col, str) else text_col
+    else:
+        sh = shingles(text_col, k=k)
+
+    def hasher(seed: int):
+        # one-arg lambda: a 2-arg lambda would be treated by transform()
+        # as (value, index) and silently shadow the seed
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+    ).alias("minhash")
+
+
+def minhash_bands(sig_col: Column | str, num_bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, bucket:bigint>> — hash each band of the
+    signature to one LSH bucket id."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[sig.getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    k: int = 5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) candidate near-dup pairs via banded LSH.
+
+    Pipeline: signature (scan-side) → explode bands (rows carry ONLY
+    id + band + bucket, never the text) → shuffle on (band, bucket) →
+    per-bucket self-join (id_a < id_b) → dedup pairs → estimate jaccard
+    from full signatures. ``max_bucket_size`` drops degenerate buckets
+    (e.g. empty/boilerplate docs) that would emit O(n²) pairs.
+    """
+    rows_per_band = num_hashes // num_bands
+    # two projections: shingles once, then the 32-64 array_min hash
+    # folds reference the materialized _sh column — without this the
+    # shingle subtree is re-evaluated once per hash function.
+    shingled = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, k=k).alias("_sh")
+    )
+    sigs = shingled.select("_id", minhash_signature("_sh", num_hashes, pre_shingled=True))
+    banded = sigs.select(
+        "_id",
+        F.explode(minhash_bands("minhash", num_bands, rows_per_band)).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # Cap pathological buckets before the quadratic pair expansion.
+    w = Window.partitionBy("band", "bucket")
+    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bsz") <= max_bucket_size
+    ).drop("_bsz")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    sig_a = sigs.select(F.col("_id").alias("id_a"), F.col("minhash").alias("sig_a"))
+    sig_b = sigs.select(F.col("_id").alias("id_b"), F.col("minhash").alias("sig_b"))
+    # positional agreement fraction — the unbiased MinHash Jaccard
+    # estimator (array_intersect would compare as SETS, which is wrong)
+    est = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: from each candidate pair above ``threshold``
+    remove the higher-id doc. Single-link transitive clustering is
+    approximated by iterated pair removal (one pass — adequate for dedup
+    where any surviving representative is acceptable)."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, **kwargs)
+    to_drop = (
+        pairs.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(to_drop, id_col, "left_anti")
+
+
+# -------------------------------------------------------------- SimHash
+
+def simhash(text_col: Column | str, bits: int = 63, pre_hashed: bool = False) -> Column:
+    """63-bit SimHash as a non-negative bigint, fully JVM-side.
+
+    Token hashes via xxhash64; each bit of the signature is the sign of
+    the sum over tokens of ±1 for that bit position. Uses 63 bits to stay
+    within a signed long. ``pre_hashed=True`` means ``text_col`` is
+    already an array<bigint> of token hashes (preferred: compute it in
+    its own projection, else the tokenize+hash subtree is re-evaluated
+    once per bit).
+    """
+    if pre_hashed:
+        hashes = F.col(text_col) if isinstance(text_col, str) else text_col
+    else:
+        toks = F.split(normalize_text(text_col), " ")
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_balance(i: int) -> Column:
+        # Σ over tokens of ±1 for bit i (shift amount must be a literal —
+        # Spark's shiftright only takes Python ints).
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    sig: Column | None = None
+    for i in range(bits):
+        bit = F.when(
+            bit_balance(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    num_chunks: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) near-dup pairs by SimHash.
+
+    Classic Manku/Jain/Sarma trick: split the 63-bit signature into
+    ``num_chunks`` chunks; any pair within hamming distance < num_chunks
+    must agree exactly on ≥1 chunk → bucket on (chunk_idx, chunk_value),
+    verify with bit_count(xor) inside the bucket. One shuffle on chunks.
+    """
+    chunk_bits = 63 // num_chunks
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.split(normalize_text(text_col), " "), lambda t: F.xxhash64(t)
+        ).alias("_th"),
+    )
+    sigs = hashed.select("_id", simhash("_th", pre_hashed=True).alias("sig"))
+    chunks = sigs.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("sig"), i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(num_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "sig", "ch.ci", "ch.cv")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_posting_len: int = 500,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via an inverted shingle index.
+
+    Instead of a cross join (O(n²) at any scale), build shingle→doc
+    postings, join postings to get co-occurring pairs with intersection
+    counts, then compute |A∩B| / (|A|+|B|-|A∩B|). ``max_posting_len``
+    drops stop-shingles whose postings would dominate the pair blow-up.
+    """
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, k=k)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+    postings = docs.select("_id", "n_sh", F.explode("sh").alias("shingle"))
+    w = Window.partitionBy("shingle")
+    postings = postings.withColumn("_plen", F.count(F.lit(1)).over(w)).filter(
+        F.col("_plen") <= max_posting_len
+    ).drop("_plen")
+
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).cast("double")
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

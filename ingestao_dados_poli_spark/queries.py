@@ -1,0 +1,735 @@
+"""Driver-contract query registry: every SURVEY §2 operator as a named
+query over the synthetic tables, each with a DuckDB oracle when SQL can
+express it.
+
+Conventions for oracle parity (driver compares row count + schema +
+order-insensitive value hash):
+- every computed column is ALIASED IDENTICALLY in Spark and SQL;
+- float aggregates are rounded (2-6 dp) in BOTH engines — sums of
+  doubles differ in the last ulp across engines/orders;
+- DuckDB SUM(int) returns HUGEINT → always CAST(... AS BIGINT);
+- timestamps are stringified in both engines (UTC session);
+- embedding math casts float[] → double[] in both (DuckDB's
+  list_cosine_similarity computes in float32 otherwise);
+- top-k ranks by the ROUNDED score with id tie-break so near-tie float
+  noise can't flip ranks between engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.functions import text as TX
+from ingestao_dados_poli_spark.functions.cleaning import align_union, remap_values
+from ingestao_dados_poli_spark.functions.locale import (
+    compat_int_index,
+    parse_decimal_comma,
+)
+from ingestao_dados_poli_spark.functions.vectors import cosine
+from ingestao_dados_poli_spark.operators import dedup as DD
+from ingestao_dados_poli_spark.operators import relational as R
+from ingestao_dados_poli_spark.operators import similarity as SIM
+from ingestao_dados_poli_spark.quality import null_counts
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
+        # reader rejects; read nanos as long, convert to micros (matches
+        # DuckDB, whose TIMESTAMP is micro-precision and truncates ns).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # integer div — a double division here loses microsecond precision
+        # on 1.7e18-scale nano values (52-bit mantissa).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ----------------------------------------------------------------- 1. flagship
+# Gold-query shape (reference etl/4:26-96): fact ⋈ dim (broadcast) ⋈ dim,
+# 2-key groupBy, avg/round/count aggregates.
+
+@q(
+    "q01_gold_flagship",
+    """
+    SELECT c_mktsegment, n_name,
+           CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_order_value,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_value,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment, n_name
+    """,
+)
+def q01_gold_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # dims broadcast: no shuffle of the orders fact for the joins; the
+    # only shuffle is the final 2-key aggregation (partial agg map-side).
+    enriched = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return enriched.groupBy("c_mktsegment", "n_name").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ------------------------------------------------------- 2. scan + pushdown
+
+@q(
+    "q02_pushdown_sum",
+    """
+    SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q02_pushdown_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: all four predicates push to the parquet scan
+    (verify with .explain → PushedFilters), projection prunes to 4 cols."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ----------------------------------------------------------- 3. aggregation
+
+@q(
+    "q03_agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE)        AS sum_qty,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE)   AS sum_base_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(avg(l_quantity), 4) AS DOUBLE)        AS avg_qty,
+           CAST(round(avg(l_extendedprice), 4) AS DOUBLE)   AS avg_price,
+           CAST(round(avg(l_discount), 6) AS DOUBLE)        AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q03_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (partial+final HashAggregate; one shuffle on the
+    2 grouping keys — reference A1-A3 analog, etl/4:84-91)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- 4. joins
+
+@q(
+    "q04_join_brand_volume",
+    """
+    SELECT p_brand,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q04_join_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact⋈dim (reference J1, etl/4:26-28). part is the
+    small side → broadcast; lineitem never shuffles for the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q05_left_join_customer_orders",
+    """
+    SELECT c_mktsegment,
+           count(o_orderkey) AS n_orders,
+           count(*) AS n_rows,
+           CAST(round(sum(coalesce(o_totalprice, 0)), 2) AS DOUBLE) AS total_value
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q05_left_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (reference J2, etl/4:43-57): customers without
+    orders survive with null order columns."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0))), 2).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "q06_semi_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (SURVEY §2.3 'free' operator the reference lacks)."""
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        R.semi_join(customer, big, customer.c_custkey == big.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@q(
+    "q07_anti_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        R.anti_join(customer, orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ------------------------------------------------------------ 5. set ops
+
+@q(
+    "q08_union_align",
+    """
+    SELECT count(*) AS n_rows,
+           count(c_acctbal) AS n_with_acctbal,
+           count(c_mktsegment) AS n_with_segment
+    FROM (
+        SELECT c_custkey, c_name, c_acctbal, NULL AS c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, NULL AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 1
+    )
+    """,
+)
+def q08_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union (reference U1+P7, 0a:56-66): two frames with
+    different column subsets unioned BY NAME with null padding."""
+    customer = _t(spark, sf_dir, "customer")
+    v1 = customer.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name", "c_acctbal")
+    v2 = customer.filter(F.col("c_custkey") % 2 == 1).select("c_custkey", "c_name", "c_mktsegment")
+    u = align_union([v1, v2])
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_acctbal").alias("n_with_acctbal"),
+        F.count("c_mktsegment").alias("n_with_segment"),
+    )
+
+
+@q(
+    "q09_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q09_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@q(
+    "q10_intersect_except",
+    """
+    SELECT 'both' AS tag, count(*) AS n FROM (
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    UNION ALL
+    SELECT 'only_building' AS tag, count(*) AS n FROM (
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    """,
+)
+def q10_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    b = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    a = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    both = b.intersect(a).agg(F.count(F.lit(1)).alias("n")).select(F.lit("both").alias("tag"), "n")
+    only = b.subtract(a).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_building").alias("tag"), "n"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------- 6. window / sort / topk
+
+@q(
+    "q11_global_topk",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q11_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (no full sort at any scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    return R.top_k(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@q(
+    "q12_topk_per_group",
+    """
+    SELECT * FROM (
+        SELECT c_mktsegment, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+    WHERE rn <= 3
+    """,
+)
+def q12_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@q(
+    "q13_window_running",
+    """
+    SELECT user_id, event_id,
+           CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS running_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def q13_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (SURVEY §2.7 — absent in reference,
+    first-class here)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.row_number().over(wr).alias("seq"),
+    )
+
+
+# ------------------------------------------------- 7. scalar / string layer
+
+@q(
+    "q14_string_clean",
+    """
+    SELECT p_partkey,
+           upper(p_type) AS type_u,
+           regexp_replace(p_name, ' ', '_', 'g') AS name_u,
+           string_split(p_type, ' ')[1] AS type_head,
+           length(p_name) AS name_len
+    FROM part
+    """,
+)
+def q14_string_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F1/F6/F7 string layer: regexp_replace, split+getItem,
+    upper — all single-Project, codegen'd."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_u"),
+        F.regexp_replace("p_name", " ", "_").alias("name_u"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@q(
+    "q15_remap_values",
+    """
+    SELECT CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'PHYSICAL'
+                WHEN c_mktsegment = 'MACHINERY' THEN 'INDUSTRIAL'
+                ELSE c_mktsegment END AS segment_group,
+           count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def q15_remap_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/isin conditional remap (reference F9, etl/4:36-38)."""
+    customer = _t(spark, sf_dir, "customer")
+    remapped = customer.withColumn(
+        "segment_group",
+        F.when(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), "PHYSICAL")
+        .when(F.col("c_mktsegment") == "MACHINERY", "INDUSTRIAL")
+        .otherwise(F.col("c_mktsegment")),
+    )
+    return remapped.groupBy("segment_group").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "q16_locale_parse",
+    """
+    WITH ptbr AS (
+        SELECT l_returnflag,
+               replace(printf('%.2f', l_quantity), '.', ',') AS qty_str
+        FROM lineitem)
+    SELECT l_returnflag,
+           CAST(round(sum(CAST(replace(replace(qty_str, '.', ''), ',', '.') AS DOUBLE)), 2) AS DOUBLE) AS sum_parsed,
+           CAST(sum(CAST(trunc(CAST(replace(qty_str, ',', '.') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_compat_int
+    FROM ptbr GROUP BY l_returnflag
+    """,
+)
+def q16_locale_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt-BR decimal-comma parse (reference F5/F11/F12 + §2.10 compat):
+    synthesize '24,50'-style strings from l_quantity, parse both ways."""
+    li = _t(spark, sf_dir, "lineitem")
+    comma_str = F.regexp_replace(F.format_string("%.2f", F.col("l_quantity")), r"\.", ",")
+    parsed = parse_decimal_comma(comma_str)
+    compat = compat_int_index(comma_str)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(parsed), 2).alias("sum_parsed"),
+        F.sum(compat.cast("long")).alias("sum_compat_int"),
+    )
+
+
+# -------------------------------------------------------- 8. quality suite
+
+@q(
+    "q17_null_counts",
+    """
+    SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_nulls,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls
+    FROM orders
+    """,
+)
+def q17_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality primitive Q3: ALL null-checks in ONE aggregation pass
+    (vs Great Expectations' job-per-expectation)."""
+    orders = _t(spark, sf_dir, "orders")
+    return null_counts(orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+# ------------------------------------------------------------- 9. rollup
+
+@q(
+    "q18_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ------------------------------------------------------------ 10. events
+
+@q(
+    "q19_tumbling_window",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling window = the streaming tumbling_counts plan run on
+    a bounded source (same code path as streaming/stream_ops.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@q(
+    "q20_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) AS VARCHAR) AS session_end,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min idle gap) via lag + running sum —
+    the SQL-expressible twin of streaming sessionize()."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800, 1
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun).cast("long"))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").cast("string").alias("session_start"),
+        F.max("ts").cast("string").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@q(
+    "q21_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ----------------------------------------------------- 11. text analysis
+
+@q(
+    "q22_text_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           source
+    FROM documents
+    """,
+)
+def q22_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.n_chars("text").cast("long").alias("n_chars_calc"),
+        TX.n_tokens_ws("text").cast("long").alias("n_tokens"),
+        "source",
+    )
+
+
+@q(
+    "q23_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprint (dedup key) — md5 agrees
+    byte-for-byte between Spark and DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@q(
+    "q24_dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    """,
+)
+def q24_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.dedup_exact(docs, "text", "doc_id").select("doc_id")
+
+
+@q(
+    "q25_quality_score",
+    """
+    SELECT source,
+           CAST(round(avg(
+             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.4 END)
+           * (CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                        / greatest(length(text), 1) <= 0.15 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                        / greatest(length(text), 1) <= 0.30 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 10
+                   THEN 1.0 ELSE 0.3 END)), 4) AS DOUBLE) AS avg_quality,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q25_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality scoring, aggregated by source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.round(F.avg(TX.quality_score("text")), 4).alias("avg_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ------------------------------------------------- 12. embeddings / ANN
+
+@q(
+    "q26_embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+           FROM embeddings c CROSS JOIN q)
+    SELECT query_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q26_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline). Ranks by the
+    6-dp-ROUNDED similarity so float noise can't flip ranks vs DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine("embedding", "query_vec"), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+# ------------------------------------- 13. rows-only (non-SQL-expressible)
+
+@q("q27_minhash_pairs")
+def q27_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates (no DuckDB analog → rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=32, num_bands=8)
+
+
+@q("q28_simhash_pairs")
+def q28_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+@q("q29_jaccard_pairs")
+def q29_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.3)
+
+
+@q("q30_embedding_lsh_topk")
+def q30_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB scale path)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.topk_lsh(emb, queries, k=5, num_planes=8, num_tables=4)

@@ -1,0 +1,46 @@
+"""Filesystem utilities via Hadoop FileSystem (no Databricks dbutils).
+
+Replaces the reference's ``dbutils.fs.cp``/``dbutils.fs.ls`` calls
+(gerenciando-dados-externos/0b:8; etl/1-processing-banks.py:91-97,196)
+with the Hadoop FileSystem API, which works identically on local, HDFS,
+S3A and GCS paths — executor-free driver metadata ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jpath, jvm
+
+
+def ls(spark: SparkSession, path: str, suffix: str | None = None) -> list[str]:
+    """List a directory (reference etl/1:91-97 dbutils.fs.ls + suffix filter)."""
+    fs, jpath, _ = _fs(spark, path)
+    out = [str(s.getPath().toString()) for s in fs.listStatus(jpath)]
+    if suffix is not None:
+        out = [p for p in out if p.endswith(suffix)]
+    return out
+
+
+def cp(spark: SparkSession, src: str, dst: str) -> bool:
+    """Recursive copy (reference 0b:8 dbutils.fs.cp(..., recurse=True))."""
+    fs_src, jsrc, jvm = _fs(spark, src)
+    fs_dst, jdst, _ = _fs(spark, dst)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+    return bool(FileUtil.copy(fs_src, jsrc, fs_dst, jdst, False, True, hconf))
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath, _ = _fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def rm(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, jpath, _ = _fs(spark, path)
+    return bool(fs.delete(jpath, recursive))

@@ -1,0 +1,69 @@
+"""Typed source readers (CSV/TSV/pipe, Parquet, JSON).
+
+Re-expresses the reference's landing-zone ingestion (reference:
+gerenciando-dados-externos/0a-moving-from-land-to-bucket-to-parquet.py:26,38,52-53
+— tab/comma/pipe CSV reads with ``header=True`` and *no schema*, yielding
+all-string frames) as schema-first readers: every dataset declares a
+``StructType`` so numeric/date columns are typed at ingest, filters can
+push down, and bad records are quarantined instead of silently coerced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType | None = None,
+    sep: str = ",",
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """CSV/TSV/pipe reader (reference 0a:26 sep='\\t', 0a:38 ',', 0a:52 '|').
+
+    With an explicit ``schema`` Spark skips the inference pass (one full
+    read saved at scale) and parses columns to their declared types;
+    unparseable rows land in ``corrupt_col`` under PERMISSIVE mode.
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", mode)
+        .options(**options)
+    )
+    if schema is not None:
+        if mode == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
+            schema = schema.add(corrupt_col, "string")
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Parquet scan (reference etl/1-processing-banks.py:44, etl/4:7-9)."""
+    if isinstance(path, list):
+        return spark.read.parquet(*path)
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def quarantine_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE read into (clean, corrupt) frames."""
+    if corrupt_col not in df.columns:
+        return df, df.limit(0)
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    return clean, bad

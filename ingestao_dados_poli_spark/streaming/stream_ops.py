@@ -1,0 +1,205 @@
+"""Structured Streaming surface.
+
+The reference is batch-only; its one nod to incremental ingest is an
+append-mode comment (gerenciando-dados-externos/0a:28). The engine
+upgrades the landing zone to an OPTIONAL streaming source: the same
+transforms run on `readStream` because DataFrame code is
+execution-mode agnostic. Everything here is stock Structured Streaming —
+file source, watermarks, tumbling/sliding windows, stateful
+sessionization via applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming landing-zone reader: picks up new files per micro-batch.
+    ``maxFilesPerTrigger`` bounds batch size so one giant backfill drop
+    doesn't produce an unbounded first batch."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_len: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window count+sum per key. Late rows beyond
+    the watermark are dropped and their state evicted — bounded state is
+    what makes this run forever at scale."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_len: str = "2 minutes",
+    slide: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_len, slide).alias("win"),
+            F.col(key_col),
+        )
+        .agg(F.avg("value").alias("avg_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "avg_value",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: per-user session windows with idle-gap
+    close, via applyInPandasWithState (the engine's template for any
+    operator Spark's built-ins can't express). State per user is O(1);
+    eviction by processing-time timeout keeps total state bounded."""
+    gap_ms = _duration_ms(gap)
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, end_ms, n, total = state.get
+            state.remove()
+            yield _session_row(user_id, start_ms, end_ms, n, total)
+            return
+        rows = pd.concat(list(batches))
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+        vals = rows["value"].to_numpy()
+        order = ts_ms.argsort()
+        cur = list(state.get) if state.exists else None
+        closed: list[pd.DataFrame] = []
+        for i in order:
+            t, v = int(ts_ms[i]), float(vals[i])
+            if cur is None:
+                cur = [t, t, 1, v]
+            elif t - cur[1] <= gap_ms:
+                cur[1], cur[2], cur[3] = max(cur[1], t), cur[2] + 1, cur[3] + v
+            else:
+                closed.append(_session_row(user_id, *cur))
+                cur = [t, t, 1, v]
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutDuration(gap_ms)
+        yield from closed
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _session_row(user_id: int, start_ms: int, end_ms: int, n: int, total: float) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_ms, unit="ms")],
+            "session_end": [pd.Timestamp(end_ms, unit="ms")],
+            "n_events": [n],
+            "sum_value": [total],
+        }
+    )
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1000, "seconds": 1000, "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000}[unit]
+    return int(n) * mult
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+) -> Any:
+    """Parquet sink with checkpointing. ``trigger_once`` (availableNow)
+    is the batch-like mode: process everything pending, then stop —
+    ideal for incremental medallion hops run on a schedule."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,52 @@
+from __future__ import annotations
+
+import json
+
+from ingestao_dados_poli_spark import quality as Q
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 5.0), (3, "c", None)], ["id", "name", "score"]
+    )
+
+
+def test_suite_single_pass_pass_and_fail(spark):
+    df = _df(spark)
+    suite = (
+        Q.Suite("t")
+        .add(Q.not_null("id"))
+        .add(Q.not_null("name"))
+        .add(Q.exists("id"))
+        .add(Q.exists("missing_col"))
+        .add(Q.between("score", 0, 100))
+        .add(Q.unique("id"))
+        .add(Q.row_count_between(1, 10))
+        .add(Q.values_in_set("name", ["a", "c"]))
+        .add(Q.matches_regex("name", "^[a-z]$"))
+    )
+    report = Q.validate(df, suite)
+    by_rule = {r["rule"]: r for r in report["results"]}
+    assert report["row_count"] == 3
+    assert by_rule["not_null id"]["success"]
+    assert not by_rule["not_null name"]["success"]
+    assert by_rule["not_null name"]["unexpected_count"] == 1
+    assert by_rule["exists id"]["success"]
+    assert not by_rule["exists missing_col"]["success"]
+    # between counts the NULL score as a violation
+    assert not by_rule["between score [0, 100]"]["success"]
+    assert by_rule["unique id"]["success"]
+    assert not report["success"]
+
+
+def test_suite_json_roundtrip():
+    suite = Q.Suite("x").add(Q.not_null("a")).add(Q.between("b", 0, 1))
+    again = Q.Suite.from_json(suite.to_json())
+    assert again.name == "x"
+    assert again.rules == suite.rules
+    json.loads(suite.to_json())  # valid JSON
+
+
+def test_null_counts(spark):
+    out = Q.null_counts(_df(spark)).collect()[0].asDict()
+    assert out == {"id_nulls": 0, "name_nulls": 1, "score_nulls": 1}

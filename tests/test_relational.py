@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.operators import relational as R
+
+
+def test_join_broadcast(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    out = R.join(left, right, "k", "inner", broadcast_right=True)
+    assert out.count() == 2
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_semi_anti_join(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
+    assert sorted(r.k for r in R.semi_join(left, right, "k").collect()) == [2, 3]
+    assert [r.k for r in R.anti_join(left, right, "k").collect()] == [1]
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.createDataFrame([(i % 3, i) for i in range(100)], ["k", "v"])
+    right = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], ["k", "w"])
+    plain = R.join(left, right, "k").select("k", "v", "w")
+    salted = R.salted_join(left, right, "k").select("k", "v", "w")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_top_k_uses_take_ordered(spark):
+    df = spark.createDataFrame([(i, float(100 - i)) for i in range(100)], ["id", "score"])
+    top = R.top_k(df, [F.col("score").desc()], 5)
+    assert [r.id for r in top.collect()] == [0, 1, 2, 3, 4]
+    assert "TakeOrderedAndProject" in top._jdf.queryExecution().executedPlan().toString()
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 4, 5.0)],
+        ["g", "id", "score"],
+    )
+    out = R.top_k_per_group(df, ["g"], [F.col("score").desc()], 2)
+    got = sorted((r.g, r.id) for r in out.collect())
+    assert got == [("a", 2), ("a", 3), ("b", 4)]
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "2020", "a"), (1, "2021", "b"), (2, "2019", "c")], ["k", "d", "v"]
+    )
+    out = R.dedup_keep_first(df, ["k"], [F.col("d").asc()])
+    assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a"), (2, "c")]
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame([(1, 5), (1, 15), (2, 25)], ["g", "x"])
+    ivals = spark.createDataFrame([(1, 0, 10, "lo"), (1, 10, 20, "hi"), (2, 20, 30, "mid")],
+                                  ["g", "lo", "hi", "tag"])
+    out = R.range_join(points, ivals, "x", "lo", "hi", partition_keys=["g"])
+    assert sorted((r.x, r.tag) for r in out.collect()) == [(5, "lo"), (15, "hi"), (25, "mid")]

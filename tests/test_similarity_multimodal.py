@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.functions import vectors as V
+from ingestao_dados_poli_spark.operators import multimodal as MM
+from ingestao_dados_poli_spark.operators import similarity as SIM
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [1.0, 0.0, 0.001]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], ["a", "b"])
+    row = df.select(
+        V.dot("a", "b").alias("dot"),
+        V.norm("a").alias("na"),
+        V.cosine("a", "b").alias("cos"),
+        V.l2_distance("a", "b").alias("l2"),
+    ).collect()[0]
+    assert row.dot == 11.0
+    assert abs(row.na - math.sqrt(5)) < 1e-12
+    assert abs(row.cos - 11.0 / (math.sqrt(5) * 5.0)) < 1e-12
+    assert abs(row.l2 - math.sqrt(8)) < 1e-12
+
+
+def test_topk_bruteforce(spark):
+    corpus = _vecs(spark)
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.topk_bruteforce(corpus, queries, k=3)
+    got = [r.vec_id for r in out.orderBy(F.desc("cos_sim")).collect()]
+    assert got[0] == 0            # self first
+    assert set(got) == {0, 4, 1}  # nearest neighbors by cosine
+
+
+def test_topk_lsh_recall_on_exact_match(spark):
+    corpus = _vecs(spark)
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.topk_lsh(corpus, queries, k=3, num_planes=4, num_tables=8)
+    got = [r.vec_id for r in out.collect()]
+    assert 0 in got  # identical vector always lands in the same buckets
+
+
+def test_embedding_near_dup(spark):
+    pairs = SIM.embedding_near_dup_pairs(
+        _vecs(spark), threshold=0.99, num_planes=4, num_tables=8
+    ).collect()
+    pairset = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 4) in pairset  # nearly identical vectors
+
+
+def test_nearest_centroid(spark):
+    out = SIM.nearest_centroid(
+        _vecs(spark), centroids=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    )
+    got = {r.vec_id: r.centroid_id for r in out.collect()}
+    assert got[0] == 0 and got[1] == 0 and got[2] == 1 and got[3] == 2
+
+
+def test_multimodal_feature_extraction_plumbing(spark):
+    media = MM.synthetic_media(spark, n=30)
+    feats = MM.extract_image_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(0.0 <= v < 1.0 for r in rows for v in r.features)
+    # deterministic: same payload → same features
+    again = {r.media_id: r.features for r in MM.extract_image_features(media, dim=8).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_video_frame_sampling_shape(spark):
+    media = MM.synthetic_media(spark, n=9).filter(F.col("kind") == "video")
+    frames = MM.sample_video_frames(media, every_ms=1000)
+    per = frames.groupBy("media_id").count().collect()
+    durs = {r.media_id: r.duration_ms for r in media.collect()}
+    for r in per:
+        assert r["count"] == max(1, -(-durs[r.media_id] // 1000))
+
+
+def test_media_stats(spark):
+    stats = MM.media_stats(MM.synthetic_media(spark, n=30))
+    got = {r.kind: r.n_items for r in stats.collect()}
+    assert sum(got.values()) == 30

@@ -1,0 +1,104 @@
+"""Structured Streaming tests: file-source micro-batches through the
+windowed/stateful operators, with availableNow trigger so the suite
+terminates deterministically."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from ingestao_dados_poli_spark.streaming import stream_ops as S
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_src"))
+    rows = [
+        (1, "2024-01-01 00:00:10", 1, "click", 1.0),
+        (2, "2024-01-01 00:00:40", 1, "click", 2.0),
+        (3, "2024-01-01 00:02:10", 1, "view", 3.0),
+        (4, "2024-01-01 00:00:20", 2, "click", 4.0),
+        # session gap > 30 min for user 1:
+        (5, "2024-01-01 01:00:00", 1, "click", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "user_id", "event_type", "value"])
+    df.select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if sdf.isStreaming else "append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ck_{name}")
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_counts(spark, event_dir, tmp_path):
+    src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA)
+    assert src.isStreaming
+    agg = S.tumbling_counts(src, window_len="1 minute", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory").queryName("tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    assert out[("2024-01-01 00:00:00", "click")] == 3
+    assert out[("2024-01-01 00:02:00", "view")] == 1
+    assert out[("2024-01-01 01:00:00", "click")] == 1
+
+
+def test_sessionize_stateful(spark, event_dir, tmp_path):
+    src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA)
+    sess = S.sessionize(src, gap="30 minutes")
+    q = (
+        sess.writeStream.format("memory").queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # availableNow processes all input in one batch; sessions still open
+    # at end-of-stream stay in state, so we assert on the CLOSED one:
+    closed = [r for r in rows if r.user_id == 1]
+    assert len(closed) >= 1
+    first = min(closed, key=lambda r: r.session_start)
+    assert first.n_events == 3
+    assert first.sum_value == 6.0
+
+
+def test_write_stream_parquet_roundtrip(spark, event_dir, tmp_path):
+    src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA)
+    out_path = str(tmp_path / "out")
+    q = S.write_stream_parquet(src, out_path, str(tmp_path / "ck3"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_path).count() == 5

@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.functions import text as TX
+from ingestao_dados_poli_spark.operators import dedup as DD
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.upper()),            # exact dup after normalization? (case)
+            (3, near),                     # near dup
+            (4, "completely different words about spark engines and parquet files"),
+            (5, base),                     # exact dup
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("   ",)], ["t"])
+    out = df.select(TX.n_tokens_ws("t").alias("n")).collect()
+    assert [r.n for r in out] == [3, 0, 0]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat is in the house and it is big",),
+         ("o gato não está para uma casa com os outros",),
+         ("xyzzy qwerty",)],
+        ["t"],
+    )
+    out = [r.l for r in df.select(TX.lang_id("t").alias("l")).collect()]
+    assert out[0] == "en"
+    assert out[1] == "pt"
+    assert out[2] == "und"
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    out = df.select(TX.shingles("t", k=3).alias("s")).collect()[0].s
+    assert out == ["a b c", "b c d"]
+
+
+def test_dedup_exact_keeps_lowest_id(spark):
+    docs = _docs(spark)
+    kept = sorted(r.doc_id for r in DD.dedup_exact(docs, "text", "doc_id").collect())
+    # 1 == 2 (case-normalized) == 5 → keep 1; 3 and 4 unique
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_finds_near_dup(spark):
+    docs = _docs(spark)
+    pairs = DD.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=32, num_bands=16
+    ).collect()
+    pairset = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 5) in pairset  # exact dups always collide
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert est[(1, 5)] == 1.0
+
+
+def test_dedup_minhash_drops_near_dups(spark):
+    docs = _docs(spark)
+    kept = sorted(
+        r.doc_id
+        for r in DD.dedup_minhash(
+            docs, "text", "doc_id", threshold=0.5, num_hashes=32, num_bands=16
+        ).collect()
+    )
+    assert 1 in kept and 4 in kept
+    assert 5 not in kept  # exact dup of 1 dropped
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    docs = _docs(spark)
+    # chunking guarantees recall only for hamming < num_chunks: use 16
+    # chunks so distances up to 15 are guaranteed to collide on a chunk
+    pairs = DD.simhash_pairs(docs, "text", "doc_id", max_hamming=15, num_chunks=16)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 5)] == 0          # identical → distance 0
+    assert (1, 3) in got             # near dup → small distance
+    assert got.get((1, 4), 99) > got[(1, 3)] or (1, 4) not in got
+
+
+def test_jaccard_pairs_exact(spark):
+    docs = _docs(spark)
+    pairs = DD.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.4)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 5)] == 1.0
+    assert 0.4 <= got[(1, 3)] < 1.0

@@ -1,0 +1,101 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same sf directory; compares row count, sorted column
+names, and order-insensitive values (exact equality after stringify,
+like a value hash would). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df) -> list[tuple]:
+    """pandas frame → order-insensitive canonical row list."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and v != v):
+                row.append("NULL")
+            elif isinstance(v, float):
+                row.append(f"{v:.10g}")
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    return sorted(rows)
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from ingestao_dados_poli_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error {e}")
+            continue
+        took = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only {name}: {len(sdf)} rows, {took:.1f}s")
+            if len(sdf) == 0:
+                print(f"  WARN {name}: 0 rows")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {e}")
+            continue
+        sc, oc = sorted(sdf.columns), sorted(odf.columns)
+        if sc != oc:
+            failures.append(name)
+            print(f"FAIL {name}: columns {sc} vs {oc}")
+            continue
+        if len(sdf) != len(odf):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}")
+            continue
+        a, b = canon(sdf), canon(odf)
+        if a != b:
+            failures.append(name)
+            ndiff = sum(1 for x, y in zip(a, b) if x != y)
+            print(f"FAIL {name}: values differ in {ndiff}/{len(a)} rows")
+            for x, y in list(zip(a, b))[:200]:
+                if x != y:
+                    print(f"  spark={x}\n  duck ={y}")
+                    break
+        else:
+            print(f"ok   {name}: {len(sdf)} rows, {took:.1f}s")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
