@@ -99,6 +99,62 @@ def dedup_keep_first(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` for the same key. Left rows with no prior
+    right row keep nulls (LEFT ASOF semantics).
+
+    Not a range join: both sides are tagged and UNIONed, then a single
+    per-key window carries the last non-null right payload forward. One
+    shuffle on (key), no quadratic candidate expansion — this is the
+    formulation that survives 100 TB, unlike point-in-interval joins
+    that degrade to broadcast-nested-loop.
+
+    The right side must be unique per (key, ts); pre-aggregate if not
+    (duplicate timestamps make any as-of result ill-defined).
+    """
+    rstruct = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        rstruct.alias("_payload"),
+        *[F.lit(None).cast(t.dataType).alias(f"_l_{t.name}") for t in left.schema.fields],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(t.name).alias(f"_l_{t.name}") for t in left.schema.fields],
+    )
+    u = r.unionByName(l)
+    # right rows (_side=0) sort before left rows at equal ts → a right row
+    # at exactly left.ts is visible to that left row (<= semantics).
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{t.name}").alias(t.name) for t in left.schema.fields],
+        F.col("_match._ts").alias(f"{right_prefix}{right_ts}"),
+        *[F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in right_cols],
+    )
+    return out
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -30,8 +30,10 @@ from ingestao_dados_poli_spark.functions.locale import (
 )
 from ingestao_dados_poli_spark.functions.vectors import cosine
 from ingestao_dados_poli_spark.operators import dedup as DD
+from ingestao_dados_poli_spark.operators import multimodal as MM
 from ingestao_dados_poli_spark.operators import relational as R
 from ingestao_dados_poli_spark.operators import similarity as SIM
+from ingestao_dados_poli_spark import quality as Q
 from ingestao_dados_poli_spark.quality import null_counts
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -721,6 +723,267 @@ def q28_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.3)
+
+
+# ------------------------------------------- 14. statistics aggregates
+
+@q(
+    "q31_stats_agg",
+    """
+    SELECT l_returnflag,
+           CAST(round(stddev_samp(l_extendedprice), 4) AS DOUBLE) AS sd_price,
+           CAST(round(var_samp(l_quantity), 4) AS DOUBLE)         AS var_qty,
+           CAST(round(min(l_extendedprice), 2) AS DOUBLE)         AS min_price,
+           CAST(round(max(l_extendedprice), 2) AS DOUBLE)         AS max_price,
+           count(DISTINCT l_partkey) AS n_parts,
+           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS qty_price_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q31_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates beyond the reference's avg/round/count
+    (SURVEY §2.4 'not present' list): stddev, variance, min/max, exact
+    count-distinct, correlation — all one HashAggregate pass except the
+    distinct, which Spark expands to a two-phase aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count_distinct(F.col("l_partkey")).alias("n_parts"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    )
+
+
+@q(
+    "q32_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q32_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over 2 keys (4 grouping sets in one shuffle — SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "q33_asof_join",
+    """
+    WITH p AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.user_id, p.event_id, CAST(p.ts AS VARCHAR) AS ts,
+           CAST(round(p.value, 4) AS DOUBLE) AS value,
+           CAST(c.ts AS VARCHAR) AS asof_ts,
+           CAST(round(c.click_value, 4) AS DOUBLE) AS asof_click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 'not present' list): each purchase matched
+    to the user's latest click at-or-before it. Union+window formulation —
+    one shuffle on user_id, no range-join candidate explosion."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    joined = R.asof_join(
+        purchases, clicks, key="user_id", right_cols=["click_value"]
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.round("value", 4).alias("value"),
+        F.col("asof_ts").cast("string").alias("asof_ts"),
+        F.round("asof_click_value", 4).alias("asof_click_value"),
+    )
+
+
+# --------------------------------------------- 15. language ID / tokens
+
+_LANG_RE = {
+    "en": r"\b(the|and|of|to|is|in|that|it|a)\b",
+    "es": r"\b(el|la|los|las|por|una|es|y|en)\b",
+    "pt": r"\b(de|que|não|uma|para|com|os|é|do)\b",
+}
+
+@q(
+    "q34_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT lang AS lang_true,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["en"]}')) AS en_hits,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["es"]}')) AS es_hits,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["pt"]}')) AS pt_hits
+        FROM documents)
+    SELECT lang_true,
+           CASE WHEN greatest(en_hits, es_hits, pt_hits) = 0 THEN 'und'
+                WHEN pt_hits >= es_hits AND pt_hits >= en_hits THEN 'pt'
+                WHEN es_hits >= en_hits THEN 'es'
+                ELSE 'en' END AS lang_pred,
+           count(*) AS n
+    FROM scored GROUP BY lang_true, lang_pred
+    """,
+)
+def q34_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-marker language ID confusion matrix against the documents
+    table's ground-truth lang column. Ties break toward the
+    lexicographically-largest language code (greatest over structs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("lang").alias("lang_true"), TX.lang_id("text").alias("lang_pred")
+    ).groupBy("lang_true", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "q35_token_counts",
+    f"""
+    SELECT source,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+                '{TX.TOKEN_PATTERN}'))) AS BIGINT) AS bpe_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q35_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting per source (the cost model any
+    training-data pipeline runs before tokenizing for real)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TX.n_tokens_ws("text")).cast("long").alias("ws_tokens"),
+        F.sum(TX.n_tokens_bpe("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+# --------------------------------------------- 16. pivot / grouping sets
+
+@q(
+    "q36_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS DOUBLE) AS F,
+           CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS DOUBLE) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q36_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation). Pivot values are DECLARED, not
+    discovered — at 100 TB discovery would be an extra full scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@q(
+    "q37_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q37_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the engine's SQL entry point (DataFrame and
+    SQL share Catalyst — SURVEY §3 'new-engine lifecycle')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        li=li,
+    )
+
+
+# ------------------------------------------------- 17. quality suite run
+
+@q(
+    "q38_quality_suite",
+    """
+    SELECT 'not_null o_orderkey' AS rule,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unexpected
+    FROM orders
+    UNION ALL
+    SELECT 'between o_totalprice [0.0, 1000000.0]' AS rule,
+           CAST(sum(CASE WHEN o_totalprice IS NULL
+                         OR o_totalprice NOT BETWEEN 0 AND 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS unexpected
+    FROM orders
+    UNION ALL
+    SELECT 'values_in_set o_orderstatus in [''O'', ''F'', ''P'']' AS rule,
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         AND o_orderstatus IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS unexpected
+    FROM orders
+    """,
+)
+def q38_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A whole expectation suite (reference Q3/Q5 + values_in_set) in ONE
+    aggregation job; the report rows come back as a DataFrame."""
+    orders = _t(spark, sf_dir, "orders")
+    suite = Q.Suite(
+        "validacao_orders",
+        [
+            Q.not_null("o_orderkey"),
+            Q.between("o_totalprice", 0.0, 1_000_000.0),
+            Q.values_in_set("o_orderstatus", ["O", "F", "P"]),
+        ],
+    )
+    report = Q.validate(orders, suite)
+    rows = [
+        (r["rule"], int(r.get("unexpected_count", 0))) for r in report["results"]
+    ]
+    return spark.createDataFrame(rows, "rule string, unexpected long")
+
+
+# ------------------------------------- 18. rows-only (non-SQL-expressible)
+
+@q("q39_embedding_sim_pairs")
+def q39_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH self-join similarity pairs over embeddings (rows-only). The
+    corpus has no true near-dups (max pairwise cosine ≈0.46), so the
+    threshold is set low to exercise the candidate→verify path."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return SIM.embedding_near_dup_pairs(
+        emb, threshold=0.3, num_planes=8, num_tables=4
+    )
+
+
+@q("q40_media_features")
+def q40_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only): Arrow-batched mapInPandas feature
+    extraction over a deterministic synthetic media table."""
+    media = MM.synthetic_media(spark, n=256)
+    feats = MM.extract_image_features(media, dim=8)
+    return feats.select(
+        "media_id", "width", "height", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
 
 
 @q("q30_embedding_lsh_topk")

@@ -14,6 +14,8 @@ ROWS_ONLY = {
     "q28_simhash_pairs",
     "q29_jaccard_pairs",
     "q30_embedding_lsh_topk",
+    "q39_embedding_sim_pairs",
+    "q40_media_features",
 }
 
 

@@ -53,6 +53,28 @@ def test_dedup_keep_first_deterministic(spark):
     assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a"), (2, "c")]
 
 
+def test_asof_join(spark):
+    import datetime as dt
+
+    t = dt.datetime
+    left = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 10), "p1"), (1, t(2024, 1, 1, 12), "p2"),
+         (2, t(2024, 1, 1, 9), "p3")],
+        ["user_id", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 9), 1.0), (1, t(2024, 1, 1, 11), 2.0),
+         (1, t(2024, 1, 1, 12), 3.0), (2, t(2024, 1, 1, 10), 4.0)],
+        ["user_id", "ts", "v"],
+    )
+    out = R.asof_join(left, right, key="user_id", right_cols=["v"])
+    got = {r.tag: r.asof_v for r in out.collect()}
+    # p1: latest click <= 10:00 is 9:00 (1.0); p2: equal ts 12:00 included
+    # (3.0); p3: no click at-or-before 9:00 → null
+    assert got == {"p1": 1.0, "p2": 3.0, "p3": None}
+    assert out.count() == left.count()  # left rows always survive
+
+
 def test_range_join(spark):
     points = spark.createDataFrame([(1, 5), (1, 15), (2, 25)], ["g", "x"])
     ivals = spark.createDataFrame([(1, 0, 10, "lo"), (1, 10, 20, "hi"), (2, 20, 30, "mid")],
