@@ -22,10 +22,33 @@ Scale notes (how each behaves at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ingestao_dados_poli_spark.functions.text import normalize_text, shingles
+from ingestao_dados_poli_spark.partitioning import fan_out
+
+
+def _pairs_in_group(ids_col: Column) -> Column:
+    """array<struct<id_a,id_b>> — all ordered pairs (a<b) within one
+    bucket's SORTED id array, generated in-row.
+
+    Replaces a bucket self-join: groupBy(bucket).collect_list →
+    in-row pair expansion → explode costs ONE shuffle (the groupBy,
+    map-side combined) instead of two join-side exchanges plus a
+    window for the bucket-size cap (array size IS the cap check).
+    """
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                # slice start is 1-based: element i (0-based) pairs with
+                # everything from position i+2 onward.
+                F.slice(ids_col, i + F.lit(2), F.size(ids_col)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------- exact
@@ -43,7 +66,7 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     fp = fingerprint_exact(text_col).alias("_fp")
     keep = (
-        df.select(F.col(id_col), fp)
+        fan_out(df).select(F.col(id_col), fp)
         .groupBy("_fp")
         .agg(F.min(id_col).alias(id_col))
         .drop("_fp")
@@ -118,47 +141,42 @@ def minhash_candidate_pairs(
     # two projections: shingles once, then the 32-64 array_min hash
     # folds reference the materialized _sh column — without this the
     # shingle subtree is re-evaluated once per hash function.
-    shingled = df.select(
+    shingled = fan_out(df).select(
         F.col(id_col).alias("_id"), shingles(text_col, k=k).alias("_sh")
     )
     sigs = shingled.select("_id", minhash_signature("_sh", num_hashes, pre_shingled=True))
+    # The signature (num_hashes longs ≈ 256-512 B) rides along into the
+    # bucket groups so the Jaccard estimate is computed IN-ROW on the
+    # expanded pair — signatures are computed exactly once and never
+    # joined back (the join-back formulation recomputes the MinHash
+    # subtree once per join side).
     banded = sigs.select(
-        "_id",
+        F.struct("_id", "minhash").alias("doc"),
         F.explode(minhash_bands("minhash", num_bands, rows_per_band)).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # Cap pathological buckets before the quadratic pair expansion.
-    w = Window.partitionBy("band", "bucket")
-    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
-        F.col("_bsz") <= max_bucket_size
-    ).drop("_bsz")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
-
-    sig_a = sigs.select(F.col("_id").alias("id_a"), F.col("minhash").alias("sig_a"))
-    sig_b = sigs.select(F.col("_id").alias("id_b"), F.col("minhash").alias("sig_b"))
     # positional agreement fraction — the unbiased MinHash Jaccard
     # estimator (array_intersect would compare as SETS, which is wrong)
     est = F.aggregate(
-        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.zip_with(
+            F.col("p.id_a.minhash"),
+            F.col("p.id_b.minhash"),
+            lambda x, y: (x == y).cast("int"),
+        ),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_hashes)
     return (
-        pairs.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs").between(2, max_bucket_size))
+        .select(F.explode(_pairs_in_group(F.array_sort("docs"))).alias("p"))
+        .select(
+            F.col("p.id_a._id").alias("id_a"),
+            F.col("p.id_b._id").alias("id_b"),
+            est.cast("double").alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -200,25 +218,32 @@ def simhash(text_col: Column | str, bits: int = 63, pre_hashed: bool = False) ->
         toks = F.split(normalize_text(text_col), " ")
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def bit_balance(i: int) -> Column:
-        # Σ over tokens of ±1 for bit i (shift amount must be a literal —
-        # Spark's shiftright only takes Python ints).
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    # ONE pass over the token hashes: the accumulator is the whole
+    # array of per-bit balances (vs one aggregate per bit = `bits`
+    # re-scans of the array — 63x the expression work).
+    balances = F.aggregate(
+        hashes,
+        F.transform(idx, lambda i: F.lit(0)),
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda a, i: a + F.when(F.bit_get(h, i) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # bit i of the signature = (balance_i > 0) << i. pow(2.0, i) is exact
+    # for i ≤ 62 (powers of two are exactly representable doubles).
+    return F.aggregate(
+        F.zip_with(
+            balances,
+            idx,
+            lambda bal, i: F.when(bal > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+                F.lit(0).cast("long")
             ),
-        )
-
-    sig: Column | None = None
-    for i in range(bits):
-        bit = F.when(
-            bit_balance(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig + bit
-    return sig
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash_pairs(
@@ -236,7 +261,7 @@ def simhash_pairs(
     verify with bit_count(xor) inside the bucket. One shuffle on chunks.
     """
     chunk_bits = 63 // num_chunks
-    hashed = df.select(
+    hashed = fan_out(df).select(
         F.col(id_col).alias("_id"),
         F.transform(
             F.split(normalize_text(text_col), " "), lambda t: F.xxhash64(t)
@@ -261,23 +286,22 @@ def simhash_pairs(
         ).alias("ch"),
     ).select("_id", "sig", "ch.ci", "ch.cv")
 
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
+    # One shuffle: group (id, sig) per chunk bucket, expand pairs in-row
+    # (sorted by struct → id_a < id_b), verify hamming inside the row.
+    pairs = (
+        chunks.groupBy("ci", "cv")
+        .agg(F.collect_list(F.struct("_id", "sig")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_in_group(F.array_sort("ids"))).alias("p"))
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            ham.alias("hamming"),
+            F.col("p.id_a._id").alias("id_a"),
+            F.col("p.id_b._id").alias("id_b"),
+            F.bit_count(F.col("p.id_a.sig").bitwiseXOR(F.col("p.id_b.sig"))).alias(
+                "hamming"
+            ),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 # ------------------------------------------------------- n-gram Jaccard
@@ -297,29 +321,30 @@ def jaccard_pairs(
     counts, then compute |A∩B| / (|A|+|B|-|A∩B|). ``max_posting_len``
     drops stop-shingles whose postings would dominate the pair blow-up.
     """
-    docs = df.select(
+    # Shingles are hashed to int64 BEFORE the explode: the postings
+    # shuffle moves 8-byte keys instead of ~40-byte strings, and the
+    # groupBy compares longs. Collisions (~2^-64 per pair) only ever
+    # nudge an estimate, never corrupt ids.
+    docs = fan_out(df).select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, k=k)).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles(text_col, k=k), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
 
     postings = docs.select("_id", "n_sh", F.explode("sh").alias("shingle"))
-    w = Window.partitionBy("shingle")
-    postings = postings.withColumn("_plen", F.count(F.lit(1)).over(w)).filter(
-        F.col("_plen") <= max_posting_len
-    ).drop("_plen")
-
-    a, b = postings.alias("a"), postings.alias("b")
+    # One shuffle builds the postings; the array-size filter IS the
+    # stop-shingle cap (no window sort); pairs expand in-row.
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
+        postings.groupBy("shingle")
+        .agg(F.collect_list(F.struct("_id", "n_sh")).alias("ids"))
+        .filter(F.size("ids").between(2, max_posting_len))
+        .select(F.explode(_pairs_in_group(F.array_sort("ids"))).alias("p"))
         .groupBy(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+            F.col("p.id_a._id").alias("id_a"),
+            F.col("p.id_b._id").alias("id_b"),
+            F.col("p.id_a.n_sh").alias("na"),
+            F.col("p.id_b.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )

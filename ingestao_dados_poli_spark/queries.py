@@ -971,7 +971,7 @@ def q39_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     return SIM.embedding_near_dup_pairs(
-        emb, threshold=0.3, num_planes=8, num_tables=4
+        emb, threshold=0.3, num_planes=8, num_tables=4, dim=64
     )
 
 
@@ -995,4 +995,4 @@ def q30_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return SIM.topk_lsh(emb, queries, k=5, num_planes=8, num_tables=4)
+    return SIM.topk_lsh(emb, queries, k=5, num_planes=8, num_tables=4, dim=64)
