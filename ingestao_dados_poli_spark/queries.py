@@ -960,7 +960,110 @@ def q38_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rule string, unexpected long")
 
 
-# ------------------------------------- 18. rows-only (non-SQL-expressible)
+# ---------------------------------------------- 18. dates / percentiles
+
+@q(
+    "q41_date_parts",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           count(*) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q41_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-part aggregation (date/time functions — SURVEY §2.6
+    'not present' list)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@q(
+    "q42_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS median_qty,
+           CAST(round(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The approx_percentile variant is the 100 TB path;
+    exact is used here because it is oracle-checkable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@q(
+    "q43_argmax",
+    """
+    SELECT o_orderpriority,
+           CAST(split_part(max(printf('%020.2f|%012d', o_totalprice, o_orderkey)),
+                           '|', 2) AS BIGINT) AS top_orderkey,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS top_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q43_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a deterministic struct tie-break (price, then key).
+    The oracle encodes the same ordering as a zero-padded sortable
+    string (DuckDB 1.0 has no composite-key arg_max)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by(
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+        ).alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@q(
+    "q44_explode_words",
+    """
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word HAVING count(*) >= 10
+    """,
+)
+def q44_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest (lateral array expansion — absent in reference)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+@q(
+    "q45_string_agg",
+    """
+    SELECT l_linestatus,
+           string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q45_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: sorted distinct set joined —
+    collect_set order is nondeterministic, so sort before joining."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags")
+    )
+
+
+# ------------------------------------- 19. rows-only (non-SQL-expressible)
 
 @q("q39_embedding_sim_pairs")
 def q39_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the plans the engine is DESIGNED to produce,
+locked in as tests so a refactor that silently de-optimizes (drops a
+pushdown, un-broadcasts a dim, adds a shuffle) fails loudly.
+
+These inspect `executedPlan` BEFORE execution (AQE's initial plan), which
+is where static choices — pushed filters, broadcast strategies, top-k
+operators, partial aggregation — are visible.
+"""
+
+from __future__ import annotations
+
+from ingestao_dados_poli_spark import queries as Q
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q02_filters_push_to_parquet_scan(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q02_pushdown_sum"](spark, sf_dir))
+    # all four predicates reach the scan...
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters:")[1].split("]")[0]
+    # ...and the scan reads only the 4 needed columns (column pruning)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q01_dims_broadcast_single_shuffle(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q01_gold_flagship"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    # the only data movement of the fact table is the final group-by
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q03_partial_aggregation(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q03_agg_pricing_summary"](spark, sf_dir))
+    # map-side partial + final HashAggregate around exactly one shuffle
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q11_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q11_global_topk"](spark, sf_dir))
+    # never a full sort: per-partition heap + driver merge of k*P rows
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q26_corpus_never_shuffles(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q26_embedding_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only hash exchange is the per-query top-k window
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q27_minhash_shuffle_budget(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q27_minhash_pairs"](spark, sf_dir))
+    # bucket groupBy + pair dropDuplicates — the two algorithm-inherent
+    # shuffles; a regression to the self-join formulation adds more
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q14_whole_stage_codegen(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q14_string_clean"](spark, sf_dir))
+    # '*(n)' marks operators fused into a WholeStageCodegen stage
+    assert "*(1)" in plan
+
+
+def test_q33_asof_is_single_shuffle_window(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q33_asof_join"](spark, sf_dir))
+    # union+window formulation: no join operator at all
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan
