@@ -280,15 +280,30 @@ def nearest_centroid(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "centroid_id",
+    score_round: int | None = None,
 ) -> DataFrame:
     """IVF-style coarse quantization: assign each vector to its nearest
-    centroid (argmax cosine against a small broadcast-literal codebook).
-    Pre-partitioning a 100 TB corpus by centroid_id turns every later
-    query into a partition-pruned scan of ~1/nlist of the data."""
+    centroid (argmax cosine against a small broadcast-literal codebook);
+    ties go to the lowest centroid index. Pre-partitioning a 100 TB
+    corpus by centroid_id turns every later query into a
+    partition-pruned scan of ~1/nlist of the data.
+
+    ``score_round`` rounds scores before the argmax — use when the
+    assignment must be reproducible across engines/float orders."""
+    import math
+
+    from ingestao_dados_poli_spark.functions.vectors import dot, norm
+
+    # the vector's norm once (not per centroid); centroid norms are
+    # plain Python constants folded into the plan.
+    vnorm = norm(F.col(vec_col))
     best = None
     for ci, cvec in enumerate(centroids):
         lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
-        score = cosine(F.col(vec_col), lit_vec)
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        score = dot(F.col(vec_col), lit_vec) / (vnorm * F.lit(cnorm))
+        if score_round is not None:
+            score = F.round(score, score_round)
         cand = F.struct(score.alias("s"), F.lit(ci).alias("c"))
         best = cand if best is None else F.when(cand["s"] > best["s"], cand).otherwise(best)
     return df.withColumn(out_col, best["c"])

@@ -1063,7 +1063,101 @@ def q45_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------- 19. rows-only (non-SQL-expressible)
+# --------------------------------------------- 19. streaming end-to-end
+
+@q(
+    "q46_streaming_tumbling",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked tumbling-window plan run through the ACTUAL
+    Structured Streaming engine (readStream → availableNow → memory
+    sink), oracle-checked against plain batch SQL.
+
+    Sound because the bounded single-file source forms one micro-batch,
+    so the watermark never drops rows — the streaming result must equal
+    the batch group-by. Demonstrates the engine's batch/stream parity:
+    tumbling_counts() is the same code streaming/stream_ops.py ships for
+    unbounded sources.
+    """
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import tumbling_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema  # ts surfaces as long (nanos)
+    # FileStreamSource wants a DIRECTORY; glob-filter to the one table.
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = tumbling_counts(src, window_len="1 hour", watermark="10 minutes")
+    name = f"q46_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q46_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# ------------------------------------------------ 20. IVF quantization
+
+# 4 deterministic orthogonal-block centroids over the 64-dim space:
+# centroid c is 1.0 on dims [16c, 16c+16). Shared by Spark and the SQL
+# oracle below.
+_CENTROIDS = [
+    [1.0 if 16 * c <= i < 16 * (c + 1) else 0.0 for i in range(64)] for c in range(4)
+]
+_CENTROID_SQL = ", ".join(
+    f"round(list_cosine_similarity(embedding::DOUBLE[], {c}::DOUBLE[]), 6)"
+    for c in _CENTROIDS
+)
+
+@q(
+    "q47_centroid_assign",
+    f"""
+    WITH scored AS (
+        SELECT vec_id, [{_CENTROID_SQL}] AS cs FROM embeddings)
+    SELECT CASE WHEN cs[1] >= cs[2] AND cs[1] >= cs[3] AND cs[1] >= cs[4] THEN 0
+                WHEN cs[2] >= cs[3] AND cs[2] >= cs[4] THEN 1
+                WHEN cs[3] >= cs[4] THEN 2
+                ELSE 3 END AS centroid_id,
+           count(*) AS n_vectors
+    FROM scored GROUP BY 1
+    """,
+)
+def q47_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: population of each centroid's partition.
+    Scores are rounded to 6 dp on BOTH engines so the argmax (lowest
+    index wins ties) is float-order independent."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    assigned = SIM.nearest_centroid(emb, _CENTROIDS, score_round=6)
+    return assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+# ------------------------------------- 21. rows-only (non-SQL-expressible)
 
 @q("q39_embedding_sim_pairs")
 def q39_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
