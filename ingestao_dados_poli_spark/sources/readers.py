@@ -61,9 +61,16 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None) 
 def quarantine_corrupt(
     df: DataFrame, corrupt_col: str = "_corrupt_record"
 ) -> tuple[DataFrame, DataFrame]:
-    """Split a PERMISSIVE read into (clean, corrupt) frames."""
+    """Split a PERMISSIVE read into (clean, corrupt) frames.
+
+    The parsed frame is cached first: Spark disallows queries whose only
+    referenced column is the internal corrupt-record column (SPARK-21610),
+    and both halves re-read the source anyway — one materialization
+    serves the clean write AND the quarantine write.
+    """
     if corrupt_col not in df.columns:
         return df, df.limit(0)
+    df = df.cache()
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull())
     return clean, bad

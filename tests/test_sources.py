@@ -1,0 +1,80 @@
+"""Source-layer tests: typed CSV ingestion with corrupt-row quarantine,
+partitioned parquet writes with pruning, Hadoop-fs utilities, catalog."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from ingestao_dados_poli_spark.sources import fs
+from ingestao_dados_poli_spark.sources.catalog import Catalog
+from ingestao_dados_poli_spark.sources.readers import quarantine_corrupt, read_csv
+from ingestao_dados_poli_spark.sources.writers import write_parquet
+
+
+def test_read_csv_typed_with_quarantine(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id|price\n1|10.5\n2|not_a_number\n3|7.25\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("price", DoubleType())]
+    )
+    df = read_csv(spark, str(p), schema=schema, sep="|")
+    clean, bad = quarantine_corrupt(df)
+    assert clean.schema["price"].dataType == DoubleType()
+    assert sorted(r.id for r in clean.collect()) == [1, 3]
+    assert bad.count() == 1  # the unparseable row is kept, not dropped
+
+
+def test_read_csv_delimiters(spark, tmp_path):
+    # the reference's three landing formats: tab, comma, pipe (0a:26,38,52)
+    for sep, name in [("\t", "t.csv"), (",", "c.csv"), ("|", "p.csv")]:
+        p = tmp_path / name
+        p.write_text(f"a{sep}b\n1{sep}x\n")
+        df = read_csv(spark, str(p), sep=sep)
+        assert df.columns == ["a", "b"] and df.count() == 1
+
+
+def test_write_parquet_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", float(i)) for i in range(100)],
+        ["id", "seg", "v"],
+    )
+    out = str(tmp_path / "zoned")
+    write_parquet(df, out, partition_by=["seg"])
+    back = spark.read.parquet(out).filter(F.col("seg") == "A")
+    assert back.count() == 50
+    # partition pruning: only the seg=A directory is scanned
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(seg" in plan
+
+
+def test_write_parquet_coalesce_file_count(spark, tmp_path):
+    df = spark.range(1000).repartition(8)
+    out = str(tmp_path / "one")
+    write_parquet(df, out, target_file_partitions=1)
+    files = [f for f in fs.ls(spark, out, suffix=".parquet")]
+    assert len(files) == 1
+
+
+def test_fs_utils_roundtrip(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.range(10).coalesce(1).write.parquet(src)
+    assert fs.exists(spark, src)
+    dst = str(tmp_path / "dst")
+    assert fs.cp(spark, src, dst)
+    assert spark.read.parquet(dst).count() == 10
+    listing = fs.ls(spark, dst, suffix=".parquet")
+    assert listing and all(p.endswith(".parquet") for p in listing)
+    assert fs.rm(spark, dst)
+    assert not fs.exists(spark, dst)
+
+
+def test_catalog_paths_and_views(spark, sf_dir):
+    cat = Catalog(root=sf_dir)
+    assert cat.path("nation") == f"{sf_dir}/nation.parquet"
+    cat.register("special", f"{sf_dir}/region.parquet")
+    assert cat.load(spark, "special").count() == 5
+    cat.register_views(spark, names=("nation", "region"))
+    assert spark.sql("SELECT count(*) AS n FROM nation").collect()[0].n == 25
