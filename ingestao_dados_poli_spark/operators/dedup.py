@@ -3,25 +3,30 @@
 Extends the reference's relational surface (it has none of these —
 SURVEY §7 step 6) with the dedup family a 100 TB training-data pipeline
 needs: exact (hash groupBy), MinHash+LSH banding, SimHash, and n-gram
-Jaccard. Everything below is built from JVM-side column expressions
-(xxhash64 / higher-order array functions) — no Python in the hot path —
-so signatures are computed inside whole-stage codegen during the scan,
-and the only shuffles are the ones inherent to the algorithm (bucket
-group-bys / candidate-pair joins).
+Jaccard. Division of labor, chosen by measurement: string hashing and
+shingling stay JVM-side (xxhash64 in codegen during the scan); the
+per-document signature arithmetic (permutation mins, bit balances) runs
+in Arrow-batched numpy kernels — Spark's higher-order array folds are
+interpreted per element (~60 µs/fold), which at 32-64 folds per row
+dwarfs the math. Candidate pairs are generated IN-ROW from bucket
+groups (collect_list → pair expansion → explode), so each algorithm
+pays only its inherent shuffles.
 
 Scale notes (how each behaves at 100 TB):
 - exact: one shuffle on a 128-bit fingerprint; skew-free by construction
   (hash keys are uniform).
-- MinHash LSH: rows explode ×num_bands (metadata-sized rows: doc_id +
-  band hash only — NOT the text), then one shuffle on band-bucket; pairs
-  are emitted per-bucket with a self-join. Bucket-size cap guards
-  against degenerate buckets (boilerplate docs) exploding quadratically.
+- MinHash LSH: rows explode ×num_bands (doc_id + signature + bucket —
+  never the text), one shuffle on (band, bucket), pairs expanded in-row.
+  Bucket-size cap guards against degenerate buckets (boilerplate docs)
+  exploding quadratically.
 - SimHash: signature is one 63-bit long per doc; candidate pairs via
-  band buckets on signature chunks, verified by hamming distance.
+  chunk buckets (Manku trick), hamming-verified in-row.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,31 +81,59 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # -------------------------------------------------------------- MinHash
 
+def _minhash_from_hashes_udf(num_hashes: int):
+    """Arrow-batched MinHash kernel over pre-hashed shingles.
+
+    The num_hashes 'hash functions' are universal-hash permutations of
+    ONE base xxhash64 per shingle: h_i(x) = a_i*h(x) + b_i (mod 2^64) —
+    the standard datasketch-style construction. The JVM hashes each
+    shingle ONCE; numpy derives all permutations and takes mins in a
+    vectorized pass. (The per-function `array_min(transform(...))` fold
+    is interpreted per element — measured ~60 µs per fold, which at
+    num_hashes folds per row dominates the job.)
+    Coefficients are fixed odd/arbitrary constants from a seeded PRNG →
+    stable across processes.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(0x5EED)
+    a = (rng.randint(0, 2**62, size=num_hashes).astype(np.uint64) * 2 + 1)  # odd
+    b = rng.randint(0, 2**62, size=num_hashes).astype(np.uint64)
+
+    @pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        sentinel = np.full(num_hashes, np.iinfo(np.int64).max)
+        with np.errstate(over="ignore"):
+            for h in hs:
+                if h is None or len(h) == 0:  # null/empty doc → max-sentinel sig
+                    out.append(sentinel)
+                    continue
+                hv = np.asarray(h, dtype=np.int64).view(np.uint64)  # (T,)
+                perms = hv[:, None] * a[None, :] + b[None, :]  # (T, num_hashes) mod 2^64
+                out.append(perms.min(axis=0).view(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
 def minhash_signature(
     text_col: Column | str, num_hashes: int = 64, k: int = 5, pre_shingled: bool = False
 ) -> Column:
     """array<bigint> MinHash signature over word k-shingles.
 
-    Each hash function is xxhash64(shingle, seed_i); the signature element
-    is the min over shingles. All higher-order functions — computed
-    during the scan, no shuffle, no UDF. Pass ``pre_shingled=True`` when
-    ``text_col`` is already an array of shingles (preferred: compute the
-    shingle column in its own projection so it isn't re-evaluated per
-    hash function).
+    Shingles are hashed once with JVM xxhash64 during the scan; the
+    num_hashes universal-hash permutations and mins run in an
+    Arrow-batched numpy kernel (see _minhash_from_hashes_udf for why
+    not higher-order column functions). Pass ``pre_shingled=True`` when
+    ``text_col`` is already an array of shingles.
     """
     if pre_shingled:
         sh = F.col(text_col) if isinstance(text_col, str) else text_col
     else:
         sh = shingles(text_col, k=k)
-
-    def hasher(seed: int):
-        # one-arg lambda: a 2-arg lambda would be treated by transform()
-        # as (value, index) and silently shadow the seed
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
-    ).alias("minhash")
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    return _minhash_from_hashes_udf(num_hashes)(base).alias("minhash")
 
 
 def minhash_bands(sig_col: Column | str, num_bands: int, rows_per_band: int) -> Column:
@@ -138,9 +171,8 @@ def minhash_candidate_pairs(
     (e.g. empty/boilerplate docs) that would emit O(n²) pairs.
     """
     rows_per_band = num_hashes // num_bands
-    # two projections: shingles once, then the 32-64 array_min hash
-    # folds reference the materialized _sh column — without this the
-    # shingle subtree is re-evaluated once per hash function.
+    # staged projections: shingles once, then the signature kernel reads
+    # the materialized _sh column.
     shingled = fan_out(df).select(
         F.col(id_col).alias("_id"), shingles(text_col, k=k).alias("_sh")
     )
@@ -212,38 +244,36 @@ def simhash(text_col: Column | str, bits: int = 63, pre_hashed: bool = False) ->
     its own projection, else the tokenize+hash subtree is re-evaluated
     once per bit).
     """
+    from pyspark.sql.functions import pandas_udf
+
     if pre_hashed:
         hashes = F.col(text_col) if isinstance(text_col, str) else text_col
     else:
         toks = F.split(normalize_text(text_col), " ")
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    idx = F.sequence(F.lit(0), F.lit(bits - 1))
-    # ONE pass over the token hashes: the accumulator is the whole
-    # array of per-bit balances (vs one aggregate per bit = `bits`
-    # re-scans of the array — 63x the expression work).
-    balances = F.aggregate(
-        hashes,
-        F.transform(idx, lambda i: F.lit(0)),
-        lambda acc, h: F.zip_with(
-            acc,
-            idx,
-            lambda a, i: a + F.when(F.bit_get(h, i) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        ),
-    )
-    # bit i of the signature = (balance_i > 0) << i. pow(2.0, i) is exact
-    # for i ≤ 62 (powers of two are exactly representable doubles).
-    return F.aggregate(
-        F.zip_with(
-            balances,
-            idx,
-            lambda bal, i: F.when(bal > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    # JVM hashes each token once; the per-bit ±1 balances and the bit
+    # pack run in an Arrow-batched numpy kernel. (A pure-column version
+    # exists in git history — one aggregate with an array accumulator —
+    # but higher-order folds are interpreted per element and measured
+    # ~60 µs per fold.) Bit extraction on the uint64 view matches the
+    # JVM's two's-complement bit_get exactly.
+    shifts = np.arange(bits, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for j, h in enumerate(hs):
+            if h is None or len(h) == 0:
+                continue
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)  # (T,)
+            bitmat = (hv[:, None] >> shifts[None, :]) & np.uint64(1)  # (T, bits)
+            balances = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
+            out[j] = int(weights[balances > 0].sum())
+        return pd.Series(out)
+
+    return sig(hashes)
 
 
 def simhash_pairs(
