@@ -107,6 +107,27 @@ def test_employee_variant_alignment(spark):
     assert got["e2"]["Geral"] == ""
 
 
+def test_pipeline_records_failures_not_fatal(spark, tmp_path, fixture_frames):
+    """Reference checkpoint policy (etl/1:169-175): rule failures are
+    RECORDED in the report; the write still happens."""
+    banks, _, _ = fixture_frames
+    src = str(tmp_path / "landing_fail")
+    banks.write.mode("overwrite").option("header", True).csv(src)
+    out = str(tmp_path / "silver_fail")
+    pipe = Pipeline(
+        name="banks_bad_rule",
+        source=Source(path=src, fmt="csv"),
+        transforms=[M.build_banks_silver],
+        suite=Q.Suite("s").add(Q.not_null("nome_fantasia")).add(Q.exists("no_such_col")),
+        sink=Sink(path=out, target_file_partitions=1),
+    )
+    report = pipe.run(spark)
+    assert report["validation"]["success"] is False
+    failed = [r for r in report["validation"]["results"] if not r["success"]]
+    assert len(failed) == 2  # null fantasy names + missing column
+    assert spark.read.parquet(out).count() == 3  # write happened anyway
+
+
 def test_pipeline_end_to_end(spark, tmp_path, fixture_frames):
     banks, _, _ = fixture_frames
     src = str(tmp_path / "landing_banks")

@@ -96,6 +96,29 @@ def test_sessionize_stateful(spark, event_dir, tmp_path):
     assert first.sum_value == 6.0
 
 
+def test_sliding_avg(spark, event_dir, tmp_path):
+    src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA)
+    agg = S.sliding_avg(
+        src, window_len="2 minutes", slide="1 minute", watermark="2 hours"
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sliding")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (str(r.window_start), r.event_type): r.avg_value
+        for r in spark.sql("SELECT * FROM sliding").collect()
+    }
+    # events at 00:00:10 (1.0), 00:00:40 (2.0), 00:00:20 (4.0) fall in the
+    # 00:00-00:02 window AND the 23:59-00:01 window (2-min windows, 1-min slide)
+    assert out[("2024-01-01 00:00:00", "click")] == pytest.approx(7.0 / 3)
+    assert out[("2023-12-31 23:59:00", "click")] == pytest.approx(7.0 / 3)
+
+
 def test_write_stream_parquet_roundtrip(spark, event_dir, tmp_path):
     src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA)
     out_path = str(tmp_path / "out")
