@@ -79,6 +79,65 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
+# ----------------------------------------------------- shingle hashing
+
+def _token_hashes(text_col: Column | str) -> Column:
+    """array<bigint>: xxhash64 of each whitespace token of the
+    normalized text — ONE JVM hash per token, the cheap part."""
+    toks = F.split(normalize_text(text_col), " ")
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+_SHINGLE_COEF_SEED = 0xC0FFEE
+
+
+def _shingle_coefs(k: int):
+    rng = np.random.RandomState(_SHINGLE_COEF_SEED + k)
+    return (rng.randint(0, 2**62, size=k).astype(np.uint64) * 2 + 1)  # odd
+
+
+def _rolling_shingle_hashes(hv: "np.ndarray", k: int, coefs: "np.ndarray") -> "np.ndarray":
+    """k-gram hashes from token hashes: S[i] = Σ_j t[i+j]·c_j (mod 2^64).
+
+    A position-weighted combo (not plain sum/xor) so permuted k-grams
+    hash differently. Docs shorter than k tokens yield one hash over all
+    tokens — mirrors shingles()' single-shingle fallback.
+    """
+    n = hv.shape[0]
+    if n < k:
+        return (hv * coefs[:n]).sum(keepdims=True)
+    win = np.lib.stride_tricks.sliding_window_view(hv, k)  # (n-k+1, k)
+    return win @ coefs  # uint64 wraparound == mod 2^64
+
+
+def shingle_hashes_udf(k: int):
+    """Arrow-batched distinct k-gram shingle hashes per document.
+
+    Replaces the column-expression shingle builder
+    (`transform(sequence, i -> array_join(slice(tokens, i, k)))` +
+    per-shingle string hash), whose interpreted slice/join/hash measured
+    ~560 µs PER DOCUMENT. Here the JVM hashes each token once and numpy
+    forms the k-gram hashes with one sliding-window matmul.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    coefs = _shingle_coefs(k)
+
+    @pandas_udf("array<long>")
+    def sh(hs: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for h in hs:
+                if h is None or len(h) == 0:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+                out.append(np.unique(_rolling_shingle_hashes(hv, k, coefs)).view(np.int64))
+        return pd.Series(out)
+
+    return sh
+
+
 # -------------------------------------------------------------- MinHash
 
 def _minhash_from_hashes_udf(num_hashes: int):
@@ -111,6 +170,35 @@ def _minhash_from_hashes_udf(num_hashes: int):
                     continue
                 hv = np.asarray(h, dtype=np.int64).view(np.uint64)  # (T,)
                 perms = hv[:, None] * a[None, :] + b[None, :]  # (T, num_hashes) mod 2^64
+                out.append(perms.min(axis=0).view(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
+def _minhash_from_token_hashes_udf(num_hashes: int, k: int):
+    """Fused kernel: token hashes → rolling k-gram hashes → permutation
+    mins, one Arrow pass (chaining shingle_hashes_udf into
+    _minhash_from_hashes_udf would cross Python twice per row)."""
+    from pyspark.sql.functions import pandas_udf
+
+    coefs = _shingle_coefs(k)
+    rng = np.random.RandomState(0x5EED)
+    a = (rng.randint(0, 2**62, size=num_hashes).astype(np.uint64) * 2 + 1)
+    b = rng.randint(0, 2**62, size=num_hashes).astype(np.uint64)
+
+    @pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        sentinel = np.full(num_hashes, np.iinfo(np.int64).max)
+        with np.errstate(over="ignore"):
+            for h in hs:
+                if h is None or len(h) == 0:
+                    out.append(sentinel)
+                    continue
+                hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+                sh = _rolling_shingle_hashes(hv, k, coefs)  # (S,)
+                perms = sh[:, None] * a[None, :] + b[None, :]  # (S, num_hashes)
                 out.append(perms.min(axis=0).view(np.int64))
         return pd.Series(out)
 
@@ -171,12 +259,14 @@ def minhash_candidate_pairs(
     (e.g. empty/boilerplate docs) that would emit O(n²) pairs.
     """
     rows_per_band = num_hashes // num_bands
-    # staged projections: shingles once, then the signature kernel reads
-    # the materialized _sh column.
-    shingled = fan_out(df).select(
-        F.col(id_col).alias("_id"), shingles(text_col, k=k).alias("_sh")
+    # JVM: normalize+tokenize+hash each token once; fused numpy kernel:
+    # k-gram rolling hashes → permutation mins. One Arrow pass per row.
+    sigs = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        _minhash_from_token_hashes_udf(num_hashes, k)(
+            _token_hashes(text_col)
+        ).alias("minhash"),
     )
-    sigs = shingled.select("_id", minhash_signature("_sh", num_hashes, pre_shingled=True))
     # The signature (num_hashes longs ≈ 256-512 B) rides along into the
     # bucket groups so the Jaccard estimate is computed IN-ROW on the
     # expanded pair — signatures are computed exactly once and never
@@ -351,15 +441,13 @@ def jaccard_pairs(
     counts, then compute |A∩B| / (|A|+|B|-|A∩B|). ``max_posting_len``
     drops stop-shingles whose postings would dominate the pair blow-up.
     """
-    # Shingles are hashed to int64 BEFORE the explode: the postings
-    # shuffle moves 8-byte keys instead of ~40-byte strings, and the
-    # groupBy compares longs. Collisions (~2^-64 per pair) only ever
-    # nudge an estimate, never corrupt ids.
+    # Shingles live as int64 hashes end-to-end (JVM token hash → numpy
+    # rolling k-gram, see shingle_hashes_udf): the postings shuffle moves
+    # 8-byte keys instead of ~40-byte strings. Collisions (~2^-64 per
+    # pair) only ever nudge an estimate, never corrupt ids.
     docs = fan_out(df).select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(
-            F.transform(shingles(text_col, k=k), lambda s: F.xxhash64(s))
-        ).alias("sh"),
+        shingle_hashes_udf(k)(_token_hashes(text_col)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
 
     postings = docs.select("_id", "n_sh", F.explode("sh").alias("shingle"))
