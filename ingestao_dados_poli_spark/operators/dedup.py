@@ -189,18 +189,33 @@ def _minhash_from_token_hashes_udf(num_hashes: int, k: int):
 
     @pandas_udf("array<long>")
     def sig(hs: pd.Series) -> pd.Series:
-        out = []
+        # Batch-vectorized: all documents' shingle hashes concatenate
+        # into one array; per-doc mins come from np.minimum.reduceat at
+        # the document offsets — no per-document Python loop.
         sentinel = np.full(num_hashes, np.iinfo(np.int64).max)
         with np.errstate(over="ignore"):
+            chunks = []
+            counts = []
             for h in hs:
                 if h is None or len(h) == 0:
-                    out.append(sentinel)
+                    counts.append(0)
                     continue
                 hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-                sh = _rolling_shingle_hashes(hv, k, coefs)  # (S,)
-                perms = sh[:, None] * a[None, :] + b[None, :]  # (S, num_hashes)
-                out.append(perms.min(axis=0).view(np.int64))
-        return pd.Series(out)
+                sh = _rolling_shingle_hashes(hv, k, coefs)
+                chunks.append(sh)
+                counts.append(sh.shape[0])
+            if not chunks:
+                return pd.Series([sentinel] * len(hs))
+            flat = np.concatenate(chunks)  # (S_total,)
+            perms = flat[:, None] * a[None, :] + b[None, :]  # (S_total, H)
+            counts = np.asarray(counts)
+            nonempty = counts > 0
+            offsets = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+            mins = np.minimum.reduceat(perms, offsets, axis=0).view(np.int64)
+            out = np.empty((len(hs), num_hashes), dtype=np.int64)
+            out[nonempty] = mins
+            out[~nonempty] = sentinel
+        return pd.Series(list(out))
 
     return sig
 
@@ -353,14 +368,21 @@ def simhash(text_col: Column | str, bits: int = 63, pre_hashed: bool = False) ->
 
     @pandas_udf("long")
     def sig(hs: pd.Series) -> pd.Series:
+        # Batch-vectorized: one bit matrix over ALL tokens in the batch,
+        # per-document balances via np.add.reduceat at the doc offsets.
+        counts = np.array([0 if h is None else len(h) for h in hs])
         out = np.zeros(len(hs), dtype=np.int64)
-        for j, h in enumerate(hs):
-            if h is None or len(h) == 0:
-                continue
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)  # (T,)
-            bitmat = (hv[:, None] >> shifts[None, :]) & np.uint64(1)  # (T, bits)
-            balances = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
-            out[j] = int(weights[balances > 0].sum())
+        nonempty = counts > 0
+        if not nonempty.any():
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hs if h is not None and len(h)]
+        ).view(np.uint64)  # (T_total,)
+        bitmat = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+        signed = (2 * bitmat - 1).astype(np.int32)  # (T_total, bits)
+        offsets = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+        balances = np.add.reduceat(signed, offsets, axis=0)  # (docs, bits)
+        out[nonempty] = (weights[None, :] * (balances > 0)).sum(axis=1)
         return pd.Series(out)
 
     return sig(hashes)
