@@ -1,9 +1,14 @@
-"""Vector (array<float/double>) math as JVM-side column expressions.
+"""Vector (array<float/double>) math as column expressions.
 
-For embedding similarity over `embeddings.parquet`. Everything here is
-``F.zip_with``/``F.aggregate`` higher-order functions — no UDFs — so the
-dot products run inside codegen next to the scan; at 100 TB that is the
-difference between a scan-bound job and a Python-pickle-bound one.
+For embedding similarity over `embeddings.parquet`. Built on
+``F.zip_with``/``F.aggregate`` higher-order functions: fully JVM-side,
+no Python round-trip, correct at any scale. Caveat learned by
+measurement: Spark interprets higher-order lambdas per element (they
+do not enter whole-stage codegen), so for signature-style bulk linear
+algebra the Arrow-batched numpy kernels in operators/similarity.py and
+operators/dedup.py are ~10x faster. These expressions remain the right
+tool for one-off scores inside larger plans (oracle-checkable, no
+worker pool needed).
 """
 
 from __future__ import annotations

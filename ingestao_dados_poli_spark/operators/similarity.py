@@ -11,9 +11,11 @@ engine's ANN surface for training-data pipelines:
 - ``signed_random_projection`` + ``topk_lsh``: the scale path. Random
   hyperplane LSH buckets corpus and queries; candidate set = bucket
   collisions (multi-probe via multiple tables); exact cosine re-rank on
-  candidates only. Hyperplane coefficients are DETERMINISTIC pseudo-
-  random (xxhash64 of (table, plane, dim)), so signatures are a pure
-  column expression — reproducible across runs, no side data to ship.
+  candidates only. Hyperplane coefficients are DETERMINISTIC (hashed
+  from (table, plane, dim)) — reproducible across runs, no side data to
+  ship. With a known ``dim`` the signatures compute in one Arrow-batched
+  numpy matmul per batch (the column-expression fallback covers unknown/
+  mixed dims).
 - ``nearest_centroid`` / IVF-style partitioning for repeated queries.
 """
 
