@@ -35,6 +35,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.session.timeZone": "UTC",
+    # managed-table warehouse off the repo tree (bucketed tables land here)
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+    ),
     # Deterministic, locale-independent string comparison semantics.
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
 }

@@ -1,0 +1,101 @@
+"""Scale smoke: synthesize N documents IN SPARK (no driver-side data)
+and time the dedup family at two sizes, printing the scaling ratio.
+
+The point is the trend, not the absolute numbers: candidate-pair
+operators must scale ~linearly in document count (bucket caps bound the
+quadratic tail), or they would not survive 100 TB. Usage:
+
+    python tools/scale_smoke.py [small_n] [big_n]    # default 5000 50000
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.operators import dedup as DD
+from ingestao_dados_poli_spark.session import get_spark
+
+
+def synth_docs(spark, n: int, dup_rate: float = 0.1, words_per_doc: int = 120):
+    """Deterministic synthetic corpus, generated distributed: ~dup_rate
+    of docs share a base text with a neighbor (near-dups by design)."""
+    base = spark.range(n)
+    # word stream seeded by (doc, position) hash — no data leaves the driver
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64(F.col("base_id"), i)) % 5000).cast("string"),
+        ),
+    )
+    return base.select(
+        F.col("id").alias("doc_id"),
+        # duplicate cluster: every 1/dup_rate-th doc reuses the previous
+        # doc's base_id → shares ~all shingles with it
+        F.when(
+            (F.col("id") % int(1 / dup_rate) == 1) & (F.col("id") > 0),
+            F.col("id") - 1,
+        )
+        .otherwise(F.col("id"))
+        .alias("base_id"),
+    ).select("doc_id", F.array_join(words, " ").alias("text"))
+
+
+def time_op(fn) -> float:
+    t0 = time.time()
+    fn().write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 2)
+
+
+def main() -> None:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
+    big = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup: JIT, codegen, Python UDF worker pool — otherwise
+    # the small run absorbs it all and the ratio flatters the big run
+    warm = synth_docs(spark, 500).cache()
+    warm.count()
+    for op in (
+        lambda: DD.dedup_exact(warm, "text", "doc_id"),
+        lambda: DD.minhash_candidate_pairs(warm, "text", "doc_id", num_hashes=32, num_bands=8),
+        lambda: DD.simhash_pairs(warm, "text", "doc_id"),
+        lambda: DD.jaccard_pairs(warm, "text", "doc_id", k=5, threshold=0.5),
+    ):
+        time_op(op)
+    warm.unpersist()
+
+    results: dict[str, dict] = {}
+    for label, n in [("small", small), ("big", big)]:
+        docs = synth_docs(spark, n).cache()
+        docs.count()  # materialize once; we time the operators, not synthesis
+        results[label] = {
+            "n_docs": n,
+            "exact": time_op(lambda: DD.dedup_exact(docs, "text", "doc_id")),
+            "minhash": time_op(
+                lambda: DD.minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=32, num_bands=8)
+            ),
+            "simhash": time_op(lambda: DD.simhash_pairs(docs, "text", "doc_id")),
+            "jaccard": time_op(
+                lambda: DD.jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.5)
+            ),
+        }
+        docs.unpersist()
+
+    ratio_n = big / small
+    scaling = {
+        op: round(results["big"][op] / max(results["small"][op], 0.01), 1)
+        for op in ("exact", "minhash", "simhash", "jaccard")
+    }
+    print(json.dumps({"results": results, "size_ratio": ratio_n, "time_ratio": scaling}))
+
+
+if __name__ == "__main__":
+    main()
