@@ -155,6 +155,20 @@ def asof_join(
     return out
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (training-data mixing lever: e.g.
+    keep 100% of rare high-quality sources, 5% of crawl). Built on
+    ``sampleBy`` — one scan, no shuffle; sampling decisions are made
+    per-row in the scan task, so it parallelizes trivially at any scale.
+    Deterministic for a fixed seed and partitioning."""
+    return df.sampleBy(stratum_col, fractions=fractions, seed=seed)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

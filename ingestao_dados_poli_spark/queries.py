@@ -1157,7 +1157,50 @@ def q47_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
-# ------------------------------------- 21. rows-only (non-SQL-expressible)
+# ----------------------------------------------------- 21. range join
+
+@q(
+    "q48_range_join",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('xs', 0, 10), ('s', 10, 20), ('m', 20, 30),
+               ('l', 30, 40), ('xl', 40, 60))
+    SELECT band, count(*) AS n,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS total
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+)
+def q48_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join against a tiny band dimension. The interval
+    side broadcasts (BroadcastNestedLoopJoin) — the right physical plan
+    for a literal-sized interval table; keyed range joins at scale go
+    through range_join(partition_keys=...) instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("xs", 0, 10), ("s", 10, 20), ("m", 20, 30), ("l", 30, 40), ("xl", 40, 60)],
+        ["band", "lo", "hi"],
+    )
+    joined = R.range_join(li, F.broadcast(bands), "l_quantity", "lo", "hi")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+@q("q49_stratified_sample")
+def q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified sampling (rows-only: sampling RNG is
+    engine-specific, so no cross-engine oracle): keep all of one source,
+    thin the rest — the data-mixing primitive."""
+    docs = _t(spark, sf_dir, "documents")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    fractions = {s: (1.0 if i == 0 else 0.25) for i, s in enumerate(sorted(sources))}
+    sampled = R.stratified_sample(docs, "source", fractions)
+    return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# ------------------------------------- 22. rows-only (non-SQL-expressible)
 
 @q("q39_embedding_sim_pairs")
 def q39_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

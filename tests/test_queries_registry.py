@@ -16,6 +16,7 @@ ROWS_ONLY = {
     "q30_embedding_lsh_topk",
     "q39_embedding_sim_pairs",
     "q40_media_features",
+    "q49_stratified_sample",
 }
 
 
