@@ -1200,7 +1200,93 @@ def q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
-# ------------------------------------- 22. rows-only (non-SQL-expressible)
+# ------------------------------------------- 22. null-safe / bag / regex
+
+@q(
+    "q50_nullsafe_join",
+    """
+    WITH a AS (SELECT c_custkey,
+                      CASE WHEN c_nationkey % 5 = 0 THEN NULL
+                           ELSE c_nationkey END AS k
+               FROM customer),
+         b AS (SELECT n_nationkey,
+                      CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                           ELSE n_nationkey END AS k,
+                      n_name
+               FROM nation)
+    SELECT coalesce(CAST(a.k AS VARCHAR), 'NULL') AS join_key,
+           count(*) AS n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+)
+def q50_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (eqNullSafe == IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of dropping out — the semantics a
+    conformed-entity-key join needs when cleaning can null a key."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    a = customer.select(
+        "c_custkey",
+        F.when(F.col("c_nationkey") % 5 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("k"),
+    )
+    b = nation.select(
+        F.when(F.col("n_nationkey") % 5 == 0, None)
+        .otherwise(F.col("n_nationkey"))
+        .alias("k"),
+        "n_name",
+    )
+    joined = a.join(F.broadcast(b), a["k"].eqNullSafe(b["k"]))
+    return joined.groupBy(
+        F.coalesce(a["k"].cast("string"), F.lit("NULL")).alias("join_key")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "q51_except_all",
+    """
+    SELECT l_returnflag, count(*) AS n FROM (
+        SELECT l_returnflag FROM lineitem WHERE l_quantity < 30
+        EXCEPT ALL
+        SELECT l_returnflag FROM lineitem WHERE l_quantity < 10)
+    GROUP BY l_returnflag
+    """,
+)
+def q51_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiset difference keeps surplus
+    multiplicity — distinct-based EXCEPT would collapse to ≤1 row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.filter(F.col("l_quantity") < 30).select("l_returnflag")
+    narrow = li.filter(F.col("l_quantity") < 10).select("l_returnflag")
+    return wide.exceptAll(narrow).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "q52_regex_extract",
+    """
+    SELECT regexp_extract(p_name, '^([a-z]+) ([a-z]+)', 2) AS second_word,
+           count(*) AS n
+    FROM part GROUP BY 1 HAVING count(*) >= 5
+    """,
+)
+def q52_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction (both engines: Java/RE2 agree on this
+    pattern class; group 2 = second word)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.regexp_extract("p_name", r"^([a-z]+) ([a-z]+)", 2).alias("second_word")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+# ------------------------------------- 23. rows-only (non-SQL-expressible)
 
 @q("q39_embedding_sim_pairs")
 def q39_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
