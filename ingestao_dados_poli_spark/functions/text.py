@@ -109,6 +109,43 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+# Conservative PII patterns (public-knowledge shapes): emails and
+# international-ish phone numbers. Scrubbing is a REDACTION, not a
+# deletion — length statistics stay comparable.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def scrub_pii(col: Column | str, replacement: str = "[REDACTED]") -> Column:
+    """Redact email addresses and phone-shaped numbers (training-data
+    hygiene pass; scan-side, no shuffle).
+
+    Recall-biased by design: long digit runs with separators (dates,
+    build numbers) can over-match as phones — acceptable for a hygiene
+    pass where missing real PII costs more than redacting a date.
+    Dotted sequences (IPs, versions) do NOT match."""
+    out = F.regexp_replace(_c(col), EMAIL_PATTERN, replacement)
+    return F.regexp_replace(out, PHONE_PATTERN, replacement)
+
+
+def pii_count(col: Column | str) -> Column:
+    """How many PII-shaped spans a document contains."""
+    c = _c(col)
+    return F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0))) + F.size(
+        F.regexp_extract_all(c, F.lit(PHONE_PATTERN), F.lit(0))
+    )
+
+
+def repetition_ratio(col: Column | str) -> Column:
+    """1 - distinct_tokens/tokens — the Gopher-style repetition signal
+    (boilerplate and looping generations score high). 0 for empty."""
+    toks = F.split(F.trim(_c(col)), r"\s+")
+    n = F.size(toks)
+    return F.when(F.trim(_c(col)) == "", F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(toks)) / n
+    )
+
+
 def shingles(col: Column | str, k: int = 5) -> Column:
     """Word k-shingles (array<string>) for MinHash/Jaccard dedup.
 

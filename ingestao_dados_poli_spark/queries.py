@@ -1286,7 +1286,87 @@ def q52_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------- 23. rows-only (non-SQL-expressible)
+# ------------------------------------------------- 23. PII / repetition
+
+@q(
+    "q53_pii_scrub",
+    """
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text || CASE WHEN doc_id % 10 = 0
+                            THEN ' contact: user' || doc_id || '@example.com or +1 (555) 010-' || doc_id
+                            ELSE '' END AS text
+        FROM documents),
+    scrubbed AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text, '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) AS n_pii,
+               length(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+                   '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '[REDACTED]', 'g')) AS len_after
+        FROM seeded)
+    SELECT source,
+           CAST(sum(n_pii) AS BIGINT) AS total_pii,
+           count(CASE WHEN n_pii > 0 THEN 1 END) AS docs_with_pii,
+           CAST(sum(len_after) AS BIGINT) AS total_len_after
+    FROM scrubbed GROUP BY source
+    """,
+)
+def q53_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass: seed every 10th doc with an email+phone (the
+    corpus has none), count PII spans, and measure post-redaction
+    length. Scan-side regex only — no shuffle beyond the final agg."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +1 (555) 010-"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    stats = seeded.select(
+        "source",
+        TX.pii_count("text").alias("n_pii"),
+        F.length(TX.scrub_pii("text")).alias("len_after"),
+    )
+    return stats.groupBy("source").agg(
+        F.sum("n_pii").cast("long").alias("total_pii"),
+        F.count(F.when(F.col("n_pii") > 0, 1)).alias("docs_with_pii"),
+        F.sum("len_after").cast("long").alias("total_len_after"),
+    )
+
+
+@q(
+    "q54_repetition",
+    """
+    SELECT source,
+           CAST(round(avg(CASE WHEN trim(text) = '' THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+                         / len(regexp_split_to_array(trim(text), '\\s+')) END), 6) AS DOUBLE) AS avg_repetition,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q54_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal (1 - distinct/total tokens),
+    averaged per source — high scores flag boilerplate or looping
+    generations."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.round(F.avg(TX.repetition_ratio("text")), 6).alias("avg_repetition"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ------------------------------------- 24. rows-only (non-SQL-expressible)
 
 @q("q39_embedding_sim_pairs")
 def q39_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,6 +40,30 @@ def test_lang_id(spark):
     assert out[2] == "und"
 
 
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [("mail me at alice.smith+x@corp.example.org or call +55 (11) 91234-5678 now",),
+         ("no pii here",)],
+        ["t"],
+    )
+    out = df.select(
+        TX.scrub_pii("t").alias("s"), TX.pii_count("t").alias("n")
+    ).collect()
+    assert "alice" not in out[0].s and "91234" not in out[0].s
+    assert out[0].s.count("[REDACTED]") == 2 and out[0].n == 2
+    assert out[1].s == "no pii here" and out[1].n == 0
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [("a a a a",), ("a b c d",), ("",)], ["t"]
+    )
+    out = [r.r for r in df.select(TX.repetition_ratio("t").alias("r")).collect()]
+    assert out[0] == 0.75   # 1 distinct of 4
+    assert out[1] == 0.0    # all distinct
+    assert out[2] == 0.0    # empty → 0 by definition
+
+
 def test_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], ["t"])
     out = df.select(TX.shingles("t", k=3).alias("s")).collect()[0].s
