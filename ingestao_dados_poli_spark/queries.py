@@ -41,6 +41,11 @@ ORACLES: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver owns the session; date_trunc/year/cast-to-string on
+    # timestamps all convert through the SESSION timezone, while the
+    # DuckDB oracle computes on naive (UTC-equivalent) timestamps — so
+    # pin UTC here, not only in our own session factory.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
         # reader rejects; read nanos as long, convert to micros (matches
