@@ -30,5 +30,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; rows-only ops (MinHash/SimHash/
-    LSH — not SQL-expressible) are intentionally absent."""
+    LSH candidates, media featurization, stratified sampling — not
+    SQL-expressible or RNG-engine-specific) are intentionally absent."""
     return dict(_q.ORACLES)
