@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ingestao_dados_poli_spark.functions import text as TX
-from ingestao_dados_poli_spark.functions.cleaning import align_union, remap_values
+from ingestao_dados_poli_spark.functions.cleaning import align_union
 from ingestao_dados_poli_spark.functions.locale import (
     compat_int_index,
     parse_decimal_comma,
