@@ -17,18 +17,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Ordered (pattern, replacement) rules. Order matters: e.g. the reference
-# strips " SA" before deriving the fantasy name (etl/1:66,74).
+# strips " SA" before deriving the fantasy name (etl/1:66,74). The LIVE
+# bank-name rule table is medallion.NAME_RULES — kept there, next to the
+# pipeline whose join strategy depends on it, so it cannot drift.
 RuleTable = Iterable[tuple[str, str]]
-
-# Rules equivalent to the reference's bank-name conforming
-# (etl/1:60-73 / etl/2:63-77 / etl/3:62-77), kept as data.
-BANK_NAME_RULES: tuple[tuple[str, str], ...] = (
-    (r"(\.+|\/+|\-+)", ""),            # punctuation strip (etl/1:62)
-    (r" \(conglomerado\)", ""),        # etl/2:66
-    (r"- PRUDENCIAL$", ""),            # etl/1:63
-    (r" INSTITUIÇÃO DE PAGAMENTO", ""),
-    (r" SA$", ""),
-)
 
 
 def apply_rules(col: Column | str, rules: RuleTable) -> Column:

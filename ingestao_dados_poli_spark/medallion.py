@@ -95,12 +95,16 @@ def build_claims_silver(bronze: DataFrame) -> DataFrame:
     """etl/2-processing-claims.py:44-82 — normalize headers (spaces/
     dashes→underscore, lower), targeted renames, clean `nome`."""
     df = normalize_column_names(bronze)
-    df = rename_columns(
-        df,
-        {c: c for c in df.columns}  # no-op guard for missing keys
-        | ({"cnpj_if": "cnpj"} if "cnpj_if" in df.columns else {})
-        | ({"instituição_financeira": "nome"} if "instituição_financeira" in df.columns else {}),
-    )
+    # rename only when the source column exists AND the target doesn't —
+    # renaming onto an existing column would create an ambiguous duplicate
+    wanted = {"cnpj_if": "cnpj", "instituição_financeira": "nome"}
+    mapping = {
+        src: dst
+        for src, dst in wanted.items()
+        if src in df.columns and dst not in df.columns
+    }
+    if mapping:
+        df = rename_columns(df, mapping)
     df = conform_name(df)
     return df
 

@@ -273,6 +273,11 @@ def minhash_candidate_pairs(
     from full signatures. ``max_bucket_size`` drops degenerate buckets
     (e.g. empty/boilerplate docs) that would emit O(n²) pairs.
     """
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by num_bands="
+            f"{num_bands} (remainder hashes would be computed but never banded)"
+        )
     rows_per_band = num_hashes // num_bands
     # JVM: normalize+tokenize+hash each token once; fused numpy kernel:
     # k-gram rolling hashes → permutation mins. One Arrow pass per row.
@@ -393,7 +398,8 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    num_chunks: int = 4,
+    num_chunks: int | None = None,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """(id_a, id_b, hamming) near-dup pairs by SimHash.
 
@@ -401,7 +407,20 @@ def simhash_pairs(
     ``num_chunks`` chunks; any pair within hamming distance < num_chunks
     must agree exactly on ≥1 chunk → bucket on (chunk_idx, chunk_value),
     verify with bit_count(xor) inside the bucket. One shuffle on chunks.
+
+    ``num_chunks`` defaults to ``max_hamming + 1`` — the smallest value
+    for which the pigeonhole recall guarantee actually covers the
+    requested distance; an explicit smaller value silently misses pairs.
+    ``max_bucket_size`` drops degenerate buckets (e.g. many empty docs
+    all hashing to sig=0) before the quadratic in-row pair expansion.
     """
+    if num_chunks is None:
+        num_chunks = max_hamming + 1
+    elif num_chunks <= max_hamming:
+        raise ValueError(
+            f"num_chunks={num_chunks} cannot guarantee recall for "
+            f"max_hamming={max_hamming}; need num_chunks > max_hamming"
+        )
     chunk_bits = 63 // num_chunks
     hashed = fan_out(df).select(
         F.col(id_col).alias("_id"),
@@ -433,7 +452,7 @@ def simhash_pairs(
     pairs = (
         chunks.groupBy("ci", "cv")
         .agg(F.collect_list(F.struct("_id", "sig")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter(F.size("ids").between(2, max_bucket_size))
         .select(F.explode(_pairs_in_group(F.array_sort("ids"))).alias("p"))
         .select(
             F.col("p.id_a._id").alias("id_a"),

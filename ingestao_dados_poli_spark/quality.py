@@ -126,12 +126,20 @@ def _violation_exprs(df: DataFrame, idx: int, rule: Rule) -> list:
     if rule.kind == "not_null":
         return [F.sum(c.isNull().cast("long")).alias(tag)]
     if rule.kind == "between":
-        bad = ~c.cast("double").between(rule.lo, rule.hi)
-        return [F.sum((bad | c.isNull()).cast("long")).alias(tag)]
+        # try_cast: ANSI mode makes a plain cast THROW on unparseable
+        # strings (killing the whole suite); try_cast yields NULL, and
+        # coalesce then collapses the three-valued logic so NULL input,
+        # failed cast, and out-of-range all count as violations (a bare
+        # ~between() is NULL for unparseable values, which sum() would
+        # silently skip — masking every bad row).
+        ok = F.coalesce(c.try_cast("double").between(rule.lo, rule.hi), F.lit(False))
+        return [F.sum((~ok).cast("long")).alias(tag)]
     if rule.kind == "unique":
+        # exact distinct — an approximate count would certify a key with
+        # up to rsd% duplicates as unique
         return [
             F.count(c).alias(f"{tag}_n"),
-            F.approx_count_distinct(c, 0.005).alias(f"{tag}_d"),
+            F.count_distinct(c).alias(f"{tag}_d"),
         ]
     if rule.kind == "values_in_set":
         bad = ~c.isin(*rule.values) & c.isNotNull()
@@ -175,9 +183,8 @@ def validate(df: DataFrame, suite: Suite) -> dict[str, Any]:
             results.append({"rule": rule.describe(), "success": False, "error": "column missing"})
         elif rule.kind == "unique":
             n, d = row[f"{tag}_n"], row[f"{tag}_d"]
-            # approx_count_distinct at rsd=0.005; exact check only if close
-            ok = d >= n * 0.99
-            results.append({"rule": rule.describe(), "success": bool(ok), "observed": {"count": n, "approx_distinct": d}})
+            ok = d == n
+            results.append({"rule": rule.describe(), "success": bool(ok), "observed": {"count": n, "distinct": d}})
         else:
             bad = row.get(tag, 0) or 0
             results.append({"rule": rule.describe(), "success": bad == 0, "unexpected_count": int(bad)})

@@ -720,8 +720,11 @@ def q27_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q28_simhash_pairs")
 def q28_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_hamming=3 is the Manku et al. near-dup operating point for
+    64-bit SimHash; num_chunks derives to 4, so the pigeonhole recall
+    guarantee covers the full requested distance."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_pairs(docs, "text", "doc_id", max_hamming=8)
+    return DD.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
 @q("q29_jaccard_pairs")
@@ -821,10 +824,11 @@ def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- 15. language ID / tokens
 
+# Derived from the ENGINE's marker lists so oracle and Spark can never
+# drift; construction mirrors text.stopword_count's rf"\b({words})\b".
 _LANG_RE = {
-    "en": r"\b(the|and|of|to|is|in|that|it|a)\b",
-    "es": r"\b(el|la|los|las|por|una|es|y|en)\b",
-    "pt": r"\b(de|que|não|uma|para|com|os|é|do)\b",
+    lang: r"\b(" + "|".join(words) + r")\b"
+    for lang, words in TX._LANG_MARKERS.items()
 }
 
 @q(

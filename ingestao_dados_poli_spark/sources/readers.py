@@ -40,7 +40,11 @@ def read_csv(
     if schema is not None:
         if mode == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
             schema = schema.add(corrupt_col, "string")
-        reader = reader.schema(schema)
+        # Spark writes malformed rows ONLY to the column named by this
+        # option (default '_corrupt_record'); without it a custom
+        # corrupt_col would stay all-NULL and bad rows would pass as
+        # null-padded clean rows.
+        reader = reader.schema(schema).option("columnNameOfCorruptRecord", corrupt_col)
     return reader.csv(path)
 
 

@@ -120,12 +120,20 @@ def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
     watermark: str = "1 hour",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Custom stateful operator: per-user session windows with idle-gap
     close, via applyInPandasWithState (the engine's template for any
-    operator Spark's built-ins can't express). State per user is O(1);
-    eviction by processing-time timeout keeps total state bounded."""
+    operator Spark's built-ins can't express). State per user is O(1).
+
+    The event-time ``watermark`` is applied to the input so rows later
+    than it are dropped BEFORE reaching state (bounded late-data
+    semantics); processing-time timeout additionally evicts idle users'
+    state. Batch (non-streaming) inputs skip the watermark — it is a
+    streaming-only concept."""
     gap_ms = _duration_ms(gap)
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
 
     def fn(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
