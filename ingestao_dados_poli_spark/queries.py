@@ -1411,3 +1411,124 @@ def q30_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return SIM.topk_lsh(emb, queries, k=5, num_planes=8, num_tables=4, dim=64)
+
+
+# ------------------------------- 25. fuzzy match / histogram / stats / ntile
+
+@q(
+    "q55_fuzzy_match",
+    """
+    SELECT a.p_brand,
+           count(*) AS n_close_pairs,
+           CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    GROUP BY 1
+    """,
+)
+def q55_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: the reference's conform-entity-key join
+    (etl/3:62-78, etl/4:36-57) generalized to edit distance. Blocking on
+    p_brand bounds the quadratic: each block self-joins locally (the
+    brand key shuffles both sides to the same partition), so cost is
+    sum(block²), never n² — the same strategy holds at 100 TB provided
+    blocks stay bounded; skewed blocks would be salted + re-blocked."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(
+        b,
+        (a["p_brand"] == b["brand_b"]) & (a["key_a"] < b["key_b"]),
+    ).filter(F.levenshtein("name_a", "name_b") <= 12)
+    return pairs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_close_pairs"),
+        F.min(F.levenshtein("name_a", "name_b")).cast("long").alias("min_dist"),
+    )
+
+
+@q(
+    "q56_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q56_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning: pure scan-side arithmetic + one
+    partial/final agg on a low-cardinality key — no pre-pass to find
+    bounds, so it stays one shuffle at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@q(
+    "q57_corr_stats",
+    """
+    SELECT l_returnflag,
+           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qty_price,
+           CAST(round(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE) AS covar_qp,
+           CAST(round(stddev_samp(l_extendedprice), 2) AS DOUBLE) AS sd_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q57_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / sample covariance / stddev) — all
+    one-pass partial-aggregatable built-ins, so the plan is the same
+    single shuffle as a plain sum. Rounded 2-6 dp: both engines use
+    numerically-stable one-pass updates but differ in the last ulps."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "q58_ntile",
+    """
+    WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               CAST(ntile(4) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+        FROM customer)
+    SELECT c_mktsegment, quartile,
+           CAST(round(avg(c_acctbal), 2) AS DOUBLE) AS avg_bal,
+           count(*) AS n
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q58_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile assignment per segment + per-quartile rollup.
+    Tie-break on c_custkey makes the bucket assignment deterministic
+    across engines (ntile splits ties by row order otherwise). One
+    shuffle on the window partition key; the downstream agg reuses the
+    same partitioning so no second exchange of the full data."""
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = customer.select(
+        "c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+    return ranked.groupBy("c_mktsegment", "quartile").agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
