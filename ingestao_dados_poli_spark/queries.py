@@ -1532,3 +1532,159 @@ def q58_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@q(
+    "q59_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+               AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q59_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three inputs, fact-fact
+    join, broadcast dim, global top-k. All three predicates reach the
+    parquet scans (PushedFilters), so at 100 TB only the qualifying
+    row groups are read; customer-after-filter broadcasts; the
+    lineitem⋈orders join shuffles only filtered rows; the final top-10
+    is TakeOrderedAndProject (per-partition heap + driver merge of 10
+    rows per partition — no global sort)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ords = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    agg = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return R.top_k(
+        agg.select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        ),
+        [F.col("revenue").desc(), F.col("l_orderkey").asc()],
+        10,
+    )
+
+
+@q(
+    "q60_salted_join",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q60_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (relational.salted_join): same result
+    as the plain join — the oracle IS the plain join — but each fact
+    key is spread over 16 shuffle buckets with the dim replicated 16×,
+    bounding the longest task at 1/16 of the hottest key. The
+    reference's nome-join (etl/4:50) concentrates on a few big banks;
+    this is the pattern that keeps it flowing when the dim is too big
+    to broadcast. (Unit-tested in test_relational; registered here so
+    the DuckDB oracle also certifies result parity end-to-end.)"""
+    orders = _t(spark, sf_dir, "orders")
+    customer = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    joined = R.salted_join(orders, customer, "o_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+@q(
+    "q61_scalar_subquery",
+    """
+    SELECT o_orderpriority, count(*) AS n_above
+    FROM orders
+    WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def q61_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the spark.sql entry point (DataFrame and
+    SQL share Catalyst — SURVEY §3). The subquery plans as its own tiny
+    agg job whose single-row result is injected as a literal, so the
+    outer scan runs once with an ordinary pushable predicate. Threshold
+    rounded to 2 dp in both engines so a borderline row can't flip on
+    last-ulp avg differences."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q61")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_above
+        FROM orders_q61
+        WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2)
+                              FROM orders_q61)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@q(
+    "q62_conditional_agg",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_discounted,
+           CAST(round(sum(CASE WHEN l_tax > 0.04
+                               THEN l_extendedprice ELSE 0 END), 2) AS DOUBLE)
+               AS taxed_revenue,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q62_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (filtered) aggregation — many metrics in ONE scan +
+    one partial/final agg instead of one job per metric. This is how
+    the reference's per-expectation validation jobs (etl/1:139-151, one
+    Spark job each) collapse into a single pass, and the 100 TB answer
+    to 'N metrics over the same fact table'."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("long")
+        .alias("n_discounted"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("taxed_revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
