@@ -33,6 +33,7 @@ from ingestao_dados_poli_spark.operators import dedup as DD
 from ingestao_dados_poli_spark.operators import multimodal as MM
 from ingestao_dados_poli_spark.operators import relational as R
 from ingestao_dados_poli_spark.operators import similarity as SIM
+from ingestao_dados_poli_spark.partitioning import fan_out
 from ingestao_dados_poli_spark import quality as Q
 from ingestao_dados_poli_spark.quality import null_counts
 
@@ -1435,7 +1436,11 @@ def q55_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(block²), never n² — the same strategy holds at 100 TB provided
     blocks stay bounded; skewed blocks would be salted + re-blocked."""
     part = _t(spark, sf_dir, "part")
-    a = part.select(
+    # part.parquet is a single row group (TESTDATA quirk) and the right
+    # side broadcasts, so WITHOUT fan_out every blocked pair — the
+    # compute-heavy part — evaluates on ONE core. Spread the probe side
+    # first; at real scale the scan is already split and this no-ops.
+    a = fan_out(part).select(
         F.col("p_brand"),
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
@@ -1445,13 +1450,22 @@ def q55_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
     )
+    # |len(a)-len(b)| > 12 ⇒ levenshtein > 12, so the length band is a
+    # free pre-filter inside the join condition; the thresholded
+    # levenshtein (Spark ≥3.5) runs banded DP and early-exits at >12
+    # (returns -1) instead of filling the full O(m·n) matrix — and the
+    # distance is computed ONCE, not re-derived in the aggregate.
     pairs = a.join(
         b,
-        (a["p_brand"] == b["brand_b"]) & (a["key_a"] < b["key_b"]),
-    ).filter(F.levenshtein("name_a", "name_b") <= 12)
+        (a["p_brand"] == b["brand_b"])
+        & (a["key_a"] < b["key_b"])
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= 12),
+    ).select(
+        "p_brand", F.levenshtein("name_a", "name_b", 12).alias("dist")
+    ).filter(F.col("dist") >= 0)
     return pairs.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_close_pairs"),
-        F.min(F.levenshtein("name_a", "name_b")).cast("long").alias("min_dist"),
+        F.min("dist").cast("long").alias("min_dist"),
     )
 
 
@@ -1686,5 +1700,47 @@ def q62_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             2,
         ).alias("taxed_revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "q63_array_hof",
+    """
+    WITH per_row AS (
+        SELECT label,
+               len(list_filter(embedding, x -> x > 0)) AS n_pos,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS l1
+        FROM embeddings)
+    SELECT label,
+           CAST(sum(n_pos) AS BIGINT) AS total_pos,
+           CAST(round(avg(l1), 2) AS DOUBLE) AS avg_l1,
+           count(*) AS n
+    FROM per_row GROUP BY label
+    """,
+)
+def q63_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (transform / filter / aggregate)
+    over the embedding column — the declarative array surface, kept
+    JVM-side (no Python UDF). Float components cast to double BEFORE
+    the fold in both engines (float32 accumulation diverges); both
+    engines fold the list in element order so the rounded sums match.
+    NOTE (perf, see gotchas): Spark HOFs are interpreted (~µs/element)
+    — fine for per-row reductions like this; bulk linear algebra goes
+    through the Arrow/numpy kernels in functions/vectors.py (q26/q30)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.select(
+        "label",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + F.abs(x),
+        ).alias("l1"),
+    )
+    return row.groupBy("label").agg(
+        F.sum("n_pos").cast("long").alias("total_pos"),
+        F.round(F.avg("l1"), 2).alias("avg_l1"),
         F.count(F.lit(1)).alias("n"),
     )
