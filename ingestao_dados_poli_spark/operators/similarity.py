@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ingestao_dados_poli_spark.functions.vectors import cosine
+from ingestao_dados_poli_spark.operators.dedup import _pairs_in_group
 from ingestao_dados_poli_spark.partitioning import fan_out
 
 
@@ -161,6 +162,7 @@ def topk_lsh(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     dim: int | None = None,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH.
 
@@ -169,6 +171,17 @@ def topk_lsh(
     in ANY table; exact cosine re-rank on the candidate set only. Recall
     tunes with num_tables; cost with num_planes. At 100 TB the bucket
     join replaces the full corpus × query product with collision groups.
+
+    ``max_bucket_size`` bounds each corpus collision group by
+    construction: only corpus rows whose (table, sig) matches SOME query
+    signature (a broadcast semi-join — no corpus shuffle) flow into a
+    groupBy that keeps the ``max_bucket_size`` lowest-id members of each
+    bucket. A degenerate signature bucket (e.g. a mass of zero/near-zero
+    vectors all hashing to sig 0) therefore contributes at most
+    ``max_bucket_size`` candidates per query instead of the whole
+    bucket. The shuffle introduced by the groupBy moves ONLY the rows
+    that already collided with a query — the same rows the re-rank had
+    to shuffle anyway.
     """
     sig_fn = _lsh_signatures_udf(num_planes, num_tables, dim) if dim else None
 
@@ -197,9 +210,29 @@ def topk_lsh(
 
     c = with_sigs(fan_out(corpus), corpus_id, corpus_vec)
     q = F.broadcast(with_sigs(queries, query_id, query_vec))
+    # Keep only corpus rows that collide with some query bucket before
+    # grouping — the semi-join is broadcast (no corpus shuffle), so the
+    # capped groupBy shuffles candidates only, not the corpus.
+    hit = c.join(q.select("tbl", "sig").dropDuplicates(), ["tbl", "sig"], "left_semi")
+    capped = (
+        hit.groupBy("tbl", "sig")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct(corpus_id, corpus_vec))),
+                1,
+                max_bucket_size,
+            ).alias("_docs")
+        )
+    )
     cands = (
-        c.join(q, ["tbl", "sig"])
-        .select(query_id, corpus_id, corpus_vec, query_vec)
+        capped.join(q, ["tbl", "sig"])
+        .select(F.explode("_docs").alias("_doc"), query_id, query_vec)
+        .select(
+            query_id,
+            F.col(f"_doc.{corpus_id}").alias(corpus_id),
+            F.col(f"_doc.{corpus_vec}").alias(corpus_vec),
+            query_vec,
+        )
         .dropDuplicates([query_id, corpus_id])
     )
     scored = cands.select(
@@ -225,10 +258,20 @@ def embedding_near_dup_pairs(
     num_planes: int = 12,
     num_tables: int = 4,
     dim: int | None = None,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) pairs above ``threshold`` — embedding-space
     near-duplicate detection. LSH self-collision candidates + exact
-    verify; never materializes the full pair product."""
+    verify; never materializes the full pair product.
+
+    Candidates come from the same capped bucket-group pattern as
+    ``dedup.minhash_candidate_pairs`` (groupBy (table, sig) →
+    collect_list → in-row pair expansion), NOT a sig×sig self-join: one
+    map-side-combined shuffle, and ``max_bucket_size`` drops degenerate
+    signature buckets (e.g. a mass of zero/near-zero vectors all hashing
+    to sig 0) that would otherwise emit O(n²) pairs. Cost is therefore
+    bounded by buckets × cap² regardless of the signature distribution.
+    """
     if dim:
         sig_fn = _lsh_signatures_udf(num_planes, num_tables, dim)
         sigs = fan_out(df).select(
@@ -254,19 +297,17 @@ def embedding_near_dup_pairs(
                 )
             ).alias("ts"),
         ).select("_id", "_v", "ts.tbl", "ts.sig")
-    a, b = sigs.alias("a"), sigs.alias("b")
     cands = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
+        sigs.select(F.struct("_id", "_v").alias("doc"), "tbl", "sig")
+        .groupBy("tbl", "sig")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs").between(2, max_bucket_size))
+        .select(F.explode(_pairs_in_group(F.array_sort("docs"))).alias("p"))
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._v").alias("va"),
-            F.col("b._v").alias("vb"),
+            F.col("p.id_a._id").alias("id_a"),
+            F.col("p.id_b._id").alias("id_b"),
+            F.col("p.id_a._v").alias("va"),
+            F.col("p.id_b._v").alias("vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -63,6 +63,43 @@ def test_embedding_near_dup(spark):
     assert (0, 4) in pairset  # nearly identical vectors
 
 
+def test_embedding_near_dup_degenerate_bucket_capped(spark):
+    # A corpus of N identical vectors lands in ONE signature bucket per
+    # table; the cap must bound emitted pairs at ≤ cap·(cap-1)/2, never
+    # N·(N-1)/2. With max_bucket_size below N the bucket is dropped
+    # entirely (same contract as dedup.minhash_candidate_pairs).
+    n = 40
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(n)], ["vec_id", "embedding"]
+    )
+    cap = 10
+    pairs = SIM.embedding_near_dup_pairs(
+        df, threshold=0.0, num_planes=4, num_tables=2, max_bucket_size=cap
+    ).collect()
+    assert len(pairs) <= cap * (cap - 1) // 2
+    # with the cap above N the full pair set comes back
+    full = SIM.embedding_near_dup_pairs(
+        df, threshold=0.0, num_planes=4, num_tables=2, max_bucket_size=n
+    ).count()
+    assert full == n * (n - 1) // 2
+
+
+def test_topk_lsh_degenerate_bucket_capped(spark):
+    # corpus of identical vectors + 1 query hitting that bucket: the
+    # candidate set (pre-rank) must be bounded by max_bucket_size.
+    n = 40
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(n)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], ["query_id", "query_vec"]
+    )
+    out = SIM.topk_lsh(
+        corpus, queries, k=n, num_planes=4, num_tables=2, max_bucket_size=5
+    ).collect()
+    assert 0 < len(out) <= 5
+
+
 def test_nearest_centroid(spark):
     out = SIM.nearest_centroid(
         _vecs(spark), centroids=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
