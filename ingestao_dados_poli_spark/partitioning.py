@@ -16,8 +16,8 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
-    """Ensure ``df`` has at least ``target`` partitions (default: the
-    session's ``defaultParallelism``) before a compute-heavy stage.
+    """Ensure ``df`` has at least ``target``-way parallelism (default:
+    the session's ``defaultParallelism``) before a compute-heavy stage.
 
     Signature computation, regex folds, and Pandas-UDF batches cost far
     more per row than one round-robin shuffle of the raw rows — but only
@@ -25,9 +25,23 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     single row group, which caps split parallelism at 1 regardless of
     ``spark.sql.files.maxPartitionBytes``). Already-parallel inputs pass
     through untouched, so this never adds a shuffle at real scale.
+
+    The under-split probe reads scan metadata (``df.inputFiles()`` —
+    logical analysis only), NOT ``df.rdd.getNumPartitions()``: ``.rdd``
+    forces full physical planning plus a Python↔JVM plan conversion on
+    every call, and reports the pre-AQE partition count anyway. A source
+    backed by fewer files than ``target`` cannot exceed one task per
+    row group in the worst case, so file count is the conservative
+    under-split signal; non-file-backed inputs (createDataFrame, post-
+    shuffle stages) report zero files and pass through untouched —
+    their parallelism was already set by the session defaults.
     """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # plans inputFiles can't traverse (e.g. streaming)
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df

@@ -30,6 +30,7 @@ from ingestao_dados_poli_spark.functions.locale import (
 )
 from ingestao_dados_poli_spark.functions.vectors import cosine
 from ingestao_dados_poli_spark.operators import dedup as DD
+from ingestao_dados_poli_spark.operators import fuzzy as FZ
 from ingestao_dados_poli_spark.operators import multimodal as MM
 from ingestao_dados_poli_spark.operators import relational as R
 from ingestao_dados_poli_spark.operators import similarity as SIM
@@ -1198,15 +1199,29 @@ def q48_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The data-mixing recipe is CONFIGURATION (known ahead of any run), not
+# something derived by scanning the corpus: discovering strata with a
+# distinct().collect() would add a full extra scan plus a driver
+# round-trip per run at 100 TB. Strata absent from the table are simply
+# never sampled; strata absent from the dict default to fraction 0.
+Q49_MIX_FRACTIONS = {
+    # src0 plays the rare high-quality source: keep everything; the
+    # rest (testdata has src0..src19) are thinned to 25%.
+    "src0": 1.0,
+    **{f"src{i}": 0.25 for i in range(1, 20)},
+}
+
+
 @q("q49_stratified_sample")
-def q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q49_stratified_sample(
+    spark: SparkSession, sf_dir: str, fractions: dict | None = None
+) -> DataFrame:
     """Per-source stratified sampling (rows-only: sampling RNG is
     engine-specific, so no cross-engine oracle): keep all of one source,
-    thin the rest — the data-mixing primitive."""
+    thin the rest — the data-mixing primitive. ``fractions`` is an
+    explicit config dict; the plan-building path has NO driver collect."""
     docs = _t(spark, sf_dir, "documents")
-    sources = [r.source for r in docs.select("source").distinct().collect()]
-    fractions = {s: (1.0 if i == 0 else 0.25) for i, s in enumerate(sorted(sources))}
-    sampled = R.stratified_sample(docs, "source", fractions)
+    sampled = R.stratified_sample(docs, "source", fractions or Q49_MIX_FRACTIONS)
     return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
@@ -1430,39 +1445,18 @@ def q30_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q55_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching: the reference's conform-entity-key join
-    (etl/3:62-78, etl/4:36-57) generalized to edit distance. Blocking on
-    p_brand bounds the quadratic: each block self-joins locally (the
-    brand key shuffles both sides to the same partition), so cost is
-    sum(block²), never n² — the same strategy holds at 100 TB provided
-    blocks stay bounded; skewed blocks would be salted + re-blocked."""
+    (etl/3:62-78, etl/4:36-57) generalized to edit distance, via
+    operators/fuzzy.fuzzy_pairs. The blocking key is the COMPOSITE
+    (p_brand, length band) — the length banding is lossless for the
+    threshold (|len diff| > 12 ⇒ dist > 12), so the oracle — which is
+    blocking-agnostic — stays exact while each block shrinks by the
+    length spread. fuzzy_pairs also takes max_block_size to hard-cap
+    block sizes at real scale (unused here: exactness is the oracle's
+    contract and TPC-H blocks are bounded)."""
     part = _t(spark, sf_dir, "part")
-    # part.parquet is a single row group (TESTDATA quirk) and the right
-    # side broadcasts, so WITHOUT fan_out every blocked pair — the
-    # compute-heavy part — evaluates on ONE core. Spread the probe side
-    # first; at real scale the scan is already split and this no-ops.
-    a = fan_out(part).select(
-        F.col("p_brand"),
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
+    pairs = FZ.fuzzy_pairs(
+        part, key_col="p_partkey", text_col="p_name", block_col="p_brand", max_dist=12
     )
-    b = part.select(
-        F.col("p_brand").alias("brand_b"),
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-    )
-    # |len(a)-len(b)| > 12 ⇒ levenshtein > 12, so the length band is a
-    # free pre-filter inside the join condition; the thresholded
-    # levenshtein (Spark ≥3.5) runs banded DP and early-exits at >12
-    # (returns -1) instead of filling the full O(m·n) matrix — and the
-    # distance is computed ONCE, not re-derived in the aggregate.
-    pairs = a.join(
-        b,
-        (a["p_brand"] == b["brand_b"])
-        & (a["key_a"] < b["key_b"])
-        & (F.abs(F.length("name_a") - F.length("name_b")) <= 12),
-    ).select(
-        "p_brand", F.levenshtein("name_a", "name_b", 12).alias("dist")
-    ).filter(F.col("dist") >= 0)
     return pairs.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_close_pairs"),
         F.min("dist").cast("long").alias("min_dist"),

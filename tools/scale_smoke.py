@@ -19,6 +19,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 from ingestao_dados_poli_spark.operators import dedup as DD
+from ingestao_dados_poli_spark.operators import fuzzy as FZ
 from ingestao_dados_poli_spark.session import get_spark
 
 
@@ -47,6 +48,24 @@ def synth_docs(spark, n: int, dup_rate: float = 0.1, words_per_doc: int = 120):
     ).select("doc_id", F.array_join(words, " ").alias("text"))
 
 
+def synth_names(spark, n: int, n_blocks: int = 50):
+    """Deterministic short entity names with a low-cardinality block
+    column — the fuzzy-match worst case (big blocks), to prove the
+    max_block_size cap keeps pair generation ~linear in n."""
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: F.concat(
+            F.lit("n"),
+            (F.abs(F.xxhash64(F.col("id"), i)) % 300).cast("string"),
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("key"),
+        (F.col("id") % n_blocks).cast("string").alias("block"),
+        F.array_join(words, " ").alias("name"),
+    )
+
+
 def time_op(fn) -> float:
     t0 = time.time()
     fn().write.format("noop").mode("overwrite").save()
@@ -71,6 +90,14 @@ def main() -> None:
     ):
         time_op(op)
     warm.unpersist()
+    warm_names = synth_names(spark, 500).cache()
+    warm_names.count()
+    time_op(
+        lambda: FZ.fuzzy_pairs(
+            warm_names, "key", "name", block_col="block", max_dist=6, max_block_size=200
+        )
+    )
+    warm_names.unpersist()
 
     results: dict[str, dict] = {}
     for label, n in [("small", small), ("big", big)]:
@@ -88,11 +115,19 @@ def main() -> None:
             ),
         }
         docs.unpersist()
+        names = synth_names(spark, n).cache()
+        names.count()
+        results[label]["fuzzy"] = time_op(
+            lambda: FZ.fuzzy_pairs(
+                names, "key", "name", block_col="block", max_dist=6, max_block_size=200
+            )
+        )
+        names.unpersist()
 
     ratio_n = big / small
     scaling = {
         op: round(results["big"][op] / max(results["small"][op], 0.01), 1)
-        for op in ("exact", "minhash", "simhash", "jaccard")
+        for op in ("exact", "minhash", "simhash", "jaccard", "fuzzy")
     }
     print(json.dumps({"results": results, "size_ratio": ratio_n, "time_ratio": scaling}))
 
