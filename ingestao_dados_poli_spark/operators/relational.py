@@ -44,7 +44,20 @@ def salted_join(
     exactly this shape at scale). AQE's skew-join handles sort-merge
     skew automatically; salting is the explicit fallback that also works
     for shuffled-hash joins and pre-AQE clusters.
+
+    Only left-preserving joins are valid: the right side is REPLICATED
+    ``salt_buckets`` times, so any right-preserving ``how`` ('right',
+    'full', …) would emit unmatched right rows once per replica —
+    silently wrong row counts. Flip the sides for a right-skewed join.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): only left-preserving joins are "
+            "supported — the replicated right side would duplicate "
+            "unmatched right rows. Swap the inputs instead."
+        )
     salt = (F.rand(seed=42) * salt_buckets).cast("int")
     lsalted = left.withColumn("_salt", salt)
     rsalted = right.withColumn(

@@ -121,6 +121,8 @@ def sessionize(
     gap: str = "30 minutes",
     watermark: str = "1 hour",
     ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "user_id",
 ) -> DataFrame:
     """Custom stateful operator: per-user session windows with idle-gap
     close, via applyInPandasWithState (the engine's template for any
@@ -130,7 +132,11 @@ def sessionize(
     than it are dropped BEFORE reaching state (bounded late-data
     semantics); processing-time timeout additionally evicts idle users'
     state. Batch (non-streaming) inputs skip the watermark — it is a
-    streaming-only concept."""
+    streaming-only concept.
+
+    ``ts_col``/``value_col``/``key_col`` select the event time, summed
+    value, and grouping key; the OUTPUT schema is fixed (user_id,
+    session_start, session_end, n_events, sum_value) regardless."""
     gap_ms = _duration_ms(gap)
     if events.isStreaming:
         events = events.withWatermark(ts_col, watermark)
@@ -145,8 +151,8 @@ def sessionize(
             yield _session_row(user_id, start_ms, end_ms, n, total)
             return
         rows = pd.concat(list(batches))
-        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
-        vals = rows["value"].to_numpy()
+        ts_ms = (rows[ts_col].astype("int64") // 1_000_000).to_numpy()
+        vals = rows[value_col].to_numpy()
         order = ts_ms.argsort()
         cur = list(state.get) if state.exists else None
         closed: list[pd.DataFrame] = []
@@ -164,7 +170,7 @@ def sessionize(
             state.setTimeoutDuration(gap_ms)
         yield from closed
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_SESSION_STATE,

@@ -28,6 +28,20 @@ def test_salted_join_matches_plain(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_right_preserving(spark):
+    import pytest
+
+    left = spark.createDataFrame([(0, 1)], ["k", "v"])
+    right = spark.createDataFrame([(0, "x")], ["k", "w"])
+    # right/full would duplicate unmatched right rows once per salt replica
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError):
+            R.salted_join(left, right, "k", how=how)
+    # left-preserving joins all pass the guard
+    assert R.salted_join(left, right, "k", how="left").count() == 1
+    assert R.salted_join(left, right, "k", how="left_semi").count() == 1
+
+
 def test_top_k_uses_take_ordered(spark):
     df = spark.createDataFrame([(i, float(100 - i)) for i in range(100)], ["id", "score"])
     top = R.top_k(df, [F.col("score").desc()], 5)

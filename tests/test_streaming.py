@@ -96,6 +96,33 @@ def test_sessionize_stateful(spark, event_dir, tmp_path):
     assert first.sum_value == 6.0
 
 
+def test_sessionize_custom_column_names(spark, event_dir, tmp_path):
+    # non-default ts/value/key column names must flow through to the
+    # stateful fn (they were once hardcoded: regression guard).
+    src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA).select(
+        F.col("ts").alias("event_time"),
+        F.col("user_id").alias("uid"),
+        F.col("value").alias("amount"),
+    )
+    sess = S.sessionize(
+        src, gap="30 minutes", ts_col="event_time", value_col="amount", key_col="uid"
+    )
+    q = (
+        sess.writeStream.format("memory").queryName("sessions_renamed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2r"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions_renamed").collect()
+    closed = [r for r in rows if r.user_id == 1]
+    assert len(closed) >= 1
+    first = min(closed, key=lambda r: r.session_start)
+    assert first.n_events == 3
+    assert first.sum_value == 6.0
+
+
 def test_sliding_avg(spark, event_dir, tmp_path):
     src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA)
     agg = S.sliding_avg(
