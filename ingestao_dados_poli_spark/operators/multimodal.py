@@ -68,11 +68,38 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decode path — requires PIL, absent in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/pillow; use extract_image_features "
-        "(deterministic fake) for plumbing tests"
-    )
+    """Real decode path: returns a PIL Image when pillow is installed.
+
+    The container this engine is developed in ships no codec libs, so
+    the default featurizer stays the deterministic fake; wherever PIL
+    exists, ``pil_featurizer`` plugs real decoding into the SAME
+    ``extract_image_features`` mapInPandas plumbing (proven by a
+    skip-if-missing test)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL/pillow; use extract_image_features "
+            "(deterministic fake) for plumbing tests"
+        ) from e
+    return Image.open(io.BytesIO(payload))
+
+
+def pil_featurizer(dim: int = 8) -> Callable[[bytes], list[float]]:
+    """Real-bytes featurizer for ``extract_image_features(featurizer=)``:
+    decode with PIL, grayscale, resize to a (dim × 1) strip, return the
+    mean intensities in [0, 1). Deterministic (pure pixel math), and
+    exercises the exact UDF contract the sha256 fake stands in for.
+    Raises NotImplementedError (via decode_image) where PIL is absent.
+    """
+
+    def fz(payload: bytes) -> list[float]:
+        img = decode_image(payload).convert("L").resize((dim, 1))
+        return [min(p / 256.0, 0.999999) for p in list(img.getdata())]
+
+    return fz
 
 
 def extract_image_features(

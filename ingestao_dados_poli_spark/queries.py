@@ -1391,7 +1391,7 @@ def q54_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------- 24. rows-only (non-SQL-expressible)
+# ------------------------- 24. rows-only LSH / media (non-SQL-expressible)
 
 @q("q39_embedding_sim_pairs")
 def q39_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1737,4 +1737,52 @@ def q63_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos").cast("long").alias("total_pos"),
         F.round(F.avg("l1"), 2).alias("avg_l1"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------- 26. approximate aggregates
+
+@q(
+    "q64_approx_aggregates",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct_cust,
+           TRUE AS acd_within_5pct,
+           CAST(round(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS exact_p50,
+           TRUE AS approx_p50_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q64_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB path for distinct counts and
+    quantiles. approx_count_distinct (HyperLogLog++) and
+    percentile_approx (KLL-style) are single-pass, partial-aggregatable,
+    fixed-memory sketches; the exact variants (count_distinct's
+    per-group de-dup shuffle, percentile's full value collection per
+    group) are the thing they replace.
+
+    Oracle contract: the EXACT columns must hash-match DuckDB
+    (quantile_cont == F.percentile exactly); the approx values are
+    engine-specific, so what crosses the oracle is a TOLERANCE CHECK —
+    |approx − exact| / exact ≤ 5% — emitted as a boolean column that
+    the oracle asserts as literal TRUE. The tolerance claim is thereby
+    hash-checked, not just documented."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("_exact_cd"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_acd"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("_p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("_ap50"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.col("_exact_cd").cast("long").alias("exact_distinct_cust"),
+        (
+            F.abs(F.col("_acd") - F.col("_exact_cd")) / F.col("_exact_cd") <= 0.05
+        ).alias("acd_within_5pct"),
+        F.round("_p50", 2).alias("exact_p50"),
+        (
+            F.abs(F.col("_ap50") - F.col("_p50")) / F.col("_p50") <= 0.05
+        ).alias("approx_p50_within_5pct"),
     )

@@ -55,10 +55,25 @@ def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
-    reader = spark.read
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """JSON-lines reader with the same quarantine contract as
+    ``read_csv``: under PERMISSIVE mode with an explicit schema,
+    malformed lines land whole in ``corrupt_col`` (routed via
+    ``columnNameOfCorruptRecord``) for ``quarantine_corrupt`` to split
+    out, instead of being dropped (DROPMALFORMED) or failing the job
+    (FAILFAST)."""
+    reader = spark.read.option("mode", mode).options(**options)
     if schema is not None:
-        reader = reader.schema(schema)
+        if mode == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
+            schema = schema.add(corrupt_col, "string")
+        reader = reader.schema(schema).option("columnNameOfCorruptRecord", corrupt_col)
     return reader.json(path)
 
 

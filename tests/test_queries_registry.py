@@ -30,6 +30,20 @@ def test_oracle_coverage():
     assert set(oracles) == set(qs) - ROWS_ONLY
 
 
+def test_readme_counts_match_registry():
+    # README's driver-contract block states the registry size; keep it
+    # from drifting (round-1 verdict found it stale).
+    import pathlib
+    import re
+
+    text = (pathlib.Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(r"the (\d+)-query registry", text)
+    assert m and int(m.group(1)) == len(Q.QUERIES)
+    m = re.search(r"\((\d+) entries\), `oracle_sql\(\)` \((\d+) DuckDB oracles", text)
+    assert m and int(m.group(1)) == len(Q.QUERIES)
+    assert int(m.group(2)) == len(Q.ORACLES)
+
+
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
 def test_query_runs(spark, sf_dir, name):
     df = Q.QUERIES[name](spark, sf_dir)

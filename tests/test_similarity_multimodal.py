@@ -120,6 +120,41 @@ def test_multimodal_feature_extraction_plumbing(spark):
     assert all(again[r.media_id] == r.features for r in rows)
 
 
+def test_pil_featurizer_real_decode(spark):
+    # Real-bytes decode through the SAME mapInPandas plumbing the fake
+    # featurizer uses — runs wherever pillow is installed, skips
+    # cleanly otherwise (no codec libs in the dev container).
+    import io
+
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    rows = []
+    for i in range(4):
+        img = PIL_Image.new("RGB", (6, 6), color=(i * 60, 10, 200))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        rows.append((i, "image", buf.getvalue(), "image/png", 6, 6, None))
+    media = spark.createDataFrame(rows, schema=MM.MEDIA_SCHEMA)
+    feats = MM.extract_image_features(media, dim=4, featurizer=MM.pil_featurizer(4))
+    got = {r.media_id: r.features for r in feats.collect()}
+    assert len(got) == 4
+    assert all(len(v) == 4 and all(0.0 <= x < 1.0 for x in v) for v in got.values())
+    # distinct fill colors → distinct features; same bytes → same features
+    assert got[0] != got[3]
+
+
+def test_pil_featurizer_raises_without_pil():
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("PIL installed; covered by the real-decode test")
+    with pytest.raises(NotImplementedError):
+        MM.pil_featurizer(4)(b"not-an-image")
+
+
 def test_video_frame_sampling_shape(spark):
     media = MM.synthetic_media(spark, n=9).filter(F.col("kind") == "video")
     frames = MM.sample_video_frames(media, every_ms=1000)

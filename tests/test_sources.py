@@ -10,7 +10,11 @@ from pyspark.sql.types import (
 
 from ingestao_dados_poli_spark.sources import fs
 from ingestao_dados_poli_spark.sources.catalog import Catalog
-from ingestao_dados_poli_spark.sources.readers import quarantine_corrupt, read_csv
+from ingestao_dados_poli_spark.sources.readers import (
+    quarantine_corrupt,
+    read_csv,
+    read_json,
+)
 from ingestao_dados_poli_spark.sources.writers import write_parquet
 
 
@@ -25,6 +29,33 @@ def test_read_csv_typed_with_quarantine(spark, tmp_path):
     assert clean.schema["price"].dataType == DoubleType()
     assert sorted(r.id for r in clean.collect()) == [1, 3]
     assert bad.count() == 1  # the unparseable row is kept, not dropped
+
+
+def test_read_json_typed_with_quarantine(spark, tmp_path):
+    # mirrors the CSV quarantine path: one syntactically-broken line and
+    # one type-mismatched line both land in _corrupt_record.
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "price": 10.5}\n'
+        '{"id": 2, "price": }\n'
+        '{"id": "oops", "price": 7.0}\n'
+        '{"id": 3, "price": 7.25}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("price", DoubleType())]
+    )
+    df = read_json(spark, str(p), schema=schema)
+    clean, bad = quarantine_corrupt(df)
+    assert clean.schema["price"].dataType == DoubleType()
+    assert sorted(r.id for r in clean.collect()) == [1, 3]
+    assert bad.count() == 2
+
+
+def test_read_json_clean_no_schema(spark, tmp_path):
+    p = tmp_path / "clean.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    df = read_json(spark, str(p))
+    assert sorted(df.columns) == ["a", "b"] and df.count() == 2
 
 
 def test_read_csv_delimiters(spark, tmp_path):
