@@ -1767,14 +1767,25 @@ def q64_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, so what crosses the oracle is a TOLERANCE CHECK —
     |approx − exact| / exact ≤ 5% — emitted as a boolean column that
     the oracle asserts as literal TRUE. The tolerance claim is thereby
-    hash-checked, not just documented."""
-    orders = _t(spark, sf_dir, "orders")
-    agg = orders.groupBy("o_orderpriority").agg(
+    hash-checked, not just documented.
+
+    Plan note (measured at sf0.1): putting count_distinct and the
+    typed-imperative sketch aggregates (HLL, KLL, exact percentile) in
+    ONE groupBy forces the distinct rewrite's Expand over the sketch
+    buffers and drops the whole stage to sort-based aggregation —
+    ~19 s. Two separate aggregations joined on the 5-row group key run
+    hash-aggregated in ~2 s. At 100 TB only the approx half would ship;
+    the exact half exists to feed the tolerance check."""
+    orders = fan_out(_t(spark, sf_dir, "orders"))
+    exact = orders.groupBy("o_orderpriority").agg(
         F.count_distinct("o_custkey").alias("_exact_cd"),
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_acd"),
         F.percentile("o_totalprice", F.lit(0.5)).alias("_p50"),
+    )
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_acd"),
         F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("_ap50"),
     )
+    agg = exact.join(approx, "o_orderpriority")
     return agg.select(
         "o_orderpriority",
         F.col("_exact_cd").cast("long").alias("exact_distinct_cust"),
