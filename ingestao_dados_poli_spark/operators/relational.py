@@ -200,3 +200,32 @@ def range_join(
         eq = [left[k] == right[k] for k in partition_keys]
         return left.join(right, eq + [cond], "inner")
     return left.join(right, cond, "inner")
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Latest-wins upsert (the batch equivalent of MERGE INTO /
+    SCD-type-1): union the two sides, keep the newest row per key by
+    ``order_col``; ties go to the updates side.
+
+    One window over the union — the same single shuffle a MERGE's join
+    would pay, with no table-format dependency. At scale the shuffle
+    keys are the merge keys, so skew behaves exactly like the
+    equivalent join; bucketed base tables co-locate it. Schemas must
+    align by name (updates may omit columns — filled as nulls).
+    """
+    tagged_base = base.withColumn("_src_pri", F.lit(0))
+    tagged_upd = updates.withColumn("_src_pri", F.lit(1))
+    merged = tagged_base.unionByName(tagged_upd, allowMissingColumns=True)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("_src_pri").desc()
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src_pri")
+    )

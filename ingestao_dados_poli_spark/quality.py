@@ -212,3 +212,34 @@ def write_report(report: dict[str, Any], path: str) -> None:
     docs to a bucket, etl/1:196; we write plain JSON)."""
     with open(path, "w", encoding="utf-8") as fh:
         json.dump(report, fh, ensure_ascii=False, indent=2)
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-scan column profile: (column, n_nulls, n_distinct, min_value,
+    max_value) per requested column — the data-quality reconnaissance
+    step before writing expectation suites.
+
+    All columns' aggregates run in ONE aggregation job (the multiple
+    count_distincts expand rows ×(k+1), the standard distinct-agg plan —
+    still a single scan and shuffle); the 1×(5k)-wide result is
+    unpivoted with stack(), which is driver-sized by construction.
+    min/max are cast to string so heterogeneous column types coexist in
+    one report frame; use numeric-typed profiles per column where exact
+    types matter (doubles format differently across engines).
+    """
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"_nn_{c}"),
+            F.count_distinct(c).cast("long").alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_mn_{c}"),
+            F.max(c).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `_nn_{c}`, `_nd_{c}`, `_mn_{c}`, `_mx_{c}`" for c in columns
+    )
+    return one.selectExpr(
+        f"stack({len(columns)}, {stack_args}) as "
+        "(column, n_nulls, n_distinct, min_value, max_value)"
+    )

@@ -31,6 +31,7 @@ from ingestao_dados_poli_spark.functions.locale import (
 from ingestao_dados_poli_spark.functions.vectors import cosine
 from ingestao_dados_poli_spark.operators import dedup as DD
 from ingestao_dados_poli_spark.operators import fuzzy as FZ
+from ingestao_dados_poli_spark.operators import graph as G
 from ingestao_dados_poli_spark.operators import multimodal as MM
 from ingestao_dados_poli_spark.operators import relational as R
 from ingestao_dados_poli_spark.operators import similarity as SIM
@@ -1797,3 +1798,211 @@ def q64_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_ap50") - F.col("_p50")) / F.col("_p50") <= 0.05
         ).alias("approx_p50_within_5pct"),
     )
+
+
+# ------------------------------------------ 27. dedup clustering (graph)
+
+@q(
+    "q65_dedup_components",
+    """
+    WITH RECURSIVE
+    edges AS (
+        SELECT a.p_partkey AS src, b.p_partkey AS dst
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+         AND abs(length(a.p_name) - length(b.p_name)) <= 12
+        WHERE levenshtein(a.p_name, b.p_name) <= 12
+    ),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    cc(node, label) AS (
+        SELECT p_partkey AS node, p_partkey AS label FROM part
+        UNION
+        SELECT s.dst AS node, cc.label
+        FROM cc JOIN sym s ON cc.node = s.src
+    ),
+    comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+    sizes AS (
+        SELECT component, count(*) AS component_size FROM comp GROUP BY component
+    )
+    SELECT CAST(component_size AS BIGINT) AS component_size,
+           count(*) AS n_components
+    FROM sizes GROUP BY component_size
+    """,
+)
+def q65_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: transitive closure of the
+    fuzzy-match pair graph via distributed min-label flooding
+    (operators/graph.connected_components), then the cluster-size
+    histogram. This is the step that turns any pair generator (MinHash,
+    SimHash, embedding LSH, fuzzy) into keep/drop decisions — one
+    canonical doc (min id) per component. The DuckDB oracle computes
+    the same closure with a recursive CTE, so the distributed algorithm
+    is hash-checked against a declarative reference.
+
+    Edges are blocked on the composite (p_brand, p_size) — brand alone
+    makes near-cliques of whole brands (~8M edges at sf0.1, dense
+    flooding for no extra information); the composite keeps the graph
+    dedup-shaped (~150k edges, 2-iteration convergence)."""
+    part = _t(spark, sf_dir, "part")
+    edges = FZ.fuzzy_pairs(
+        part.withColumn(
+            "_blk", F.concat_ws("|", "p_brand", F.col("p_size").cast("string"))
+        ),
+        key_col="p_partkey",
+        text_col="p_name",
+        block_col="_blk",
+        max_dist=12,
+    )
+    comps = G.connected_components(
+        edges,
+        src="key_a",
+        dst="key_b",
+        nodes=part.select("p_partkey"),
+        node_col="p_partkey",
+    )
+    return G.component_sizes(comps).select(
+        F.col("component_size").cast("long").alias("component_size"),
+        F.col("n_components").cast("long").alias("n_components"),
+    )
+
+
+# ---------------------------------- 28. TF-IDF / upsert / column profile
+
+@q(
+    "q66_tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term,
+           CAST(round(tfidf, 6) AS DOUBLE) AS tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE doc_id < 10 AND rnk <= 3
+    """,
+)
+def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per document — the classic text-relevance
+    feature, all JVM built-ins. Corpus-wide stats (N, per-term document
+    frequency) come from two aggregations; the df table is
+    VOCABULARY-sized (Heaps' law: ~1M terms at 100 TB), so it
+    broadcasts into the tf join — the big tf frame never shuffles for
+    the join, only for its own groupBy. Output limited to doc_id < 10
+    AFTER ranking so the oracle checks the full-corpus math."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("doc_id") < 10) & (F.col("rnk") <= 3))
+        .select(
+            "doc_id",
+            "term",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@q(
+    "q67_merge_upsert",
+    """
+    WITH updates AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 1.1, 2) AS DOUBLE) AS new_price
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated,
+           CAST(round(sum(coalesce(u.new_price, o.o_totalprice)), 2) AS DOUBLE)
+               AS total_price
+    FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+    """,
+)
+def q67_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-1 upsert via relational.merge_upsert (union + per-key
+    latest-wins window — the table-format-free MERGE INTO): 1% of
+    orders get a repriced update row; the merge must keep exactly the
+    updated version for those keys and the base row elsewhere. The
+    oracle expresses the same result declaratively (left join +
+    coalesce), so the window formulation is hash-checked against it."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice").withColumn("_version", F.lit(0))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        )
+        .withColumn("_version", F.lit(1))
+    )
+    merged = R.merge_upsert(base, updates, ["o_orderkey"], "_version")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_version") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@q(
+    "q68_column_profile",
+    """
+    SELECT 'c_custkey' AS column, sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(c_custkey) AS VARCHAR) AS min_value,
+           CAST(max(c_custkey) AS VARCHAR) AS max_value
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+           CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+           CAST(count(DISTINCT c_nationkey) AS BIGINT),
+           CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+    FROM customer
+    """,
+)
+def q68_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.profile_columns: one-scan/one-shuffle column profiling
+    (nulls, distincts, min/max) across heterogeneous column types —
+    the reconnaissance step before writing expectation suites. The
+    oracle computes each column's stats as separate scans; the engine
+    does them all in ONE aggregation (distinct-agg Expand) and unpivots
+    the single wide row with stack()."""
+    customer = _t(spark, sf_dir, "customer")
+    return Q.profile_columns(customer, ["c_custkey", "c_mktsegment", "c_nationkey"])

@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.operators import graph as G
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # chain 1-2-3 (transitive: 1~3 never stated) + isolated 4
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["node"])
+    comps = {
+        r.node: r.component
+        for r in G.connected_components(edges, nodes=nodes).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # diameter 19: flooding needs multiple rounds; min label must still
+    # reach the far end
+    n = 20
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    comps = G.connected_components(edges).collect()
+    assert {r.component for r in comps} == {0}
+    assert len(comps) == n
+
+
+def test_connected_components_two_cliques(spark):
+    e = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    comps = {r.node: r.component for r in G.connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_component_sizes(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)], ["node", "component"]
+    )
+    sizes = {r.component_size: r.n_components for r in G.component_sizes(comps).collect()}
+    assert sizes == {3: 1, 1: 2}

@@ -50,3 +50,15 @@ def test_suite_json_roundtrip():
 def test_null_counts(spark):
     out = Q.null_counts(_df(spark)).collect()[0].asDict()
     assert out == {"id_nulls": 0, "name_nulls": 1, "score_nulls": 1}
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (2, None, 2.5)],
+        ["id", "name", "score"],
+    )
+    prof = {r.column: r for r in Q.profile_columns(df, ["id", "name"]).collect()}
+    assert prof["id"].n_nulls == 0 and prof["id"].n_distinct == 2
+    assert prof["id"].min_value == "1" and prof["id"].max_value == "2"
+    assert prof["name"].n_nulls == 1 and prof["name"].n_distinct == 2
+    assert prof["name"].min_value == "a" and prof["name"].max_value == "b"

@@ -42,6 +42,22 @@ def test_salted_join_rejects_right_preserving(spark):
     assert R.salted_join(left, right, "k", how="left_semi").count() == 1
 
 
+def test_merge_upsert_latest_wins(spark):
+    base = spark.createDataFrame(
+        [(1, "old", 0), (2, "keep", 0), (3, "stale", 0)], ["k", "v", "ver"]
+    )
+    upd = spark.createDataFrame([(1, "new", 1), (4, "insert", 1)], ["k", "v", "ver"])
+    out = {r.k: (r.v, r.ver) for r in R.merge_upsert(base, upd, ["k"], "ver").collect()}
+    assert out == {1: ("new", 1), 2: ("keep", 0), 3: ("stale", 0), 4: ("insert", 1)}
+
+
+def test_merge_upsert_tie_goes_to_updates(spark):
+    base = spark.createDataFrame([(1, "base", 5)], ["k", "v", "ver"])
+    upd = spark.createDataFrame([(1, "upd", 5)], ["k", "v", "ver"])
+    out = R.merge_upsert(base, upd, ["k"], "ver").collect()
+    assert [(r.k, r.v) for r in out] == [(1, "upd")]
+
+
 def test_top_k_uses_take_ordered(spark):
     df = spark.createDataFrame([(i, float(100 - i)) for i in range(100)], ["id", "score"])
     top = R.top_k(df, [F.col("score").desc()], 5)
