@@ -350,3 +350,77 @@ def nearest_centroid(
         cand = F.struct(score.alias("s"), F.lit(ci).alias("c"))
         best = cand if best is None else F.when(cand["s"] > best["s"], cand).otherwise(best)
     return df.withColumn(out_col, best["c"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    score_round: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN search: probe the ``nprobe`` nearest
+    centroid partitions per query, brute-force cosine only inside them.
+
+    Scale shape: the corpus is assigned scan-side (broadcast-literal
+    codebook, no shuffle) and joined to the probe list with
+    ``broadcast(queries)`` — so the big side never shuffles and only
+    ~nprobe/nlist of it is scored per query. At 100 TB the corpus would
+    be WRITTEN partitioned by centroid_id (see nearest_centroid), making
+    the probe join a partition-pruned scan. ``nprobe == len(centroids)``
+    degrades gracefully to exact brute force (the oracle case);
+    recall/cost tunes with nprobe exactly like FAISS IVF.
+
+    Tie rules match nearest_centroid/topk_bruteforce: equal probe scores
+    go to the lowest centroid index, equal cosine to the lowest
+    corpus id. ``score_round`` rounds the final cosine (engine parity).
+    """
+    import math
+
+    from ingestao_dados_poli_spark.functions.vectors import dot, norm
+
+    assigned = nearest_centroid(
+        corpus, centroids, vec_col=corpus_vec, score_round=score_round
+    ).select(corpus_id, corpus_vec, "centroid_id")
+
+    # Per-query probe list: struct(-score, centroid_id) sorts ascending =
+    # best-score-first with lowest-index tie-break; slice the top nprobe.
+    qnorm = norm(F.col(query_vec))
+    probe_structs = []
+    for ci, cvec in enumerate(centroids):
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        score = dot(F.col(query_vec), lit_vec) / (qnorm * F.lit(cnorm))
+        if score_round is not None:
+            score = F.round(score, score_round)
+        probe_structs.append(
+            F.struct((-score).alias("neg"), F.lit(ci).alias("centroid_id"))
+        )
+    probes = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(
+            F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
+        ).alias("_p"),
+    ).select(query_id, query_vec, F.col("_p.centroid_id").alias("centroid_id"))
+
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(corpus_vec), F.col(query_vec)).cast("double").alias("cos_sim"),
+    )
+    if score_round is not None:
+        scored = scored.withColumn("cos_sim", F.round("cos_sim", score_round))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -2006,3 +2006,402 @@ def q68_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single wide row with stack()."""
     customer = _t(spark, sf_dir, "customer")
     return Q.profile_columns(customer, ["c_custkey", "c_mktsegment", "c_nationkey"])
+
+
+# ------------------------------- 29. SCD2 / date spine / CDC keep-latest
+
+@q(
+    "q69_scd2_dimension",
+    """
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           CAST(o_orderdate AS VARCHAR) AS valid_from,
+           CAST(lead(o_orderdate) OVER w AS VARCHAR) AS valid_to,
+           CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+               AS is_current
+    FROM orders WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q69_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: turn a change log (orders per
+    customer) into [valid_from, valid_to) intervals with a current-row
+    flag — one lead() window, one shuffle on the dimension key. At
+    100 TB this is the standard dimension-history pattern; the window
+    partitions by the natural key so state never exceeds one entity's
+    history per task."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        nxt.cast("string").alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@q(
+    "q70_date_spine",
+    """
+    WITH bounds AS (
+        SELECT o_custkey,
+               min(date_trunc('month', o_orderdate)) AS lo,
+               max(date_trunc('month', o_orderdate)) AS hi
+        FROM orders WHERE o_custkey < 30 GROUP BY 1),
+    spine AS (
+        SELECT o_custkey,
+               unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+        FROM bounds),
+    counts AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+               count(*) AS n
+        FROM orders WHERE o_custkey < 30 GROUP BY 1, 2)
+    SELECT s.o_custkey,
+           CAST(CAST(s.month AS DATE) AS VARCHAR) AS month,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN counts c
+      ON s.o_custkey = c.o_custkey AND s.month = c.month
+    """,
+)
+def q70_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: per-customer contiguous month axis
+    (sequence + explode) left-joined to observed monthly counts so
+    missing months surface as explicit zeros — the time-series
+    completeness primitive. The spine is generated from a pre-aggregated
+    bounds table (tiny), so the explode fans out dim-side only; the big
+    fact is touched once for the counts aggregation."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    bounds = orders.groupBy("o_custkey").agg(
+        F.min(month).alias("lo"), F.max(month).alias("hi")
+    )
+    spine = bounds.select(
+        "o_custkey",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month"),
+    )
+    counts = orders.groupBy(
+        "o_custkey", month.alias("month")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(counts, ["o_custkey", "month"], "left")
+        .select(
+            "o_custkey",
+            F.col("month").cast("date").cast("string").alias("month"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "q77_cdc_keep_latest",
+    """
+    SELECT user_id, event_id,
+           CAST(ts AS VARCHAR) AS last_ts,
+           CAST(round(value, 2) AS DOUBLE) AS last_value
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE user_id < 500)
+    WHERE rn = 1
+    """,
+)
+def q77_cdc_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: latest event per entity via the deterministic
+    keep-first operator with a descending order — the snapshot-from-
+    changelog pattern. One shuffle on user_id; at 100 TB the window
+    state is one row per task-resident key (no collect_list)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 500)
+    latest = R.dedup_keep_first(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("string").alias("last_ts"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+# -------------------- 30. corpus vocabulary / quality-filter / anomaly
+
+@q(
+    "q71_bigram_vocab",
+    """
+    WITH w AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    b AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM w WHERE len(ws) >= 2)
+    SELECT bigram, count(*) AS n_occurrences
+    FROM b GROUP BY 1
+    ORDER BY n_occurrences DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def q71_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram vocabulary (top-20): posexplode words, lead() over
+    (doc, pos) to form bigrams, count. All-JVM (no interpreted HOF in
+    the hot path — the per-doc window beats a transform() lambda at
+    corpus scale); the only shuffles are the per-doc window and the
+    final count. LIMIT ties broken by bigram text so the cut is
+    deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    words = docs.select("doc_id", F.posexplode(ws).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = words.select(
+        F.concat_ws(" ", "word", F.lead("word").over(w)).alias("bigram"),
+        F.lead("word").over(w).alias("_w2"),
+    ).filter(F.col("_w2").isNotNull())
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+_STOPWORDS = ["the", "of", "and", "to", "in", "a", "is"]
+
+@q(
+    "q72_gopher_quality",
+    f"""
+    WITH feat AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws,
+               length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   AS n_word_chars
+        FROM documents),
+    flags AS (
+        SELECT source,
+               CASE WHEN len(ws) >= 5 AND len(ws) <= 50000
+                     AND n_word_chars::DOUBLE / greatest(len(ws), 1) BETWEEN 2 AND 12
+                     AND len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                         / greatest(len(ws), 1) >= 0.6
+                     AND list_has_any(ws, {_STOPWORDS!r})
+               THEN 1 ELSE 0 END AS passes
+        FROM feat)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(passes) AS BIGINT) AS n_pass,
+           CAST(round(sum(passes)::DOUBLE / count(*), 4) AS DOUBLE) AS pass_rate
+    FROM flags GROUP BY source
+    """,
+)
+def q72_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality-filter chain: word count bounds,
+    mean word length, alphabetic-word ratio, stopword presence — the
+    standard pretraining-corpus gate — evaluated scan-side in one pass
+    and aggregated per source. Ratios divide identical integers in both
+    engines, so the boolean cut is float-order independent."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    feat = docs.select(
+        "source",
+        ws.alias("ws"),
+        F.length(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+        ).alias("n_word_chars"),
+    )
+    n_words = F.size("ws")
+    alpha_words = F.size(F.filter(F.col("ws"), lambda x: x.rlike("[a-z]")))
+    # greatest(n, 1): ANSI Spark throws on /0 and boolean AND does not
+    # guarantee short-circuit; n_words==0 already fails between(5, ...).
+    safe_n = F.greatest(n_words, F.lit(1))
+    passes = (
+        n_words.between(5, 50000)
+        & (F.col("n_word_chars").cast("double") / safe_n).between(2, 12)
+        & (alpha_words.cast("double") / safe_n >= 0.6)
+        & F.arrays_overlap("ws", F.array(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    flags = feat.select("source", F.when(passes, 1).otherwise(0).alias("passes"))
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("passes").cast("long").alias("n_pass"),
+        F.round(
+            F.sum("passes").cast("double") / F.count(F.lit(1)), 4
+        ).alias("pass_rate"),
+    )
+
+
+@q(
+    "q73_zscore_anomaly",
+    """
+    WITH st AS (
+        SELECT event_type,
+               round(avg(value), 6) AS mu,
+               round(stddev_samp(value), 6) AS sd
+        FROM events GROUP BY 1),
+    z AS (
+        SELECT e.event_type,
+               round((e.value - st.mu) / st.sd, 2) AS zscore
+        FROM events e JOIN st ON e.event_type = st.event_type)
+    SELECT event_type,
+           count(*) AS n_anomalies,
+           CAST(round(max(abs(zscore)), 2) AS DOUBLE) AS max_abs_z
+    FROM z WHERE abs(zscore) > 3.0
+    GROUP BY event_type
+    """,
+)
+def q73_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly gate: per-key mean/stddev (one agg), broadcast
+    the tiny stats table back onto the stream of events, flag |z| > 3.
+    Stats are rounded to 6 dp BEFORE the z computation and z to 2 dp
+    before the cut, so engine summation-order noise can't flip a
+    borderline row. The fact table is scanned twice but shuffled only
+    for the per-type agg (stats join is broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+    z = ev.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2).alias("zscore"),
+    )
+    return (
+        z.filter(F.abs("zscore") > 3.0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_anomalies"),
+            F.round(F.max(F.abs("zscore")), 2).alias("max_abs_z"),
+        )
+    )
+
+
+# ----------------------- 31. SQL interface / streaming sliding / IVF search
+
+_Q74_SQL = """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM {table})
+    SELECT o_orderpriority, o_orderkey,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS top_price
+    FROM ranked WHERE rn <= 3
+"""
+
+@q("q74_sql_api_parity", _Q74_SQL.format(table="orders"))
+def q74_sql_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: the SAME SQL text the DuckDB oracle
+    runs is executed through spark.sql() over a temp view — proving the
+    declarative surface, not just the DataFrame API. Catalyst compiles
+    the rank-filter to a per-group top-k (WindowGroupLimit), so the
+    shuffle carries at most 3 rows per priority per map task."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q74_orders")
+    return spark.sql(_Q74_SQL.format(table="q74_orders"))
+
+
+@q(
+    "q75_streaming_sliding",
+    """
+    WITH buck AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                   + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT))
+                   AS b,
+               event_type, value
+        FROM events),
+    ex AS (
+        SELECT unnest([b, b - INTERVAL 30 MINUTE]) AS window_start,
+               event_type, value
+        FROM buck)
+    SELECT CAST(window_start AS VARCHAR) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q75_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h window / 30 min slide) aggregate through the
+    REAL Structured Streaming engine (readStream → availableNow →
+    memory sink), like q46 but overlapping windows: each event lands in
+    exactly 2 windows. The oracle expands each row into its two window
+    starts and re-aggregates — semantically identical to Spark's
+    sliding window expansion. Compares count+sum, not avg: the data's
+    values have 2-decimal resolution, so sums never sit on the 2-dp
+    round boundary while averages (sum/count) routinely do — engine
+    summation-order ulps flipped ~2.5% of rounded avgs."""
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import sliding_avg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = sliding_avg(
+        src, window_len="1 hour", slide="30 minutes", watermark="10 minutes"
+    )
+    name = f"q75_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q75_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+@q(
+    "q76_ivf_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6)
+                      AS cos_sim
+           FROM embeddings c CROSS JOIN q)
+    SELECT query_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 8
+    """,
+)
+def q76_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search with nprobe == nlist, which degrades exactly to
+    brute force — so the full IVF machinery (coarse assign, probe list,
+    per-partition scoring, top-k merge) is hash-checked against the
+    exact-cosine oracle. Pruning behavior (nprobe < nlist scores only
+    the probed partitions) is asserted in tests/test_similarity_ivf.py.
+    """
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id").isin(10, 20, 30)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.ivf_topk(
+        emb,
+        queries,
+        _CENTROIDS,
+        k=8,
+        nprobe=len(_CENTROIDS),
+        score_round=6,
+    )

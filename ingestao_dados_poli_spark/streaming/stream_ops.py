@@ -86,11 +86,17 @@ def sliding_avg(
             F.window(F.col(ts_col), window_len, slide).alias("win"),
             F.col(key_col),
         )
-        .agg(F.avg("value").alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             key_col,
+            "n_events",
+            "sum_value",
             "avg_value",
         )
     )

@@ -108,6 +108,42 @@ def test_nearest_centroid(spark):
     assert got[0] == 0 and got[1] == 0 and got[2] == 1 and got[3] == 2
 
 
+_IVF_CENTROIDS = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+
+
+def _ivf_corpus(spark):
+    # 3 tight clusters around the axes, 4 vectors each
+    rows = []
+    for c, base in enumerate(_IVF_CENTROIDS):
+        for j in range(4):
+            v = [x + (0.01 * j if i == (c + 1) % 3 else 0.0) for i, x in enumerate(base)]
+            rows.append((c * 4 + j, v))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ivf_topk_nprobe_all_equals_bruteforce(spark):
+    corpus = _ivf_corpus(spark)
+    queries = spark.createDataFrame(
+        [(0, [0.9, 0.1, 0.0]), (1, [0.0, 0.1, 0.9])], ["query_id", "query_vec"]
+    )
+    bf = SIM.topk_bruteforce(corpus, queries, k=5)
+    ivf = SIM.ivf_topk(corpus, queries, _IVF_CENTROIDS, k=5, nprobe=3)
+    key = lambda r: (r.query_id, r.vec_id, round(r.cos_sim, 9))
+    assert sorted(map(key, bf.collect())) == sorted(map(key, ivf.collect()))
+
+
+def test_ivf_topk_nprobe_one_prunes_to_probed_partition(spark):
+    corpus = _ivf_corpus(spark)
+    queries = spark.createDataFrame(
+        [(7, [0.9, 0.05, 0.0])], ["query_id", "query_vec"]
+    )
+    out = SIM.ivf_topk(corpus, queries, _IVF_CENTROIDS, k=12, nprobe=1).collect()
+    # k exceeds the partition size on purpose: with nprobe=1 only the
+    # query's own centroid partition (vec_id 0-3) is scored — the other
+    # 8 corpus vectors never enter the candidate set.
+    assert {r.vec_id for r in out} == {0, 1, 2, 3}
+
+
 def test_multimodal_feature_extraction_plumbing(spark):
     media = MM.synthetic_media(spark, n=30)
     feats = MM.extract_image_features(media, dim=8)
