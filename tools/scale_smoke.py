@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ingestao_dados_poli_spark.operators import dedup as DD
 from ingestao_dados_poli_spark.operators import fuzzy as FZ
+from ingestao_dados_poli_spark.operators import similarity as SIM
 from ingestao_dados_poli_spark.session import get_spark
 
 
@@ -66,6 +67,31 @@ def synth_names(spark, n: int, n_blocks: int = 50):
     )
 
 
+def synth_vecs(spark, n: int, dim: int = 32, dup_rate: float = 0.1):
+    """Deterministic synthetic embeddings, generated distributed; every
+    1/dup_rate-th vector duplicates its neighbor (guaranteed near-dups),
+    so the LSH self-collision path always has real work to do."""
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.abs(F.xxhash64(F.col("base_id"), i)) % 1000).cast("double")
+        / 500.0
+        - 1.0,
+    )
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.when(
+                (F.col("id") % int(1 / dup_rate) == 1) & (F.col("id") > 0),
+                F.col("id") - 1,
+            )
+            .otherwise(F.col("id"))
+            .alias("base_id"),
+        )
+        .select("vec_id", vec.alias("embedding"))
+    )
+
+
 def time_op(fn) -> float:
     t0 = time.time()
     fn().write.format("noop").mode("overwrite").save()
@@ -98,6 +124,12 @@ def main() -> None:
         )
     )
     warm_names.unpersist()
+    warm_vecs = synth_vecs(spark, 500).cache()
+    warm_vecs.count()
+    time_op(
+        lambda: SIM.embedding_near_dup_pairs(warm_vecs, dim=32, threshold=0.9)
+    )
+    warm_vecs.unpersist()
 
     results: dict[str, dict] = {}
     for label, n in [("small", small), ("big", big)]:
@@ -123,11 +155,17 @@ def main() -> None:
             )
         )
         names.unpersist()
+        vecs = synth_vecs(spark, n).cache()
+        vecs.count()
+        results[label]["embed_neardup"] = time_op(
+            lambda: SIM.embedding_near_dup_pairs(vecs, dim=32, threshold=0.9)
+        )
+        vecs.unpersist()
 
     ratio_n = big / small
     scaling = {
         op: round(results["big"][op] / max(results["small"][op], 0.01), 1)
-        for op in ("exact", "minhash", "simhash", "jaccard", "fuzzy")
+        for op in ("exact", "minhash", "simhash", "jaccard", "fuzzy", "embed_neardup")
     }
     print(json.dumps({"results": results, "size_ratio": ratio_n, "time_ratio": scaling}))
 
