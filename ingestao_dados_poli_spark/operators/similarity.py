@@ -352,6 +352,73 @@ def nearest_centroid(
     return df.withColumn(out_col, best["c"])
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster_size: int = 4000,
+    score_round: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings by nearest centroid, find
+    within-cluster pairs with cosine >= ``threshold``, take the
+    transitive closure, keep one canonical member (min id) per
+    duplicate group.
+
+    Returns ``(id_col, centroid_id, component, kept)`` for every input
+    row — ``kept`` is true for cluster representatives and all
+    non-duplicated rows.
+
+    Scale shape: centroid assignment is scan-side (broadcast-literal
+    codebook); within-cluster pairs use the capped groupBy/collect_list
+    in-row expansion (ONE map-side-combined shuffle — same contract as
+    dedup.minhash_candidate_pairs); clusters larger than
+    ``max_cluster_size`` are skipped (no dedup inside them) rather than
+    going quadratic — at 100 TB use more centroids so clusters stay
+    bounded, or run embedding_near_dup_pairs (LSH) inside huge
+    clusters. The closure is graph.connected_components (min-label
+    flooding, rounds = cluster diameter, which for similarity
+    thresholds is ~2)."""
+    from ingestao_dados_poli_spark.operators.graph import connected_components
+
+    assigned = nearest_centroid(
+        df, centroids, vec_col=vec_col, score_round=score_round
+    ).select(F.col(id_col), F.col(vec_col), "centroid_id")
+
+    docs = assigned.select(
+        "centroid_id",
+        F.struct(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).alias("doc"),
+    )
+    pairs = (
+        docs.groupBy("centroid_id")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs").between(2, max_cluster_size))
+        .select(F.explode(_pairs_in_group(F.array_sort("docs"))).alias("p"))
+        .select(
+            F.col("p.id_a._id").alias("id_a"),
+            F.col("p.id_b._id").alias("id_b"),
+            cosine("p.id_a._v", "p.id_b._v").cast("double").alias("cos_sim"),
+        )
+    )
+    if score_round is not None:
+        pairs = pairs.withColumn("cos_sim", F.round("cos_sim", score_round))
+    edges = pairs.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b")
+
+    comps = connected_components(
+        edges, src="id_a", dst="id_b", nodes=df.select(id_col), node_col=id_col
+    )
+    return assigned.select(id_col, "centroid_id").join(
+        comps.select(
+            F.col("node").alias(id_col),
+            "component",
+            (F.col("node") == F.col("component")).alias("kept"),
+        ),
+        id_col,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

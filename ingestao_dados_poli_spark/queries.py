@@ -2405,3 +2405,259 @@ def q76_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=len(_CENTROIDS),
         score_round=6,
     )
+
+
+# -------------- 32. streaming dedup / contamination / drift / semantic dedup
+
+@q(
+    "q78_streaming_dedup",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q78_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through the REAL engine: the event stream
+    is unioned with itself (every event arrives twice — the
+    at-least-once-delivery worst case), dropDuplicates(event_id) runs
+    in the micro-batch engine, and the deduped append-mode sink must
+    aggregate back to exactly the single-copy batch numbers. State
+    eviction for unbounded streams (dropDuplicatesWithinWatermark) is
+    exercised in test_streaming."""
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import dedup_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    doubled = src().unionByName(src())
+    deduped = dedup_stream(doubled, ["event_id"])
+    name = f"q78_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q78_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@q(
+    "q79_contamination",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(ws) - 2),
+                   i -> array_to_string(ws[i:i+3], ' ')))) AS g
+        FROM w WHERE len(ws) >= 4),
+    bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 20 = 0),
+    hits AS (
+        SELECT s.doc_id, count(DISTINCT s.g) AS n_shared
+        FROM sh s JOIN bench b ON s.g = b.g AND s.doc_id <> b.bench_id
+        GROUP BY 1)
+    SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared FROM hits
+    """,
+)
+def q79_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection (GPT-3 appendix-C style): flag
+    training documents sharing any 4-gram with a held-out benchmark set
+    (here: every 20th doc). Grams are built all-JVM (posexplode + 4
+    lead() calls over one per-doc window — no interpreted HOF in the
+    hot path) and deduped per doc; the benchmark side is tiny by
+    construction, so the overlap join broadcasts it. At 100 TB hash
+    grams to int64 (xxhash64) before the join to shrink shuffle/build
+    width — string grams kept here for oracle comparability."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    words = docs.select("doc_id", F.posexplode(ws).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("word", i).over(w) for i in range(1, 4)]
+    grams = (
+        words.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("word"), *leads).alias("g"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "g")
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("g").alias("bg")
+    )
+    return (
+        grams.join(
+            F.broadcast(bench),
+            (F.col("g") == F.col("bg")) & (F.col("doc_id") != F.col("bench_id")),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("long").alias("n_shared"))
+    )
+
+
+_PSI_PRIO_A = "1-URGENT"
+_PSI_PRIO_B = "5-LOW"
+_PSI_BINS = 10
+_PSI_WIDTH = 60000.0
+
+@q(
+    "q80_psi_drift",
+    f"""
+    WITH binned AS (
+        SELECT least(CAST(floor(o_totalprice / {_PSI_WIDTH}) AS BIGINT),
+                     {_PSI_BINS - 1}) AS bin,
+               o_orderpriority AS prio
+        FROM orders
+        WHERE o_orderpriority IN ('{_PSI_PRIO_A}', '{_PSI_PRIO_B}')),
+    spine AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin),
+    counts AS (
+        SELECT s.bin,
+               CAST(sum(CASE WHEN b.prio = '{_PSI_PRIO_A}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN b.prio = '{_PSI_PRIO_B}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM spine s LEFT JOIN binned b ON s.bin = b.bin GROUP BY 1),
+    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM counts),
+    terms AS (
+        SELECT ((ca + 0.5) / (ta + 0.5 * {_PSI_BINS})
+              - (cb + 0.5) / (tb + 0.5 * {_PSI_BINS}))
+             * ln(((ca + 0.5) / (ta + 0.5 * {_PSI_BINS}))
+                / ((cb + 0.5) / (tb + 0.5 * {_PSI_BINS}))) AS term
+        FROM counts, tot)
+    SELECT CAST({_PSI_BINS} AS BIGINT) AS n_bins,
+           CAST(round(sum(term), 6) AS DOUBLE) AS psi
+    FROM terms
+    """,
+)
+def q80_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift metric between two slices
+    (order-price distribution of URGENT vs LOW priority orders) over a
+    fixed bin grid: one scan builds both binned histograms via
+    conditional aggregation, a literal bin spine guarantees every bin
+    exists, Laplace smoothing (+0.5) keeps empty bins finite. PSI is
+    THE production drift gate for feature pipelines; everything here is
+    scan-side + one tiny agg, so it costs one pass at any scale."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(_PSI_PRIO_A, _PSI_PRIO_B)
+    )
+    binned = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / _PSI_WIDTH).cast("long"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    # aggregate the fact FIRST (map-side-combined, <= n_bins rows), then
+    # join the tiny histogram to the spine — never shuffle the fact on a
+    # 10-key (skewed) bin column.
+    hist = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("prio") == _PSI_PRIO_A, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("prio") == _PSI_PRIO_B, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    counts = spine.join(hist, "bin", "left").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    sm = 0.5 * _PSI_BINS
+    pa = (F.col("ca") + 0.5) / (F.col("ta") + sm)
+    pb = (F.col("cb") + 0.5) / (F.col("tb") + sm)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        ((pa - pb) * F.log(pa / pb)).alias("term")
+    )
+    return terms.agg(
+        F.lit(_PSI_BINS).cast("long").alias("n_bins"),
+        F.round(F.sum("term"), 6).alias("psi"),
+    )
+
+
+@q(
+    "q81_semantic_dedup",
+    f"""
+    WITH scored AS (
+        SELECT vec_id, embedding, [{_CENTROID_SQL}] AS cs FROM embeddings),
+    a AS (
+        SELECT vec_id, embedding,
+               CASE WHEN cs[1] >= cs[2] AND cs[1] >= cs[3] AND cs[1] >= cs[4] THEN 0
+                    WHEN cs[2] >= cs[3] AND cs[2] >= cs[4] THEN 1
+                    WHEN cs[3] >= cs[4] THEN 2 ELSE 3 END AS centroid_id
+        FROM scored),
+    edges AS (
+        SELECT x.vec_id AS ia, y.vec_id AS ib
+        FROM a x JOIN a y
+          ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                           y.embedding::DOUBLE[]), 6) >= 0.40),
+    sym AS (SELECT ia a, ib b FROM edges UNION ALL SELECT ib, ia FROM edges),
+    comp AS (
+        WITH RECURSIVE walk(node, label) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT s.b, w.label FROM walk w JOIN sym s ON w.node = s.a
+            WHERE w.label < s.b),
+        reach AS (SELECT node, min(label) AS component FROM walk GROUP BY 1)
+        SELECT av.vec_id AS node,
+               coalesce(r.component, av.vec_id) AS component,
+               av.centroid_id
+        FROM a av LEFT JOIN reach r ON av.vec_id = r.node)
+    SELECT centroid_id, count(*) AS n_vectors,
+           CAST(sum(CASE WHEN node = component THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM comp GROUP BY centroid_id
+    """,
+)
+def q81_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (semantic near-dup removal, arXiv:2303.09540): coarse
+    k-means partition → exact within-cluster cosine pairs (capped
+    in-row expansion) → transitive closure → keep the min-id canonical
+    per duplicate group. Reported per centroid as kept/total. The
+    DuckDB oracle recomputes the closure with a recursive CTE, so the
+    distributed flooding + capped pair generation is hash-checked
+    end-to-end. Threshold 0.40 chosen because the synthetic embeddings
+    are random (max within-cluster cosine ~0.51) — real corpora use
+    0.95+."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = SIM.semantic_dedup(
+        emb, _CENTROIDS, threshold=0.40, score_round=6
+    )
+    return out.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+    )

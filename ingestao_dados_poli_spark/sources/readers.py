@@ -55,6 +55,15 @@ def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (predicate pushdown, column projection, partition discovery); kept
+    for zones that standardize on ORC."""
+    if isinstance(path, list):
+        return spark.read.orc(*path)
+    return spark.read.orc(path)
+
+
 def read_json(
     spark: SparkSession,
     path: str,

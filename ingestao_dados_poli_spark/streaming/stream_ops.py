@@ -102,6 +102,27 @@ def sliding_avg(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication on ``id_cols``.
+
+    With ``ts_col``+``watermark``, uses dropDuplicatesWithinWatermark:
+    state for a key is EVICTED once the watermark passes it, so the
+    operator runs forever on an unbounded stream (duplicates are only
+    suppressed within the watermark horizon — the at-least-once-source
+    contract). Without a watermark, state grows with distinct keys —
+    only for bounded backfills."""
+    if ts_col is not None and watermark is not None:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            id_cols
+        )
+    return events.dropDuplicates(id_cols)
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

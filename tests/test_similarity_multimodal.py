@@ -144,6 +144,27 @@ def test_ivf_topk_nprobe_one_prunes_to_probed_partition(spark):
     assert {r.vec_id for r in out} == {0, 1, 2, 3}
 
 
+def test_semantic_dedup_keeps_canonical_per_group(spark):
+    # cluster 0: vecs 0,1,2 are near-identical (dup group) + vec 3 distinct
+    # direction within the same centroid; cluster 1: lone vec 4.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0]),
+        (2, [0.998, 0.002, 0.0]),
+        (3, [0.7, 0.0, 0.7]),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = SIM.semantic_dedup(
+        df, centroids=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], threshold=0.95
+    )
+    got = {r.vec_id: (r.component, r.kept) for r in out.collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (0, False) and got[2] == (0, False)  # merged into 0
+    assert got[3][1] and got[4][1]  # singletons kept
+    assert len(got) == 5
+
+
 def test_multimodal_feature_extraction_plumbing(spark):
     media = MM.synthetic_media(spark, n=30)
     feats = MM.extract_image_features(media, dim=8)

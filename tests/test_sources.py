@@ -14,8 +14,9 @@ from ingestao_dados_poli_spark.sources.readers import (
     quarantine_corrupt,
     read_csv,
     read_json,
+    read_orc,
 )
-from ingestao_dados_poli_spark.sources.writers import write_parquet
+from ingestao_dados_poli_spark.sources.writers import write_orc, write_parquet
 
 
 def test_read_csv_typed_with_quarantine(spark, tmp_path):
@@ -77,6 +78,20 @@ def test_write_parquet_partitioned_prunes(spark, tmp_path):
     back = spark.read.parquet(out).filter(F.col("seg") == "A")
     assert back.count() == 50
     # partition pruning: only the seg=A directory is scanned
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(seg" in plan
+
+
+def test_orc_roundtrip_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", float(i)) for i in range(100)],
+        ["id", "seg", "v"],
+    )
+    out = str(tmp_path / "orc_zone")
+    write_orc(df, out, partition_by=["seg"])
+    back = read_orc(spark, out).filter(F.col("seg") == "A")
+    assert back.count() == 50
+    assert {r.id for r in back.collect()} == {i for i in range(100) if i % 2}
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(seg" in plan
 

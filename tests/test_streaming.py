@@ -146,6 +146,46 @@ def test_sliding_avg(spark, event_dir, tmp_path):
     assert out[("2023-12-31 23:59:00", "click")] == pytest.approx(7.0 / 3)
 
 
+def test_dedup_stream_drops_duplicate_ids(spark, event_dir, tmp_path):
+    # duplicated delivery: the same source unioned with itself
+    src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA).unionByName(
+        S.read_file_stream(spark, event_dir, EVENT_SCHEMA)
+    )
+    deduped = S.dedup_stream(src, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_plain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_plain").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_dedup_stream_within_watermark(spark, event_dir, tmp_path):
+    # watermarked variant: same dedup result on this bounded input, but
+    # the operator is dropDuplicatesWithinWatermark — state is evictable,
+    # so it runs forever on unbounded streams.
+    src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA).unionByName(
+        S.read_file_stream(spark, event_dir, EVENT_SCHEMA)
+    )
+    deduped = S.dedup_stream(src, ["event_id"], ts_col="ts", watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_ddwm"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_wm").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3, 4, 5]
+
+
 def test_write_stream_parquet_roundtrip(spark, event_dir, tmp_path):
     src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA)
     out_path = str(tmp_path / "out")
