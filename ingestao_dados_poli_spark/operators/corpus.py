@@ -1,0 +1,258 @@
+"""Training-corpus preparation operators: chunking, deterministic
+splits, sequence packing, entropy scoring, token filtering, per-group
+sampling.
+
+These are the ops a 100 TB LLM-data pipeline runs between raw ingest
+and tokenizer sharding. None exists in the reference (a coursework ETL
+— see SURVEY §2 scope note); they extend the engine the way
+`operators/dedup.py` does, and every one is expressed with scan-side
+built-ins + windowed aggregation so Catalyst keeps them in
+whole-stage codegen:
+
+- no Python UDFs anywhere in this module;
+- no driver collects; every op returns an unexecuted DataFrame;
+- windows are PARTITIONED (per source/group), never global — a global
+  ORDER BY window funnels 100 TB through one task, so `pack_sequences`
+  requires explicit partition columns and packs per stream shard,
+  which is how real pipelines shard anyway (per source/dump/crawl).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size character windows that
+    overlap by ``overlap`` chars (context-window prep for embedding /
+    tokenizer stages).
+
+    Chunk k starts at 1 + k*stride (stride = chunk_size - overlap) and
+    takes ``chunk_size`` chars; the last chunk is short rather than
+    padded. Empty documents yield one empty chunk (the row survives,
+    which keeps doc-level joins lossless).
+
+    Scale shape: `sequence` + `explode` + `substring` are all
+    scan-side codegen — zero shuffles, output rows ≈ input_bytes /
+    stride regardless of document skew. The per-row `sequence` array
+    holds chunk START OFFSETS (≤ len/stride ints), never the chunks
+    themselves, so peak row memory is O(len + len/stride), not
+    O(len * chunks)."""
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_size ({chunk_size})"
+        )
+    stride = chunk_size - overlap
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(F.col(text_col)), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        df.withColumn("chunk_start", F.explode(starts))
+        .withColumn(
+            "chunk_text",
+            F.substring(F.col(text_col), F.col("chunk_start"), chunk_size),
+        )
+        .withColumn(
+            "chunk_id",
+            ((F.col("chunk_start") - F.lit(1)) / F.lit(stride)).cast("int"),
+        )
+        .drop(text_col)
+    )
+
+
+def hash_bucket(col: Column, n_buckets: int = 4096) -> Column:
+    """Deterministic uniform bucket in [0, n_buckets) from the md5 of a
+    column's string form.
+
+    md5 (not xxhash64) because every engine computes the identical
+    digest — the split a row lands in is reproducible across Spark,
+    DuckDB, and any future backend, which is the property a train/test
+    split must have. First 8 hex chars = 32 uniform bits, plenty for
+    any practical bucket count; the cost is one scan-side hash."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str,
+    splits: dict[str, float],
+    split_col: str = "split",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test/...) by hashing
+    its id — deterministic, order-independent, and stable when the
+    dataset grows (a row's split never changes as other rows arrive,
+    unlike randomSplit which reshuffles membership on every change).
+
+    ``splits`` maps name → weight; weights are normalized. Assignment
+    is by consecutive bucket ranges in iteration order. Scan-side only
+    — no shuffle, no RNG state."""
+    total = sum(splits.values())
+    if total <= 0:
+        raise ValueError("split weights must sum > 0")
+    bucket = hash_bucket(F.col(id_col), n_buckets)
+    expr: Column | None = None
+    upper = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        upper += splits[name] / total * n_buckets
+        cond = bucket < int(round(upper))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    partition_cols: Sequence[str],
+    order_col: str,
+    token_col: str,
+    budget: int,
+    pack_col: str = "pack_id",
+    offset_col: str = "token_offset",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay documents end-to-end in
+    deterministic ``order_col`` order within each partition group and
+    assign pack_id = floor(start_offset / budget) — the packing used
+    when training corpora are concatenated and sliced into fixed-size
+    context windows (GPT-style). A document whose tokens straddle a
+    budget boundary belongs to the pack where it STARTS.
+
+    Scale shape: one window per partition group (shuffle on
+    ``partition_cols``, then a linear cumulative sum). Partition
+    columns are required — packing is per stream shard (source, dump,
+    shard_id), never a global order, so the window parallelizes across
+    groups. Use enough groups that each holds ≲ executor-memory worth
+    of rows."""
+    if not partition_cols:
+        raise ValueError(
+            "pack_sequences requires partition_cols: a global-order pack "
+            "would serialize the corpus through one task; pack per shard"
+        )
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("bigint")
+    return df.withColumn(offset_col, offset).withColumn(
+        pack_col, F.floor(F.col(offset_col) / budget).cast("bigint")
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "entropy_bits",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Shannon entropy (bits) of each document's whitespace-token
+    distribution — a cheap quality/diversity signal: boilerplate and
+    keyword-stuffed spam score low, natural prose scores high
+    (complements the Gopher-style rule filters in functions/text.py).
+
+    Distributed shape: explode tokens → count per (doc, token) →
+    -Σ p·log2 p per doc. Two shuffles, both on doc-prefixed keys with
+    map-side partial aggregation, so traffic after the first combine
+    is bounded by DISTINCT tokens per doc, not token instances. All
+    JVM built-ins — the explode never leaves codegen. Documents with
+    zero tokens drop out (inner explode); left-join the source if
+    every doc must survive."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("_tok"),
+    )
+    counts = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_n"))
+    totals = counts.groupBy(id_col).agg(
+        F.sum("_n").alias("_total"),
+        F.sum(F.col("_n") * F.log2("_n")).alias("_nlogn"),
+    )
+    # H = log2(T) - (Σ n·log2 n)/T  — single pass, no per-token division.
+    ent = F.log2("_total") - F.col("_nlogn") / F.col("_total")
+    if round_to is not None:
+        ent = F.round(ent, round_to)
+    return totals.select(
+        F.col(id_col),
+        F.col("_total").cast("bigint").alias("n_tokens"),
+        ent.cast("double").alias(out_col),
+    )
+
+
+def token_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    blacklist: Sequence[str] = (),
+    min_len: int = 1,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style in-document cleanup: drop blacklisted and too-short
+    whitespace tokens, reassemble the text, and report how many tokens
+    survived (C4 drops lines with bad words; this corpus is one line
+    per document, so the unit of removal is the token).
+
+    Scan-side only: `filter` higher-order function with a literal
+    lambda stays in codegen — no explode, no shuffle, no UDF. The
+    blacklist is a Column literal array; for blacklists too large for
+    a literal (>~1e3 terms) use a broadcast join against an exploded
+    token table instead."""
+    bl = F.array(*[F.lit(w) for w in blacklist])
+    kept = F.filter(
+        F.split(F.col(text_col), " "),
+        lambda t: (F.length(t) >= min_len) & ~F.array_contains(bl, t),
+    )
+    return df.withColumn(out_col, F.array_join(kept, " ")).withColumn(
+        "n_kept_tokens", F.size(kept).cast("bigint")
+    )
+
+
+def group_sample(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    id_col: str,
+    n: int,
+    rank_col: str = "_sample_rank",
+) -> DataFrame:
+    """Deterministic per-group sample of exactly min(n, group size)
+    rows: rank rows inside each group by md5(id) — a uniform,
+    reproducible pseudo-random order — and keep the first n.
+    Reservoir-sampling semantics without RNG state, so reruns and
+    backfills pick identical rows (what a data-mixing stage needs;
+    contrast sampleBy, which is fraction-based and run-stable only
+    under identical partitioning).
+
+    Scale shape: one shuffle on group_cols; rank is a windowed
+    row_number. Skewed groups bound the task size at O(largest
+    group) — for pathological single-group corpora pre-salt the
+    group key."""
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+        .drop(rank_col)
+    )

@@ -29,6 +29,7 @@ from ingestao_dados_poli_spark.functions.locale import (
     parse_decimal_comma,
 )
 from ingestao_dados_poli_spark.functions.vectors import cosine
+from ingestao_dados_poli_spark.operators import corpus as CO
 from ingestao_dados_poli_spark.operators import dedup as DD
 from ingestao_dados_poli_spark.operators import fuzzy as FZ
 from ingestao_dados_poli_spark.operators import graph as G
@@ -2660,4 +2661,296 @@ def q81_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+
+
+# ------------------------------------------- 35. corpus prep: chunking
+
+@q(
+    "q82_doc_chunking",
+    """
+    WITH starts AS (
+        SELECT doc_id, source,
+               unnest(generate_series(1, greatest(length(text), 1), 150))
+                   AS chunk_start,
+               text
+        FROM documents)
+    SELECT doc_id, source,
+           CAST((chunk_start - 1) // 150 AS INTEGER) AS chunk_id,
+           CAST(chunk_start AS INTEGER) AS chunk_start,
+           substr(text, chunk_start, 200) AS chunk_text
+    FROM starts
+    """,
+)
+def q82_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (200-char windows, 50-char
+    overlap → stride 150): sequence+explode+substring, all scan-side
+    codegen, zero shuffles — the context-window prep stage before
+    embedding/tokenization. Oracle recomputes with generate_series +
+    substr (both engines define substring as 1-based length-capped)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CO.chunk_documents(
+        docs, chunk_size=200, overlap=50
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_id",
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        "chunk_text",
+    )
+
+
+# ----------------------------------- 36. corpus prep: deterministic split
+
+@q(
+    "q83_hash_split",
+    """
+    WITH b AS (
+        SELECT source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 4096 AS bucket
+        FROM documents)
+    SELECT CASE WHEN bucket < 3277 THEN 'train'
+                WHEN bucket < 3687 THEN 'val'
+                ELSE 'test' END AS split,
+           source, count(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q83_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test split (80/10/10): a
+    row's split is a pure function of its id — stable under reruns,
+    appends, and engine changes, unlike randomSplit. Scan-side hash +
+    CASE, no shuffle before the count agg. The oracle recomputes the
+    identical md5 buckets in DuckDB, proving cross-engine split
+    reproducibility (the property that matters for 100 TB backfills)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = CO.hash_split(
+        docs,
+        id_col="doc_id",
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ------------------------------------- 37. corpus prep: sequence packing
+
+@q(
+    "q84_sequence_packing",
+    """
+    SELECT doc_id, source,
+           CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING)
+                - n_chars AS BIGINT) AS token_offset,
+           CAST((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)
+                 - n_chars) // 2000 AS BIGINT) AS pack_id
+    FROM documents
+    """,
+)
+def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (GPT-style): documents laid
+    end-to-end per source shard in doc_id order; pack_id =
+    floor(start_offset / 2000). ONE shuffle (on source) then a linear
+    windowed cumsum per shard — never a global order, so shards pack
+    in parallel at any scale. Weight column is n_chars (the packing
+    math is weight-agnostic)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CO.pack_sequences(
+        docs,
+        partition_cols=["source"],
+        order_col="doc_id",
+        token_col="n_chars",
+        budget=2000,
+    ).select("doc_id", "source", "token_offset", "pack_id")
+
+
+# --------------------------------------- 38. corpus prep: token entropy
+
+@q(
+    "q85_token_entropy",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS tok
+        FROM documents),
+    counts AS (
+        SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS DOUBLE)
+               AS entropy_bits
+    FROM counts GROUP BY doc_id
+    """,
+)
+def q85_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    low-entropy tail is boilerplate/spam (complements Gopher rules,
+    q72). Two map-side-combined shuffles on doc-prefixed keys; the
+    H = log2(T) − Σn·log2 n / T identity avoids per-token division.
+    Oracle recomputes token counts via unnest."""
+    docs = _t(spark, sf_dir, "documents")
+    return CO.token_entropy(docs)
+
+
+# ------------------------------------ 39. corpus prep: token blacklist
+
+@q(
+    "q86_token_filter",
+    """
+    WITH kept AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '),
+                           t -> length(t) >= 3
+                                AND NOT list_contains(['the', 'a'], t))
+                   AS toks
+        FROM documents)
+    SELECT doc_id,
+           CAST(length(toks) AS BIGINT) AS n_kept_tokens,
+           array_to_string(toks, ' ') AS clean_text
+    FROM kept
+    """,
+)
+def q86_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style in-document cleanup re-expressed at token granularity
+    (this corpus is one line per doc): drop blacklisted/too-short
+    tokens, reassemble. The filter() higher-order function with a
+    literal lambda stays in whole-stage codegen — no explode, no
+    shuffle, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return CO.token_filter(
+        docs, blacklist=["the", "a"], min_len=3
+    ).select("doc_id", "n_kept_tokens", "clean_text")
+
+
+# ------------------------------- 40. corpus prep: per-group sampling
+
+@q(
+    "q87_group_sample",
+    """
+    SELECT doc_id, source, lang
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+    """,
+)
+def q87_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sample of exactly 20 docs: rank by
+    md5(id) inside each group — reservoir-sampling semantics with no
+    RNG state, identical rows on rerun/backfill (what a data-mixing
+    stage needs). One shuffle on the group key; oracle is the same
+    rank in DuckDB, so the sampled SET is hash-checked, not just its
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    return CO.group_sample(
+        docs, group_cols=["source"], id_col="doc_id", n=20
+    ).select("doc_id", "source", "lang")
+
+
+# ----------------------------------------- 41. window: lag / delta
+
+@q(
+    "q88_lag_delta",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                    AS VARCHAR) AS day,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS daily_total
+        FROM orders GROUP BY 1)
+    SELECT day, daily_total,
+           lag(daily_total) OVER (ORDER BY day) AS prev_total,
+           CAST(round(daily_total
+                      - coalesce(lag(daily_total) OVER (ORDER BY day),
+                                 daily_total), 2) AS DOUBLE) AS delta
+    FROM daily
+    """,
+)
+def q88_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta via lag() — the lead/lag window
+    family (q13 covers running sums, q20 session gaps). The global
+    ORDER BY window is over the DAILY aggregate (≤ a few thousand
+    rows at any corpus size), not the fact table — aggregate first,
+    window second, so the single-task window stage is bounded."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("string").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("daily_total"))
+    w = Window.orderBy("day")
+    prev = F.lag("daily_total").over(w)
+    return daily.select(
+        "day",
+        "daily_total",
+        prev.alias("prev_total"),
+        F.round(
+            F.col("daily_total") - F.coalesce(prev, F.col("daily_total")), 2
+        ).alias("delta"),
+    )
+
+
+# ------------------------------- 42. streaming: stream-static enrich
+
+@q(
+    "q89_streaming_enrich",
+    """
+    SELECT CAST(TIMESTAMP '1970-01-01 00:00:00'
+                + to_seconds(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+                AS VARCHAR) AS window_start,
+           c_mktsegment,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q89_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: readStream(events) ⋈ broadcast static
+    customer dim → watermarked 6 h tumbling aggregate, through the
+    REAL Structured Streaming engine (availableNow → memory sink).
+    The static side re-broadcasts per micro-batch (Spark's documented
+    stream-static join model); at 100 TB/day the dim stays a
+    broadcast, the stream never shuffles before the windowed agg.
+    Oracle is the batch equivalent over the same tables."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    dim = F.broadcast(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .join(dim, F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "6 hours"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    name = f"q89_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q89_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window.start").cast("string").alias("window_start"),
+        "c_mktsegment",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
     )

@@ -1,0 +1,135 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.operators import corpus as CO
+
+
+def test_chunk_documents_overlap_reconstruction(spark):
+    text = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    out = CO.chunk_documents(df, chunk_size=100, overlap=20).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # stride 80: starts 1, 81, 161, 241 → 4 chunks
+    assert [r.chunk_start for r in c1] == [1, 81, 161, 241]
+    assert all(len(r.chunk_text) == 100 for r in c1[:-1])
+    assert len(c1[-1].chunk_text) == 260 - 240
+    # consecutive chunks overlap by exactly 20 chars
+    for a, b in zip(c1, c1[1:]):
+        assert a.chunk_text[-20:] == b.chunk_text[:20]
+    # stitching non-overlapped prefixes reconstructs the document
+    stitched = "".join(r.chunk_text[:80] for r in c1[:-1]) + c1[-1].chunk_text
+    assert stitched == text
+    # empty doc survives as one empty chunk
+    assert [(r.chunk_id, r.chunk_text) for r in by_doc[2]] == [(0, "")]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        CO.chunk_documents(df, chunk_size=10, overlap=10)
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = CO.hash_split(df, id_col="doc_id", splits=splits)
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    # uniform md5 buckets: expect ~1600/200/200, allow wide tolerance
+    assert 1450 < counts["train"] < 1750
+    assert 120 < counts["val"] < 280
+    assert 120 < counts["test"] < 280
+    # stability: membership is a pure function of the id, so a subset
+    # gets the identical assignment (appends never move rows)
+    sub = CO.hash_split(
+        df.filter(F.col("doc_id") < 500), id_col="doc_id", splits=splits
+    )
+    full = {r.doc_id: r.split for r in a.filter(F.col("doc_id") < 500).collect()}
+    assert {r.doc_id: r.split for r in sub.collect()} == full
+
+
+def test_hash_split_rejects_zero_weights(spark):
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        CO.hash_split(df, id_col="doc_id", splits={"a": 0.0})
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    rows = [("s", i, w) for i, w in enumerate([500, 700, 900, 1200, 100])]
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+    out = {
+        r.doc_id: (r.token_offset, r.pack_id)
+        for r in CO.pack_sequences(
+            df,
+            partition_cols=["src"],
+            order_col="doc_id",
+            token_col="toks",
+            budget=1000,
+        ).collect()
+    }
+    # offsets 0, 500, 1200, 2100, 3300 → packs 0,0,1,2,3
+    assert out == {0: (0, 0), 1: (500, 0), 2: (1200, 1), 3: (2100, 2), 4: (3300, 3)}
+
+
+def test_pack_sequences_requires_partitions(spark):
+    df = spark.createDataFrame([("s", 1, 1)], "src string, doc_id long, toks long")
+    with pytest.raises(ValueError):
+        CO.pack_sequences(
+            df, partition_cols=[], order_col="doc_id", token_col="toks", budget=10
+        )
+
+
+def test_token_entropy_known_distributions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # H = 0
+            (2, "a b c d"),          # H = 2 bits
+            (3, "a a b b c c d d"),  # H = 2 bits
+            (4, "  a   b  "),        # extra whitespace ignored → H = 1
+            (5, ""),                 # no tokens → row drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.entropy_bits) for r in CO.token_entropy(df).collect()}
+    assert out[1] == (4, 0.0)
+    assert out[2] == (4, 2.0)
+    assert out[3] == (8, 2.0)
+    assert out[4][0] == 2 and math.isclose(out[4][1], 1.0)
+    assert 5 not in out
+
+
+def test_token_filter_blacklist_and_length(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is a fox")], "doc_id long, text string"
+    )
+    r = CO.token_filter(df, blacklist=["the", "a"], min_len=3).collect()[0]
+    assert r.clean_text == "quick brown fox fox"
+    assert r.n_kept_tokens == 4
+
+
+def test_group_sample_exact_and_deterministic(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = CO.group_sample(df, group_cols=["g"], id_col="doc_id", n=7)
+    got = sorted((r.g, r.doc_id) for r in out.collect())
+    per_group: dict[str, int] = {}
+    for g, _ in got:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert per_group == {"0": 7, "1": 7, "2": 7}
+    # rerun picks the identical rows
+    again = sorted(
+        (r.g, r.doc_id)
+        for r in CO.group_sample(df, group_cols=["g"], id_col="doc_id", n=7).collect()
+    )
+    assert again == got
+    # small groups return the whole group, not an error
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, g string")
+    assert CO.group_sample(tiny, group_cols=["g"], id_col="doc_id", n=7).count() == 2
