@@ -2954,3 +2954,48 @@ def q89_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+# ------------------------------- 43. mergeable sketch rollup (HLL)
+
+@q(
+    "q90_hll_rollup",
+    """
+    SELECT source,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS exact_distinct_fp,
+           TRUE AS hll_within_5pct
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q90_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the continuous-aggregate primitive at
+    100 TB: build Datasketches HLL sketches at FINE grain
+    (source × lang), then roll up to source by merging SKETCH STATE
+    (hll_union_agg) without re-touching rows. A real pipeline persists
+    the fine-grain sketch table and answers any coarser distinct-count
+    from it; appending a day merges one new sketch row per group
+    instead of rescanning history. Oracle contract (q64 pattern): the
+    exact distinct count hash-matches DuckDB and the HLL estimate
+    crosses as a |approx−exact|/exact ≤ 5% boolean asserted literal
+    TRUE — HLL register state is a max over hashes, so the estimate is
+    order-insensitive and the boolean deterministic."""
+    docs = _t(spark, sf_dir, "documents").withColumn("fp", F.md5("text"))
+    fine = docs.groupBy("source", "lang").agg(
+        F.hll_sketch_agg("fp", F.lit(12)).alias("sk")
+    )
+    rolled = fine.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx")
+    )
+    exact = docs.groupBy("source").agg(
+        F.count_distinct("fp").alias("exact_distinct_fp")
+    )
+    return exact.join(rolled, "source").select(
+        "source",
+        F.col("exact_distinct_fp").cast("long").alias("exact_distinct_fp"),
+        (
+            F.abs(F.col("_approx") - F.col("exact_distinct_fp"))
+            / F.col("exact_distinct_fp")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+    )

@@ -133,3 +133,65 @@ def test_group_sample_exact_and_deterministic(spark):
     # small groups return the whole group, not an error
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, g string")
     assert CO.group_sample(tiny, group_cols=["g"], id_col="doc_id", n=7).count() == 2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_corpus_plan_shapes(spark):
+    """Shuffle-shape contracts: the scan-side ops must compile to plans
+    with ZERO Exchange operators; the windowed ops to exactly ONE
+    (their group-key hash partitioning)."""
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), "tok " * 20) for i in range(50)],
+        "doc_id long, source string, text string",
+    ).withColumn("n_chars", F.length("text"))
+
+    chunked = CO.chunk_documents(df, chunk_size=10, overlap=2)
+    assert "Exchange" not in _plan(chunked)
+
+    split = CO.hash_split(
+        df, id_col="doc_id", splits={"train": 0.9, "test": 0.1}
+    )
+    assert "Exchange" not in _plan(split)
+
+    filtered = CO.token_filter(df, blacklist=["tok"], min_len=1)
+    assert "Exchange" not in _plan(filtered)
+
+    packed = CO.pack_sequences(
+        df,
+        partition_cols=["source"],
+        order_col="doc_id",
+        token_col="n_chars",
+        budget=100,
+    )
+    assert _plan(packed).count("Exchange") == 1
+
+    sampled = CO.group_sample(df, group_cols=["source"], id_col="doc_id", n=5)
+    assert _plan(sampled).count("Exchange") == 1
+
+
+def test_hll_rollup_merge_matches_direct_sketch(spark):
+    """Merging fine-grain HLL sketches (hll_union_agg) estimates the
+    same cardinality as sketching the whole column directly — the
+    property that makes incremental rollups sound. Not bit-identical:
+    Datasketches union can promote the sketch mode, so the register
+    state (and estimate) may differ by a hair — assert tolerance, not
+    equality."""
+    df = spark.createDataFrame(
+        [(i % 400, "g%d" % (i % 7)) for i in range(2000)], "v long, g string"
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12))).alias("e")
+    ).collect()[0].e
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("v", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert abs(merged - direct) / direct <= 0.02
+    assert abs(direct - 400) / 400 <= 0.05
+    assert abs(merged - 400) / 400 <= 0.05
