@@ -2999,3 +2999,77 @@ def q90_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("hll_within_5pct"),
     )
+
+
+# --------------------------- 44. streaming: foreachBatch incremental upsert
+
+@q(
+    "q91_streaming_upsert",
+    """
+    SELECT user_id, event_id,
+           CAST(ts AS VARCHAR) AS last_ts,
+           CAST(round(value, 2) AS DOUBLE) AS last_value
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q91_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: the changelog is re-sharded into 4 files and
+    streamed with maxFilesPerTrigger=1, so foreachBatch runs 4 REAL
+    micro-batches, each compacting its batch to latest-per-key and
+    merging it into a versioned parquet snapshot (merge_upsert =
+    union + latest-wins window; the table-format-free MERGE INTO).
+    The final snapshot equals batch keep-latest over the whole
+    changelog REGARDLESS of how rows were batched — the merge order
+    key struct(ts, event_id) is a total order per user, so the fold is
+    associative; that batching-invariance is exactly what the oracle
+    hash-checks. At 100 TB the snapshot is a bucketed table on the
+    merge key and each micro-batch pays one co-located window, not a
+    rescan of history."""
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q91_")
+    shard_dir = f"{work}/shards"
+    ev.repartition(4).write.mode("overwrite").parquet(shard_dir)
+
+    snap_versions: list[str] = []
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        compact = R.dedup_keep_first(
+            batch_df,
+            ["user_id"],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        ).withColumn("_ord", F.struct("ts", "event_id"))
+        if snap_versions:
+            base = batch_df.sparkSession.read.parquet(snap_versions[-1])
+            merged = R.merge_upsert(base, compact, ["user_id"], "_ord")
+        else:
+            merged = compact
+        out = f"{work}/snap_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        snap_versions.append(out)
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(shard_dir)
+    )
+    query = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{work}/ck_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    assert len(snap_versions) >= 2, "expected multiple micro-batches"
+    final = spark.read.parquet(snap_versions[-1])
+    return final.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("string").alias("last_ts"),
+        F.round("value", 2).alias("last_value"),
+    )
