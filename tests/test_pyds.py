@@ -1,0 +1,105 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.sources import pyds
+from ingestao_dados_poli_spark.sources.pyds import (
+    _Range,
+    _SynthDocsReader,
+)
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    IsNotNull,
+    LessThan,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    pyds.register(spark)
+
+
+def test_synthdocs_partitioned_read(spark):
+    df = (
+        spark.read.format("synthdocs")
+        .option("rows", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    assert df.count() == 5000
+    assert df.rdd.getNumPartitions() == 8
+    assert df.columns == ["doc_id", "source", "text", "n_chars"]
+    # deterministic: same options → identical rows
+    a = sorted(r.text for r in df.filter(F.col("doc_id") < 20).collect())
+    b = sorted(
+        r.text
+        for r in spark.read.format("synthdocs")
+        .option("rows", "5000")
+        .option("partitions", "8")
+        .load()
+        .filter(F.col("doc_id") < 20)
+        .collect()
+    )
+    assert a == b
+
+
+def test_synthdocs_filter_pushdown_prunes_partitions(spark):
+    # engine-level: the filtered read returns exactly the pruned range
+    df = (
+        spark.read.format("synthdocs")
+        .option("rows", "5000")
+        .load()
+        .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 130))
+    )
+    assert sorted(r.doc_id for r in df.collect()) == list(range(100, 130))
+
+    # unit-level: pushFilters shrinks the generation interval and
+    # passes unsupported predicates back to Spark
+    reader = _SynthDocsReader({"rows": "5000", "partitions": "4"})
+    remaining = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 100),
+                LessThan(("doc_id",), 130),
+                IsNotNull(("doc_id",)),
+                EqualTo(("source",), "src_1"),
+            ]
+        )
+    )
+    assert (reader.lo, reader.hi) == (100, 130)
+    assert {type(f).__name__ for f in remaining} == {"IsNotNull", "EqualTo"}
+    parts = reader.partitions()
+    assert parts[0].start == 100 and parts[-1].end == 130
+    assert sum(p.end - p.start for p in parts) == 30
+
+
+def test_synthdocs_empty_after_pushdown(spark):
+    reader = _SynthDocsReader({"rows": "10"})
+    list(reader.pushFilters([EqualTo(("doc_id",), 50)]))  # out of range
+    parts = reader.partitions()
+    assert sum(p.end - p.start for p in parts) == 0
+    assert list(reader.read(_Range(5, 5))) == []
+
+
+def test_jsonlsink_roundtrip_with_manifest(spark, tmp_path):
+    df = (
+        spark.read.format("synthdocs")
+        .option("rows", "200")
+        .option("partitions", "3")
+        .load()
+    )
+    out = str(tmp_path / "sink")
+    df.write.format("jsonlsink").mode("append").option("path", out).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["rows"] == 200
+    assert all(os.path.exists(p) for p in manifest["files"])
+    back = spark.read.json(manifest["files"])
+    assert back.count() == 200
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == list(
+        range(200)
+    )
