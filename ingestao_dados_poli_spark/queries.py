@@ -3073,3 +3073,212 @@ def q91_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("string").alias("last_ts"),
         F.round("value", 2).alias("last_value"),
     )
+
+
+# --------------------------- 45. streaming: stream-stream interval join
+
+@q(
+    "q92_streaming_interval_join",
+    """
+    SELECT a.event_id AS err_id,
+           b.event_id AS click_id,
+           a.user_id AS user_id,
+           CAST(a.ts AS VARCHAR) AS err_ts,
+           CAST(b.ts AS VARCHAR) AS click_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'click'
+     AND b.ts BETWEEN a.ts - INTERVAL 60 MINUTE AND a.ts
+    """,
+)
+def q92_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (funnel/attribution): clicks within
+    the hour preceding an error by the same user, joined through the
+    REAL streaming engine — two file streams, watermarks on both
+    sides, event-time range condition, append sink. The watermark +
+    60 min lookback bound the join state, so buffered rows are evicted
+    as event time advances — the property that lets this run forever
+    at 100 TB/day while an unconstrained stream-stream join would
+    buffer both streams whole. Oracle is the identical batch join."""
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        interval_join_streams,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def ev_stream() -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    errors = ev_stream().filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    clicks = ev_stream().filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = interval_join_streams(
+        errors, clicks, keys=["user_id"], lookback="60 minutes",
+        watermark="30 minutes",
+    )
+    name = f"q92_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q92_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        "err_id",
+        "click_id",
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_ts").cast("string").alias("err_ts"),
+        F.col("r_ts").cast("string").alias("click_ts"),
+    )
+
+
+# ------------------------------------------ 46. EWMA (exact window math)
+
+@q(
+    "q93_ewma",
+    """
+    WITH base AS (
+        SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+               round(sum(o_totalprice), 2) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ), seq AS (
+        SELECT n_name, yr, x,
+               CAST(round(x * 100) AS BIGINT) AS xc,
+               row_number() OVER (PARTITION BY n_name ORDER BY yr) AS t,
+               first_value(CAST(round(x * 100) AS BIGINT)) OVER (
+                   PARTITION BY n_name ORDER BY yr) AS x1c
+        FROM base
+    ), cum AS (
+        SELECT n_name, yr, x, t, x1c,
+               sum(xc * CAST(power(2.0, t) AS BIGINT)) OVER (
+                   PARTITION BY n_name ORDER BY yr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+        FROM seq
+    )
+    SELECT n_name, yr, CAST(x AS DOUBLE) AS yearly_revenue,
+           CAST(round(power(0.5, t) * (0.5 * CAST(u AS DOUBLE) + x1c))
+                / 100.0 AS DOUBLE) AS ewma
+    FROM cum
+    """,
+)
+def q93_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over a per-group time
+    series, in PURE window algebra — no UDF, no recursion, no
+    driver loop. The recurrence e_t = a*x_t + (1-a)*e_(t-1) has the
+    closed form e_t = (1-a)^t * (a*U_t + x_1) with
+    U_t = cumsum(x_k * (1-a)^(-k)), i.e. one row_number, one
+    first_value, one cumulative sum — all partial-aggregatable window
+    ops that scale to any number of groups. a = 0.5 makes every
+    rescale an EXACT power-of-two multiply, and the cumsum runs over
+    INTEGER CENTS (x*100*2^t, ~1e12 max, well under 2^53) so every
+    intermediate is an exact dyadic rational — Spark and DuckDB agree
+    bitwise (DuckDB's segment-tree window sum reorders float adds, so
+    a double cumsum would straddle rounding boundaries) and the
+    oracle hash-checks the math, not a tolerance. The final round
+    also happens IN CENTS: rounding after /100 would hit half-cent
+    boundaries where Spark's shortest-string HALF_UP round and
+    DuckDB's true-binary-value round legitimately disagree."""
+    a = 0.5
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    base = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    xc = F.round(F.col("x") * 100).cast("long")
+    seq = base.select(
+        "n_name", "yr", "x",
+        xc.alias("xc"),
+        F.row_number().over(w).alias("t"),
+        F.first(xc).over(w).alias("x1c"),
+    )
+    cum = seq.withColumn(
+        "u",
+        F.sum(
+            (F.col("xc") * F.pow(F.lit(2.0), F.col("t"))).cast("long")
+        ).over(wc),
+    )
+    return cum.select(
+        "n_name",
+        "yr",
+        F.col("x").alias("yearly_revenue"),
+        (
+            F.round(
+                F.pow(F.lit(1 - a), F.col("t"))
+                * (a * F.col("u") + F.col("x1c")),
+                0,
+            )
+            / 100.0
+        ).alias("ewma"),
+    )
+
+
+# ----------------------- 47. boilerplate n-gram detection (corpus-wide)
+
+@q(
+    "q94_boilerplate_ngrams",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS ngram
+        FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) t
+    ),
+    freq AS (SELECT ngram, count(*) AS doc_freq FROM grams GROUP BY ngram)
+    SELECT ngram, CAST(doc_freq AS BIGINT) AS doc_freq
+    FROM freq
+    ORDER BY doc_freq DESC, ngram
+    LIMIT 20
+    """,
+)
+def q94_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detection: 5-grams ranked by the number
+    of DISTINCT documents containing them — the pre-pass an LLM data
+    pipeline runs to find repeated headers/footers/licenses worth
+    stripping. Shape: one in-row n-gram expansion (transform over
+    sequence — no UDF), explode, per-doc distinct, one map-side-
+    combined groupBy, TakeOrderedAndProject top-k. At 100 TB the
+    group key would be xxhash64(ngram) (8-byte shuffle rows) with the
+    string joined back for the tiny top-k only; the string key stays
+    here so the oracle checks values directly."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 5
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 4),
+                    lambda i: F.array_join(F.slice("w", i, 5), " "),
+                )
+            ).alias("ngram"),
+        )
+        .distinct()
+    )
+    freq = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return freq.orderBy(F.col("doc_freq").desc(), F.col("ngram")).limit(20)

@@ -225,6 +225,53 @@ def _duration_ms(s: str) -> int:
     return int(n) * mult
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "60 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join bounded by an event-time interval:
+    right rows within ``[left_ts - lookback, left_ts]`` for equal
+    ``keys`` — the funnel/attribution primitive (e.g. clicks preceding
+    an error).
+
+    Both inputs get watermarks and the join carries an explicit
+    event-time range condition; together they let the engine EVICT
+    buffered rows once they can no longer match (state is bounded by
+    watermark + lookback, so the join runs forever on unbounded
+    streams — an unconstrained stream-stream join would buffer both
+    sides entirely). Output mode must be append (stream-stream join
+    contract). Also works on batch frames (same plan, minus state).
+    """
+    l = left.select(
+        *[F.col(k).alias(f"l_{k}") for k in keys],
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+    )
+    r = right.select(
+        *[F.col(k).alias(f"r_{k}") for k in keys],
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c) for c in right.columns if c not in keys and c != right_ts],
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"l_{k}") == F.col(f"r_{k}"))
+    cond = (
+        cond
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return l.join(r, cond)
+
+
 def write_stream_parquet(
     df: DataFrame,
     path: str,

@@ -192,3 +192,47 @@ def test_write_stream_parquet_roundtrip(spark, event_dir, tmp_path):
     q = S.write_stream_parquet(src, out_path, str(tmp_path / "ck3"))
     q.awaitTermination(120)
     assert spark.read.parquet(out_path).count() == 5
+
+
+def test_interval_join_streams(spark, event_dir, tmp_path):
+    # clicks within 2 minutes BEFORE each view, same user. From the
+    # fixture: view id=3 (user 1, 00:02:10) should match click id=2
+    # (00:00:40, 90s before) but not id=1 (00:00:10, 120s+ before the
+    # lookback edge is inclusive at exactly 2min: 00:02:10-2min=00:00:10,
+    # so id=1 IS on the boundary and matches too).
+    views = S.read_file_stream(spark, event_dir, EVENT_SCHEMA).filter(
+        F.col("event_type") == "view"
+    ).select("user_id", "ts", F.col("event_id").alias("view_id"))
+    clicks = S.read_file_stream(spark, event_dir, EVENT_SCHEMA).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", F.col("event_id").alias("click_id"))
+    joined = S.interval_join_streams(
+        views, clicks, keys=["user_id"], lookback="2 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_ivj"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT view_id, click_id FROM ivj").collect()
+    assert sorted((r.view_id, r.click_id) for r in rows) == [(3, 1), (3, 2)]
+
+
+def test_interval_join_batch_parity(spark, event_dir):
+    # same operator on batch frames produces the identical pair set —
+    # DataFrame code is execution-mode agnostic.
+    ev = spark.read.parquet(event_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = S.interval_join_streams(views, clicks, keys=["user_id"], lookback="2 minutes")
+    rows = joined.select("view_id", "click_id").collect()
+    assert sorted((r.view_id, r.click_id) for r in rows) == [(3, 1), (3, 2)]
