@@ -12,7 +12,8 @@ leave in place at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -45,3 +46,28 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if 0 < n_files < target:
         return df.repartition(target)
     return df
+
+
+def morton_code(cols: list[Column], bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of 2+ non-negative int columns, each
+    already bucketed to ``[0, 2**bits)``: bit ``i`` of column ``j``
+    lands at output bit ``i*n + j``, so rows close in EVERY dimension
+    get close codes — the multi-column locality that lets a range-
+    partitioned, z-sorted layout serve min/max data skipping on ALL
+    cluster columns at once, not just the leading sort key.
+
+    Built as a flat sum of ``bits * n`` shift/mask terms — pure
+    whole-stage-codegen integer ops, no UDF, no shuffle. Total output
+    bits must fit a long (``bits * n <= 62``).
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("morton_code needs >= 2 columns")
+    if bits * n > 62:
+        raise ValueError(f"bits*cols = {bits * n} overflows a long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + j)
+    return z

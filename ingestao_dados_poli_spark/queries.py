@@ -3282,3 +3282,111 @@ def q94_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
     return freq.orderBy(F.col("doc_freq").desc(), F.col("ngram")).limit(20)
+
+
+# ------------------------- 48. Z-order clustering code (layout locality)
+
+@q(
+    "q95_zorder_code",
+    """
+    WITH b AS (
+        SELECT l_orderkey,
+               CAST(l_partkey % 256 AS BIGINT) AS bx,
+               CAST(l_suppkey % 256 AS BIGINT) AS by
+        FROM lineitem
+    ),
+    z AS (
+        SELECT l_orderkey,
+               list_sum([ (((bx >> i) & 1) << (2*i))
+                        + (((by >> i) & 1) << (2*i+1)) for i in range(0, 8)]) AS zv
+        FROM b
+    )
+    SELECT CAST(zv >> 10 AS BIGINT) AS z_bucket,
+           count(*) AS n,
+           CAST(min(zv) AS BIGINT) AS z_min,
+           CAST(max(zv) AS BIGINT) AS z_max
+    FROM z GROUP BY 1
+    """,
+)
+def q95_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave as a first-class expression — the
+    clustering key behind `writers.write_clustered`'s multi-column
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER re-expressed
+    as plain Spark: bucket → interleave → repartitionByRange → sorted
+    write). `partitioning.morton_code` expands to bits*ncols flat
+    shift/mask terms, all inside whole-stage codegen — no UDF, no
+    shuffle; the only shuffle in the full write path is the ONE range
+    partition on the z-value. Oracle recomputes the interleave in
+    DuckDB via a list comprehension, so the bit math is value-checked
+    end to end."""
+    from ingestao_dados_poli_spark.partitioning import morton_code
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = morton_code(
+        [F.col("l_partkey") % 256, F.col("l_suppkey") % 256], bits=8
+    )
+    return (
+        li.select(F.col("l_orderkey"), z.alias("zv"))
+        .groupBy(F.shiftright("zv", 10).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zv").cast("long").alias("z_min"),
+            F.max("zv").cast("long").alias("z_max"),
+        )
+    )
+
+
+# ---------------------------- 49. VARIANT semi-structured access (Spark 4)
+
+@q(
+    "q96_variant_extract",
+    """
+    WITH j AS (
+        SELECT json_object(
+                   'type', event_type,
+                   'm', json_object('uid', user_id, 'v', value),
+                   'p', json(props)) AS v
+        FROM events
+    )
+    SELECT v->>'$.type' AS etype,
+           count(*) AS n,
+           CAST(sum(CAST(v->>'$.p.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(round(sum(CAST(v->>'$.m.v' AS DOUBLE)), 2) AS DOUBLE) AS sum_v,
+           CAST(count(v->'$.absent') AS BIGINT) AS n_absent
+    FROM j GROUP BY 1
+    """,
+)
+def q96_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: build a
+    nested document per event, `parse_json` it ONCE into the binary
+    variant encoding, then extract typed paths with `variant_get` /
+    `try_variant_get` (the latter returns null on a missing path
+    instead of throwing — counted here to prove the contract). At
+    100 TB this is the schema-on-read path for heterogeneous event
+    payloads: variant decode happens once per row at scan, path reads
+    are binary offset lookups (no per-access JSON re-parse), and the
+    whole pipeline stays codegen — contrast q21's per-call
+    get_json_object string parsing. Oracle mirrors the same nested
+    doc with DuckDB's JSON type."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.struct(
+                    F.col("user_id").alias("uid"),
+                    F.col("value").alias("v"),
+                ).alias("m"),
+                F.from_json("props", "k LONG").alias("p"),
+            )
+        )
+    )
+    doc = ev.select(v.alias("v"))
+    return doc.groupBy(
+        F.variant_get("v", "$.type", "string").alias("etype")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.variant_get("v", "$.p.k", "bigint")).alias("sum_k"),
+        F.round(F.sum(F.variant_get("v", "$.m.v", "double")), 2).alias("sum_v"),
+        F.count(F.try_variant_get("v", "$.absent", "bigint")).alias("n_absent"),
+    )

@@ -44,3 +44,29 @@ def exists(spark: SparkSession, path: str) -> bool:
 def rm(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     fs, jpath, _ = _fs(spark, path)
     return bool(fs.delete(jpath, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Filesystem rename — atomic on HDFS/local, copy-free. (On object
+    stores rename is a server-side copy; callers doing swap-on-publish
+    there should flip a manifest/pointer instead.)"""
+    fs, jsrc, jvm = _fs(spark, src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    return bool(fs.rename(jsrc, jdst))
+
+
+def file_sizes(
+    spark: SparkSession, path: str, suffix: str | None = None
+) -> list[tuple[str, int]]:
+    """Recursive (path, bytes) listing of data files under ``path`` —
+    the input to compaction planning. Driver-side metadata only; on
+    HDFS/S3A this is one listing RPC stream, never a data read."""
+    fs, jpath, _ = _fs(spark, path)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = str(st.getPath().toString())
+        if suffix is None or p.endswith(suffix):
+            out.append((p, int(st.getLen())))
+    return out

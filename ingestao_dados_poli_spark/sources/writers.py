@@ -8,7 +8,13 @@ bucketed (shuffle-free joins on the bucket key), so the writer takes both.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.partitioning import morton_code
+from ingestao_dados_poli_spark.sources import fs as FS
 
 
 def write_parquet(
@@ -49,6 +55,90 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: bucket each cluster column to
+    ``2**bits`` uniform bins over its [min, max], Morton-interleave the
+    bin ids, then ``repartitionByRange`` + ``sortWithinPartitions`` on
+    the z-value before writing.
+
+    Rows nearby in EVERY cluster column land in the same files, so
+    parquet min/max row-group stats prune scans filtered on ANY of the
+    columns — the multi-dimensional data-skipping layout a 100 TB fact
+    table needs when queries filter on more than the partition key.
+    Cost is one tiny pre-pass (a single min/max agg row collected) plus
+    ONE range shuffle; the z-math itself is flat codegen integer ops
+    (`morton_code`). Uniform bins keep the pre-pass O(1); heavily
+    skewed columns trade some skipping power for that — quantile-edged
+    bins would need an approxQuantile pre-pass instead.
+    """
+    aggs = []
+    for c in cluster_cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    b = df.agg(*aggs).collect()[0]
+    buckets = []
+    for c in cluster_cols:
+        mn, mx = float(b[f"_mn_{c}"]), float(b[f"_mx_{c}"])
+        if mx <= mn:  # constant column: one bin
+            buckets.append(F.lit(0))
+            continue
+        # width_bucket returns 1..n in range (n+1 at the max edge);
+        # shift to 0-based and clamp so max lands in the top bin.
+        wb = F.width_bucket(F.col(c), F.lit(mn), F.lit(mx), F.lit(2**bits))
+        buckets.append(F.least(wb - 1, F.lit(2**bits - 1)))
+    z = morton_code(buckets, bits=bits)
+    out = df.withColumn("_z", z)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        out.repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory so each file
+    is ~``target_file_bytes``, then atomically swap it in place.
+
+    Streaming sinks and fine-grained partitioned writes accumulate
+    thousands of tiny files; at scale that means scan tasks dominated
+    by open/footer overhead and pressure on the namenode/listing. This
+    plans from driver-side metadata only (`fs.file_sizes` — no data
+    read), uses ``coalesce`` (merges splits WITHOUT a shuffle), writes
+    to a temp sibling, and rename-swaps so readers never observe a
+    half-written directory. Returns {files_before, files_after,
+    bytes, target_files}.
+    """
+    sizes = FS.file_sizes(spark, path, suffix=".parquet")
+    total = sum(s for _, s in sizes)
+    n = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(tmp)
+    after = FS.file_sizes(spark, tmp, suffix=".parquet")
+    FS.rename(spark, path, old)
+    FS.rename(spark, tmp, path)
+    FS.rm(spark, old)
+    return {
+        "files_before": len(sizes),
+        "files_after": len(after),
+        "bytes": total,
+        "target_files": n,
+    }
 
 
 def write_bucketed_table(
