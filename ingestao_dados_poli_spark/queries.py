@@ -1102,7 +1102,10 @@ def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ingestao_dados_poli_spark.streaming.stream_ops import tumbling_counts
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        state_partitions,
+        tumbling_counts,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
@@ -1116,15 +1119,16 @@ def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = tumbling_counts(src, window_len="1 hour", watermark="10 minutes")
     name = f"q46_sink_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q46_ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    with state_partitions(spark, 8):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="q46_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
     return spark.table(name).select(
         F.col("window_start").cast("string").alias("window_start"),
         "event_type",
@@ -2336,7 +2340,10 @@ def q75_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ingestao_dados_poli_spark.streaming.stream_ops import sliding_avg
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        sliding_avg,
+        state_partitions,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
@@ -2351,15 +2358,16 @@ def q75_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, window_len="1 hour", slide="30 minutes", watermark="10 minutes"
     )
     name = f"q75_sink_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q75_ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    with state_partitions(spark, 8):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="q75_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
     return spark.table(name).select(
         F.col("window_start").cast("string").alias("window_start"),
         "event_type",
@@ -2429,7 +2437,10 @@ def q78_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ingestao_dados_poli_spark.streaming.stream_ops import dedup_stream
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        dedup_stream,
+        state_partitions,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -2445,15 +2456,16 @@ def q78_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = src().unionByName(src())
     deduped = dedup_stream(doubled, ["event_id"])
     name = f"q78_sink_{uuid.uuid4().hex[:8]}"
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q78_ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    with state_partitions(spark, 8):
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="q78_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -2917,6 +2929,8 @@ def q89_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(path).schema
@@ -2939,15 +2953,16 @@ def q89_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"q89_sink_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q89_ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    with state_partitions(spark, 8):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="q89_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
     return spark.table(name).select(
         F.col("window.start").cast("string").alias("window_start"),
         "c_mktsegment",
@@ -3058,13 +3073,16 @@ def q91_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(shard_dir)
     )
-    query = (
-        src.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", f"{work}/ck_{uuid.uuid4().hex[:8]}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
+
+    with state_partitions(spark, 8):
+        query = (
+            src.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", f"{work}/ck_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
     assert len(snap_versions) >= 2, "expected multiple micro-batches"
     final = spark.read.parquet(snap_versions[-1])
     return final.select(
@@ -3105,6 +3123,7 @@ def q92_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ingestao_dados_poli_spark.streaming.stream_ops import (
         interval_join_streams,
+        state_partitions,
     )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -3129,15 +3148,16 @@ def q92_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="30 minutes",
     )
     name = f"q92_sink_{uuid.uuid4().hex[:8]}"
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q92_ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    with state_partitions(spark, 8):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="q92_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
     return spark.table(name).select(
         "err_id",
         "click_id",
