@@ -6,12 +6,19 @@ typed metadata struct; all per-item compute goes through Arrow-batched
 ``mapInPandas`` so bytes move driver-free, batch-at-a-time, and the
 Python worker amortizes per-row overhead.
 
-The actual codec step (JPEG decode, audio resample, video frame-grab)
-requires libraries not present in this container, so ``decode_image`` /
-``extract_audio_features`` are STUBBED behind a deterministic fake that
-derives pseudo-features from the byte content (sha2-based). The Spark
-plumbing — schemas, batch iteration, partition sizing — is real and
-tested; swapping in PIL/torchaudio is a one-function change.
+Decode coverage is layered by codec availability:
+
+- **Real, dependency-free**: uncompressed standard formats are decoded
+  with numpy/struct alone — ``decode_ppm`` (netpbm P6 images) and
+  ``decode_wav`` (RIFF PCM-16 audio) parse ACTUAL encoded bytes to
+  pixel/sample arrays, so the full byte→decode→feature path runs and
+  is value-tested in this container.
+- **Optional**: compressed codecs (JPEG/PNG via PIL) plug into the same
+  ``featurizer=`` seam; ``pil_featurizer`` is proven by a
+  skip-if-missing test wherever pillow exists.
+- **Stubbed**: video frame EXTRACTION (no video codec is decodable
+  without external libs) keeps a deterministic fake behind the real
+  explode-shaped plumbing.
 """
 
 from __future__ import annotations
@@ -100,6 +107,212 @@ def pil_featurizer(dim: int = 8) -> Callable[[bytes], list[float]]:
         return [min(p / 256.0, 0.999999) for p in list(img.getdata())]
 
     return fz
+
+
+def encode_ppm(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary netpbm P6 — the
+    uncompressed interchange format whose decode needs no codec lib."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """REAL image decode, dependency-free: parse P6 netpbm bytes
+    (magic, whitespace/comment-tolerant header, raster) into an
+    (h, w, 3) uint8 numpy array via one zero-copy ``frombuffer``."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte separates header from raster
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return arr.reshape(h, w, 3)
+
+
+def ppm_featurizer(dim: int = 8) -> Callable[[bytes], list[float]]:
+    """Real-pixel featurizer for ``extract_image_features``: decode the
+    P6 bytes, grayscale, mean intensity of ``dim`` vertical strips in
+    [0, 1] — the same contract as ``pil_featurizer`` but runnable with
+    numpy alone, so the byte→decode→feature path is fully real here."""
+    import numpy as np
+
+    def fz(payload: bytes) -> list[float]:
+        gray = decode_ppm(payload).astype(np.float32).mean(axis=2) / 255.0
+        w = gray.shape[1]
+        edges = np.linspace(0, w, dim + 1).astype(int)
+        return [
+            float(gray[:, edges[k] : max(edges[k + 1], edges[k] + 1)].mean())
+            for k in range(dim)
+        ]
+
+    return fz
+
+
+def synthetic_ppm_media(
+    spark, n: int = 64, width: int = 32, height: int = 16
+) -> DataFrame:
+    """Media table whose payloads are REAL encoded P6 images (a
+    deterministic per-id gradient pattern), built Arrow-batch-at-a-time
+    in mapInPandas — no driver-side byte generation, so the generator
+    itself scales like any other operator."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        x = np.linspace(0, 255, width, dtype=np.float32)
+        y = np.linspace(0, 255, height, dtype=np.float32)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["id"]:
+                r = (np.add.outer(y * 0, x) + mid) % 256
+                g = np.add.outer(y, x * 0) % 256
+                b = np.full((height, width), (mid * 37) % 256, np.float32)
+                payloads.append(encode_ppm(np.stack([r, g, b], axis=2)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": 0,
+                }
+            )
+
+    return spark.range(n).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def encode_wav_pcm16(samples, rate: int = 16000) -> bytes:
+    """Encode int16 samples as a canonical mono RIFF/WAVE PCM file."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE",
+            b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+            b"data", len(data),
+        )
+        + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode, dependency-free: walk the RIFF chunk list
+    (tolerating extra chunks and odd-size padding), return
+    (sample_rate, int16 numpy samples) for PCM-16 mono/stereo data."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid, sz = struct.unpack("<4sI", payload[i : i + 8])
+        i += 8
+        if cid == b"fmt ":
+            audio_fmt, _ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[i : i + 16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM-16 supported")
+        elif cid == b"data":
+            data = np.frombuffer(payload, "<i2", count=sz // 2, offset=i)
+        i += sz + (sz & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", FloatType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio path with REAL decode: parse each WAV payload (decode_wav,
+    numpy-only), compute RMS amplitude and zero-crossing count — the
+    cheap silence/energy screens an audio crawl runs before expensive
+    ASR. Same Arrow-batched mapInPandas shape as the image path."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "sample_rate": [], "n_samples": [],
+                "rms": [], "zero_crossings": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_wav(payload)
+                sf = s.astype(np.float64) / 32768.0
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s))
+                rows["rms"].append(float(np.sqrt(np.mean(sf**2))) if len(s) else 0.0)
+                rows["zero_crossings"].append(
+                    int(np.count_nonzero(np.diff(np.signbit(sf)))) if len(s) else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        fn, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def synthetic_wav_media(
+    spark, n: int = 64, rate: int = 8000, duration_s: float = 0.2
+) -> DataFrame:
+    """Media table whose payloads are REAL encoded WAV files: one sine
+    tone per id (220 Hz × (1 + id % 8)), PCM-16 mono."""
+    import numpy as np
+
+    n_samp = int(rate * duration_s)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(n_samp, dtype=np.float64) / rate
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["id"]:
+                freq = 220.0 * (1 + int(mid) % 8)
+                s = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+                payloads.append(encode_wav_pcm16(s, rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "width": 0,
+                    "height": 0,
+                    "duration_ms": int(duration_s * 1000),
+                }
+            )
+
+    return spark.range(n).mapInPandas(fn, schema=MEDIA_SCHEMA)
 
 
 def extract_image_features(

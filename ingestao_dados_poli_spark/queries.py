@@ -3410,3 +3410,29 @@ def q96_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.variant_get("v", "$.m.v", "double")), 2).alias("sum_v"),
         F.count(F.try_variant_get("v", "$.absent", "bigint")).alias("n_absent"),
     )
+
+
+# --------------------- 50. real media decode (dependency-free codecs)
+
+@q("q97_media_decode")
+def q97_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL multimodal decode with no codec libs (rows-only:
+    byte parsing isn't SQL-expressible): payloads are actual encoded
+    P6 netpbm images, decoded pixel-for-pixel with numpy inside the
+    same Arrow-batched mapInPandas plumbing the sha256 fake stands in
+    for elsewhere — byte gen, decode, and strip-mean featurization all
+    run distributed, zero driver involvement. The value contract
+    (decode(encode(x)) == x, exact strip means) is pytest-verified in
+    test_similarity_multimodal/test_layout."""
+    media = MM.synthetic_ppm_media(spark, n=256, width=32, height=16)
+    feats = MM.extract_image_features(
+        media, dim=8, featurizer=MM.ppm_featurizer(8)
+    )
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f_first"),
+        F.round(F.element_at("features", 8), 6).alias("f_last"),
+    )

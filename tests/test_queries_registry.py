@@ -17,6 +17,7 @@ ROWS_ONLY = {
     "q39_embedding_sim_pairs",
     "q40_media_features",
     "q49_stratified_sample",
+    "q97_media_decode",
 }
 
 

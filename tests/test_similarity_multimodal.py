@@ -225,3 +225,93 @@ def test_media_stats(spark):
     stats = MM.media_stats(MM.synthetic_media(spark, n=30))
     got = {r.kind: r.n_items for r in stats.collect()}
     assert sum(got.values()) == 30
+
+
+def test_ppm_roundtrip_and_real_decode(spark):
+    import numpy as np
+
+    from ingestao_dados_poli_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+    # comment + multi-whitespace header variant decodes too
+    hdr = b"P6\n# a comment\n 9  5\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(hdr), arr)
+
+
+def test_ppm_featurizer_exact_strip_means(spark):
+    import numpy as np
+
+    from ingestao_dados_poli_spark.operators.multimodal import (
+        encode_ppm,
+        ppm_featurizer,
+    )
+
+    # constant-valued image: every strip mean is exactly v/255
+    v = 100
+    arr = np.full((4, 8, 3), v, dtype=np.uint8)
+    feats = ppm_featurizer(4)(encode_ppm(arr))
+    assert len(feats) == 4
+    assert all(abs(f - v / 255.0) < 1e-6 for f in feats)
+    # left-black/right-white image: first strip 0, last strip 1
+    arr2 = np.zeros((4, 8, 3), dtype=np.uint8)
+    arr2[:, 4:, :] = 255
+    f2 = ppm_featurizer(2)(encode_ppm(arr2))
+    assert abs(f2[0]) < 1e-6 and abs(f2[1] - 1.0) < 1e-6
+
+
+def test_real_image_decode_distributed(spark):
+    from ingestao_dados_poli_spark.operators.multimodal import (
+        extract_image_features,
+        ppm_featurizer,
+        synthetic_ppm_media,
+    )
+
+    media = synthetic_ppm_media(spark, n=32, width=16, height=8)
+    rows = extract_image_features(
+        media, dim=4, featurizer=ppm_featurizer(4)
+    ).collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert r.n_bytes > 16 * 8 * 3  # real raster + header
+        assert len(r.features) == 4
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+    # decode is deterministic → same media_id, same features
+    again = extract_image_features(
+        media, dim=4, featurizer=ppm_featurizer(4)
+    ).collect()
+    assert {r.media_id: r.features for r in rows} == {
+        r.media_id: r.features for r in again
+    }
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    import numpy as np
+
+    from ingestao_dados_poli_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+        extract_audio_features,
+        synthetic_wav_media,
+    )
+
+    s = (np.sin(np.linspace(0, 20 * np.pi, 800)) * 16384).astype("<i2")
+    rate, back = decode_wav(encode_wav_pcm16(s, rate=8000))
+    assert rate == 8000 and np.array_equal(back, s)
+
+    media = synthetic_wav_media(spark, n=16, rate=8000, duration_s=0.1)
+    feats = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert len(feats) == 16
+    for mid, r in feats.items():
+        assert r.sample_rate == 8000 and r.n_samples == 800
+        # 0.5-amplitude sine: RMS ~ 0.5/sqrt(2) ~ 0.3536
+        assert abs(r.rms - 0.3536) < 0.01
+    # zero-crossing count tracks the per-id frequency: 220Hz*(1+id%8)
+    # over 0.1s crosses ~2*f*0.1 times
+    for mid, r in feats.items():
+        f = 220.0 * (1 + mid % 8)
+        assert abs(r.zero_crossings - 2 * f * 0.1) <= 2, (mid, r)
