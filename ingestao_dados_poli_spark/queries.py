@@ -44,6 +44,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP (UTC instant) across testdata
+    vintages. Older driver data wrote TIMESTAMP(NANOS), which Spark's
+    parquet reader only surfaces as long (``nanosAsLong``); newer data
+    writes micro-precision naive timestamps that arrive as TIMESTAMP_NTZ.
+    Works on batch and streaming DataFrames alike (dtype branch happens
+    at plan-build time, not per row).
+    """
+    dt = df.schema["ts"].dataType.typeName()
+    if dt == "long":
+        # integer div — a double division here loses microsecond precision
+        # on 1.7e18-scale nano values (52-bit mantissa).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        # session tz is pinned UTC, so the naive wall-clock maps to the
+        # identical instant the DuckDB oracle computes on.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver owns the session; date_trunc/year/cast-to-string on
     # timestamps all convert through the SESSION timezone, while the
@@ -51,14 +71,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pin UTC here, not only in our own session factory.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
-        # reader rejects; read nanos as long, convert to micros (matches
-        # DuckDB, whose TIMESTAMP is micro-precision and truncates ns).
+        # nanosAsLong is a no-op on micro-precision files; needed only for
+        # the TIMESTAMP(NANOS) vintage the reader would otherwise reject.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # integer div — a double division here loses microsecond precision
-        # on 1.7e18-scale nano values (52-bit mantissa).
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _events_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1109,13 +1126,13 @@ def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema  # ts surfaces as long (nanos)
+    raw_schema = spark.read.parquet(path).schema
     # FileStreamSource wants a DIRECTORY; glob-filter to the one table.
     src = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(_events_ts)
     )
     agg = tumbling_counts(src, window_len="1 hour", watermark="10 minutes")
     name = f"q46_sink_{uuid.uuid4().hex[:8]}"
@@ -2352,7 +2369,7 @@ def q75_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(_events_ts)
     )
     agg = sliding_avg(
         src, window_len="1 hour", slide="30 minutes", watermark="10 minutes"
@@ -2450,7 +2467,7 @@ def q78_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(_events_ts)
         )
 
     doubled = src().unionByName(src())
@@ -2938,7 +2955,7 @@ def q89_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(_events_ts)
     )
     dim = F.broadcast(
         _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -3134,7 +3151,7 @@ def q92_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(_events_ts)
         )
 
     errors = ev_stream().filter(F.col("event_type") == "error").select(
