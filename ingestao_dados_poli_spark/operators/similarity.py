@@ -510,3 +510,67 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def l2_normalize_arrow(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-row L2 norm + unit vector via ``mapInArrow`` — the zero-copy
+    lane below even Pandas UDFs: each Arrow batch's list column is
+    consumed as raw (values, offsets) numpy views, squared sums come
+    from one ``np.add.reduceat`` over the flat buffer, and the unit
+    vectors are rebuilt as a ListArray around the SAME offsets — no
+    pandas objects, no per-row Python, no pickling. Returns
+    ``(id, norm double, unit array<double>)``; zero vectors keep
+    norm 0 with an all-zero unit vector (no NaN poison downstream).
+
+    Scale shape: embarrassingly parallel map over scan batches — no
+    shuffle, no state; cost is one memory-bandwidth pass per batch.
+    Assumes a non-null ``vec_col`` (enforce upstream with a quality
+    suite rule); a null embedding would shift the offsets silently.
+    """
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(id_col)
+            emb = batch.column(vec_col)
+            offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(offs) < 2:
+                continue
+            # .values spans the WHOLE child buffer even for sliced
+            # arrays; rebase offsets so row i is flat[offs[i]:offs[i+1]].
+            lo, hi = offs[0], offs[-1]
+            flat = (
+                emb.values.to_numpy(zero_copy_only=False)[lo:hi].astype(np.float64)
+            )
+            offs = offs - lo
+            lens = np.diff(offs)
+            sums = (
+                np.add.reduceat(flat * flat, offs[:-1])
+                if len(flat)
+                else np.zeros(len(lens))
+            )
+            # reduceat quirk: a zero-length row returns the element AT
+            # its start index instead of an empty sum.
+            sums = np.where(lens == 0, 0.0, sums)
+            norms = np.sqrt(sums)
+            denom = np.where(norms == 0.0, 1.0, norms)
+            unit = flat / np.repeat(denom, lens)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(norms, type=pa.float64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offs, type=pa.int32()),
+                        pa.array(unit, type=pa.float64()),
+                    ),
+                ],
+                names=[id_col, "norm", "unit"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        batches, f"{id_col} long, norm double, unit array<double>"
+    )

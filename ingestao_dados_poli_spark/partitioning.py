@@ -48,6 +48,40 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int = 10,
+    persist: bool = True,
+) -> DataFrame:
+    """Top-``k`` keys by frequency with their share of all rows — the
+    skew diagnostic to run BEFORE picking a join/agg strategy: a top key
+    holding more than ~1/parallelism of the rows means salting or AQE
+    skew-join; a key table small enough to broadcast shows up as a tiny
+    distinct count.
+
+    Scale shape: ONE map-side-combined groupBy produces the per-key
+    counts; top-k comes from orderBy+limit over that grouped table
+    (TakeOrderedAndProject — per-partition heaps, never a global sort);
+    the total for the share column is an aggregate of the same grouped
+    table joined back by broadcast. ``persist=True`` (default) caches
+    the grouped table so the raw input is scanned once even though two
+    plans hang off it — pass False when the input is itself trivially
+    recomputable.
+    """
+    keys = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    if persist:
+        counts = counts.persist()
+    total = counts.agg(F.sum("n").alias("_total"))
+    top = counts.orderBy(F.col("n").desc(), *[c.asc() for c in keys]).limit(k)
+    return top.crossJoin(F.broadcast(total)).select(
+        *key_cols,
+        F.col("n"),
+        F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+    )
+
+
 def morton_code(cols: list[Column], bits: int = 8) -> Column:
     """Morton (Z-order) interleave of 2+ non-negative int columns, each
     already bucketed to ``[0, 2**bits)``: bit ``i`` of column ``j``

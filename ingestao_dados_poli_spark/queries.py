@@ -3453,3 +3453,235 @@ def q97_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f_first"),
         F.round(F.element_at("features", 8), 6).alias("f_last"),
     )
+
+
+# --------------------- 51. training-data mixture weights (temperature)
+
+@q(
+    "q98_mixture_weights",
+    """
+    WITH g AS (
+      SELECT lang, source, count(*) AS n_docs
+      FROM documents GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT lang, source, n_docs,
+             pow(n_docs / sum(n_docs) OVER (), 0.5) AS wr
+      FROM g
+    )
+    SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(round(wr / sum(wr) OVER (), 6) AS DOUBLE) AS mix_weight
+    FROM w
+    """,
+)
+def q98_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing weights per (lang, source) cell:
+    w = p^alpha / sum(p^alpha) with alpha=0.5 — the standard upweighting
+    of low-resource slices when composing a training mix. ONE raw scan
+    (map-side-combined groupBy); the two global sums run as
+    unpartitioned windows over the GROUPED table, whose cardinality is
+    the mixture-cell count (langs x sources — config-bounded, dozens),
+    so the single-partition window is over a handful of rows at any
+    corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    g = g.withColumn(
+        "_wr", F.pow(F.col("n_docs") / F.sum("n_docs").over(w_all), 0.5)
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(F.col("_wr") / F.sum("_wr").over(w_all), 6).alias("mix_weight"),
+    )
+
+
+# --------------------- 52. grouped linear regression (regr_* aggregates)
+
+@q(
+    "q99_grouped_regression",
+    """
+    SELECT o_orderpriority,
+           CAST(regr_count(o_totalprice,
+                CAST(datediff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) AS DOUBLE)) AS BIGINT) AS n,
+           CAST(round(regr_slope(o_totalprice,
+                CAST(datediff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) AS DOUBLE)), 4) AS DOUBLE) AS slope,
+           CAST(round(regr_intercept(o_totalprice,
+                CAST(datediff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) AS DOUBLE)), 2) AS DOUBLE) AS intercept,
+           CAST(round(regr_r2(o_totalprice,
+                CAST(datediff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) AS DOUBLE)), 6) AS DOUBLE) AS r2
+    FROM orders GROUP BY 1
+    """,
+)
+def q99_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS drift fit with the SQL-standard regr_* aggregate
+    family (Spark 3.5+ built-ins, single HashAggregate — no collect, no
+    UDF, no per-group pandas): slope/intercept/r2 of order value over
+    time per priority class. The 100 TB shape is identical to any
+    grouped sum: map-side partial moments, one shuffle on the group
+    key."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.unix_date(F.to_date("o_orderdate")).cast("double")
+    y = F.col("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+# --------------------- 53. time-RANGE rolling window (not rows-based)
+
+@q(
+    "q100_rolling_time_avg",
+    """
+    SELECT event_id, user_id,
+           CAST(round(avg(value) OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ), 4) AS DOUBLE) AS rolling_avg_1h
+    FROM events WHERE user_id < 100
+    """,
+)
+def q100_rolling_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-HOUR average per user via a RANGE window frame over
+    epoch seconds — time-based frames (unlike q13's rowsBetween) keep
+    their meaning under irregular event spacing, and RANGE includes all
+    peers of a tied timestamp so the result is deterministic. Scale
+    shape: one shuffle on user_id; frames evaluate inside the sorted
+    partition with no self-join (contrast the naive
+    events-x-events-within-1h formulation)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    ev = ev.withColumn("_sec", F.col("ts").cast("long"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg_1h"),
+    )
+
+
+# --------------------- 54. URL parsing (parse_url builtin)
+
+@q(
+    "q101_url_parse",
+    """
+    WITH u AS (
+      SELECT printf('https://%s.example.com/%s/%d?ref=%s',
+                    source, lang, doc_id, source) AS url
+      FROM documents
+    ),
+    p AS (
+      SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+             regexp_extract(url, 'https?://[^/?]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+      FROM u
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(count(DISTINCT ref) AS BIGINT) AS n_refs
+    FROM p GROUP BY 1
+    """,
+)
+def q101_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the parse_url builtin (HOST / PATH /
+    QUERY-key extraction, JVM-side codegen — the crawl-pipeline
+    primitive for per-domain grouping and ref-tag hygiene), then a
+    per-host rollup. URLs are synthesized deterministically from
+    document attributes since the corpus has none; the oracle parses
+    the same URLs with regex. Scale shape: pure scan-side string ops +
+    one grouped agg on host."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        F.format_string(
+            "https://%s.example.com/%s/%d?ref=%s",
+            F.col("source"),
+            F.col("lang"),
+            F.col("doc_id"),
+            F.col("source"),
+        ).alias("url")
+    )
+    p = u.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    return p.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("path").alias("n_paths"),
+        F.countDistinct("ref").alias("n_refs"),
+    )
+
+
+# --------------------- 55. skew diagnostics: heavy hitters
+
+@q(
+    "q102_heavy_hitters",
+    """
+    WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1)
+    SELECT l_suppkey, CAST(n AS BIGINT) AS n,
+           CAST(round(n / (SELECT sum(n) FROM c), 6) AS DOUBLE) AS share
+    FROM c ORDER BY n DESC, l_suppkey LIMIT 10
+    """,
+)
+def q102_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: the top-10 join/agg keys and the share of all
+    rows each holds — what you inspect before choosing broadcast vs
+    salted vs plain shuffle join (operators/relational.salted_join).
+    partitioning.heavy_hitters does ONE map-side-combined groupBy,
+    top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    heaps, no global sort), total via broadcast-joined aggregate of the
+    same persisted grouped table — raw input scanned once."""
+    li = _t(spark, sf_dir, "lineitem")
+    from ingestao_dados_poli_spark.partitioning import heavy_hitters
+
+    return heavy_hitters(li, ["l_suppkey"], k=10)
+
+
+# --------------------- 56. mapInArrow vector kernel (zero-copy lane)
+
+@q(
+    "q103_arrow_normalize",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id < 200
+    ),
+    n AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+             emb[1] AS x1
+      FROM e
+    )
+    SELECT vec_id, CAST(round(nrm, 5) AS DOUBLE) AS norm,
+           CAST(round(CASE WHEN nrm = 0 THEN 0.0 ELSE x1 / nrm END, 5)
+                AS DOUBLE) AS u1
+    FROM n
+    """,
+)
+def q103_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms + unit vectors through similarity.l2_normalize_arrow —
+    the mapInArrow zero-copy lane (raw Arrow buffers + numpy reduceat,
+    below even Pandas UDFs: no pandas objects, no pickling). The oracle
+    recomputes the same float64 math with DuckDB list lambdas. Scale
+    shape: shuffle-free map over scan batches; the vec_id pushdown
+    filter reaches the parquet scan."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = SIM.l2_normalize_arrow(emb)
+    return v.select(
+        "vec_id",
+        F.round("norm", 5).alias("norm"),
+        F.round(F.element_at("unit", 1), 5).alias("u1"),
+    )

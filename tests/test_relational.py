@@ -111,3 +111,17 @@ def test_range_join(spark):
                                   ["g", "lo", "hi", "tag"])
     out = R.range_join(points, ivals, "x", "lo", "hi", partition_keys=["g"])
     assert sorted((r.x, r.tag) for r in out.collect()) == [(5, "lo"), (15, "hi"), (25, "mid")]
+
+
+def test_heavy_hitters_topk_share(spark):
+    from ingestao_dados_poli_spark.partitioning import heavy_hitters
+
+    # key 0 on 60 rows, key 1 on 30, key 2 on 10 → shares 0.6/0.3/0.1
+    rows = [(0,)] * 60 + [(1,)] * 30 + [(2,)] * 10
+    df = spark.createDataFrame(rows, ["k"])
+    out = heavy_hitters(df, ["k"], k=2, persist=False)
+    got = {(r.k, r.n, r.share) for r in out.collect()}
+    assert got == {(0, 60, 0.6), (1, 30, 0.3)}
+    # top-k must plan as TakeOrderedAndProject, not a global sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -315,3 +315,25 @@ def test_wav_roundtrip_and_audio_features(spark):
     for mid, r in feats.items():
         f = 220.0 * (1 + mid % 8)
         assert abs(r.zero_crossings - 2 * f * 0.1) <= 2, (mid, r)
+
+
+def test_l2_normalize_arrow_values_and_zero_vector(spark):
+    import math
+
+    from ingestao_dados_poli_spark.operators.similarity import (
+        l2_normalize_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in l2_normalize_arrow(df).collect()}
+    assert math.isclose(out[1].norm, 5.0)
+    assert [round(x, 6) for x in out[1].unit] == [0.6, 0.8]
+    # zero vector: norm 0, all-zero unit (no NaN poison)
+    assert out[2].norm == 0.0 and out[2].unit == [0.0, 0.0]
+    assert out[3].unit == [1.0, 0.0]
+    # shuffle-free: a pure map over scan batches
+    plan = l2_normalize_arrow(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
