@@ -102,3 +102,60 @@ def quarantine_corrupt(
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull())
     return clean, bad
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with ``(path, modificationTime, length, content
+    binary)`` — the ingestion front door for multimodal corpora (images,
+    audio, any opaque payload) feeding ``operators.multimodal``'s
+    mapInPandas decode/featurize stages.
+
+    ``glob`` filters by filename pattern scan-side
+    (``pathGlobFilter``); ``max_bytes`` pushes a length ceiling into the
+    listing so oversized blobs never reach executors. At scale the
+    source parallelizes across files (one split per file), so millions
+    of small media files fan out naturally; pathological single-huge-
+    file layouts belong in an archive format instead.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """XML reader (Spark 4 built-in ``xml`` source, ``rowTag``-scoped)
+    with the same schema-first + quarantine contract as ``read_csv`` /
+    ``read_json``: explicit schema skips inference, malformed row
+    elements land whole in ``corrupt_col`` under PERMISSIVE mode for
+    ``quarantine_corrupt`` to split out."""
+    reader = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", mode)
+        .options(**options)
+    )
+    if schema is not None:
+        if mode == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
+            schema = schema.add(corrupt_col, "string")
+        reader = reader.schema(schema).option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return reader.load(path)

@@ -62,3 +62,28 @@ def test_profile_columns(spark):
     assert prof["id"].min_value == "1" and prof["id"].max_value == "2"
     assert prof["name"].n_nulls == 1 and prof["name"].n_distinct == 2
     assert prof["name"].min_value == "a" and prof["name"].max_value == "b"
+
+
+def test_observe_suite_zero_extra_pass(spark):
+    suite = (
+        Q.Suite("obs")
+        .add(Q.not_null("a"))
+        .add(Q.between("b", 0, 10))
+        .add(Q.unique("a"))
+        .add(Q.row_count_between(1, 100))
+    )
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (None, 3.0)], ["a", "b"]
+    )
+    observed, finish = Q.observe_suite(df, suite)
+    # metrics ride this single action — no second scan
+    assert observed.count() == 3
+    report = finish()
+    assert report["row_count"] == 3
+    by_kind = {r["rule"].split(" ")[0]: r for r in report["results"]}
+    assert not by_kind["not_null"]["success"]  # one null
+    assert by_kind["not_null"]["unexpected_count"] == 1
+    assert not by_kind["between"]["success"]  # 50.0 out of range
+    unique = [r for r in report["results"] if r["rule"].startswith("unique")][0]
+    assert unique.get("approx") is True
+    assert report["success"] is False

@@ -124,3 +124,65 @@ def test_catalog_paths_and_views(spark, sf_dir):
     assert cat.load(spark, "special").count() == 5
     cat.register_views(spark, names=("nation", "region"))
     assert spark.sql("SELECT count(*) AS n FROM nation").collect()[0].n == 25
+
+
+def test_read_xml_typed_with_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from ingestao_dados_poli_spark.sources.readers import read_xml
+
+    p = tmp_path / "rows.xml"
+    p.write_text(
+        "<rows>"
+        "<row><id>1</id><name>alpha</name></row>"
+        "<row><id>oops</id><name>bad</name></row>"
+        "<row><id>3</id><name>gamma</name></row>"
+        "</rows>"
+    )
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    df = read_xml(spark, str(p), row_tag="row", schema=schema)
+    clean, bad = quarantine_corrupt(df)
+    assert sorted(r.id for r in clean.collect()) == [1, 3]
+    assert bad.count() == 1
+
+
+def test_read_binary_files_feeds_multimodal_decode(spark, tmp_path):
+    import numpy as np
+
+    from ingestao_dados_poli_spark.operators import multimodal as MM
+    from ingestao_dados_poli_spark.sources.readers import read_binary_files
+
+    rng = np.random.default_rng(7)
+    imgs = {}
+    for i in range(4):
+        arr = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+        (tmp_path / f"img_{i}.ppm").write_bytes(MM.encode_ppm(arr))
+        imgs[f"img_{i}.ppm"] = arr
+    (tmp_path / "ignore.txt").write_text("not media")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.ppm")
+    assert files.count() == 4
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.ppm", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = MM.extract_image_features(
+        media.withColumn("media_type", F.lit("image"))
+        .withColumn("width", F.lit(12))
+        .withColumn("height", F.lit(8)),
+        dim=4,
+        featurizer=MM.ppm_featurizer(4),
+    )
+    rows = {f"img_{r.media_id}.ppm": r.features for r in feats.collect()}
+    assert set(rows) == set(imgs)
+    # featurizer contract: vertical-strip means of the REAL decoded pixels
+    for name, arr in imgs.items():
+        gray = arr.astype(np.float32).mean(axis=2) / 255.0
+        expect = [float(gray[:, k * 3 : (k + 1) * 3].mean()) for k in range(4)]
+        got = list(rows[name])
+        assert all(abs(a - b) < 1e-6 for a, b in zip(got, expect))
+
+    # max_bytes ceiling filters scan-side
+    assert read_binary_files(spark, str(tmp_path), glob="*.ppm", max_bytes=10).count() == 0
