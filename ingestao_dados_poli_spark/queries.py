@@ -3685,3 +3685,56 @@ def q103_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("norm", 5).alias("norm"),
         F.round(F.element_at("unit", 1), 5).alias("u1"),
     )
+
+
+# --------------------- 57. native session windows (builtin, vs q20/q46)
+
+@q(
+    "q104_session_window_native",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+    SELECT user_id,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q104_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's BUILT-IN session_window (dynamic-
+    gap merging windows, one shuffle on the group key, streaming-ready
+    with a watermark) — the third sessionize implementation next to
+    q20's lag+running-sum SQL twin and q46/stream_ops' custom stateful
+    applyInPandasWithState, all three oracle-checked against the same
+    gap semantics. Built-in session_window splits when the inter-event
+    gap is >= the 30-minute gap (window end = last event + gap), which
+    the oracle mirrors with an exact-timestamp interval comparison (not
+    floored epoch seconds — micro-precision ties matter here)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").cast("string").alias("session_start"),
+            F.col("sw.end").cast("string").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
