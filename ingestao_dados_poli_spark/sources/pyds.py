@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    SimpleDataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -200,6 +201,61 @@ class SynthDocsDataSource(DataSource):
         return _SynthDocsReader(self.options)
 
 
+class _SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded deterministic micro-batch stream: each ``read(start)``
+    emits ``rows_per_batch`` synthetic events and advances the offset,
+    until ``max_rows`` is reached — after that it reports no new data
+    (empty batch, unchanged offset), so ``processAllAvailable`` /
+    ``availableNow`` terminate. Offsets are plain row counters, which
+    makes replay after failure exact: ``readBetweenOffsets`` regenerates
+    the same rows from the same seeded formula.
+
+    The Simple variant generates rows DRIVER-side (fine for a control
+    stream / demo source); a partition-parallel executor-side stream
+    needs the full ``DataSourceStreamReader`` with ``partitions()`` —
+    the batch reader above shows that planning shape.
+    """
+
+    def __init__(self, options: dict[str, str]) -> None:
+        self.rows_per_batch = int(options.get("rowsperbatch", "100"))
+        self.max_rows = int(options.get("maxrows", "1000"))
+        self.seed = int(options.get("seed", "42"))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        out = []
+        for i in range(lo, hi):
+            h = (i * 2654435761 + self.seed) & 0x7FFFFFFF
+            out.append((i, h % 97, float(h % 1000) / 10.0))
+        return out
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["row"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return iter(self._rows(lo, hi)), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(self._rows(start["row"], end["row"]))
+
+
+class SynthEventsStreamDataSource(DataSource):
+    """``spark.readStream.format("syntheventstream")`` — bounded
+    deterministic event stream for exercising streaming plans without
+    file fixtures."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "syntheventstream"
+
+    def schema(self) -> str:
+        return "event_id long, user_id long, value double"
+
+    def simpleStreamReader(self, schema: StructType) -> _SynthEventsStreamReader:
+        return _SynthEventsStreamReader(self.options)
+
+
 class JsonlSinkDataSource(DataSource):
     """``df.write.format("jsonlsink").option("path", ...)`` — see module
     docstring."""
@@ -222,3 +278,4 @@ def register(spark: Any) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthDocsDataSource)
     spark.dataSource.register(JsonlSinkDataSource)
+    spark.dataSource.register(SynthEventsStreamDataSource)

@@ -317,3 +317,80 @@ def write_stream_parquet(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def running_totals_tws(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (count, sum, max) via Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API to
+    ``applyInPandasWithState`` (cf. ``sessionize``): typed state
+    handles (ValueState) managed by the state store instead of one
+    opaque per-key blob, composable timers, and TTL support. Each
+    micro-batch updates the key's ValueState and emits the NEW running
+    totals for keys seen in that batch (update semantics).
+
+    Scale shape: state is partitioned by the group key across the
+    state store's shuffle partitions (size via ``state_partitions``);
+    per-batch work is Arrow-batched pandas over only the keys present
+    in the batch.
+    """
+    try:
+        import google.protobuf  # noqa: F401  (TWS state protocol dep)
+    except ImportError as e:  # pragma: no cover - present on real clusters
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package (its "
+            "state-server protocol); not installed in this container — "
+            "use sessionize()'s applyInPandasWithState path instead"
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, s double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, mx = 0, 0.0, float("-inf")
+            if self._totals.exists():
+                n, s, mx = self._totals.get()
+            for pdf in rows:
+                vals = pdf[value_col].astype("float64")
+                n += len(vals)
+                s += float(vals.sum())
+                mx = max(mx, float(vals.max()))
+            self._totals.update((n, s, mx))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

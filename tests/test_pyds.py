@@ -103,3 +103,36 @@ def test_jsonlsink_roundtrip_with_manifest(spark, tmp_path):
     assert sorted(r.doc_id for r in back.select("doc_id").collect()) == list(
         range(200)
     )
+
+
+def test_syntheventstream_bounded_micro_batches(spark, tmp_path):
+    from ingestao_dados_poli_spark.sources import pyds
+
+    pyds.register(spark)
+    src = (
+        spark.readStream.format("syntheventstream")
+        .option("rowsperbatch", "40")
+        .option("maxrows", "100")
+        .load()
+    )
+    assert src.isStreaming
+    # NOT availableNow: a Simple stream reader serves ONE read() per
+    # micro-batch, so drain with processAllAvailable — it returns once
+    # read() reports no new offset (the bounded source's max_rows).
+    q = (
+        src.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_pyds_stream"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM pyds_stream").collect()
+    # bounded source: exactly max_rows rows, each deterministic
+    assert len(got) == 100
+    by_id = {r.event_id: r for r in got}
+    assert set(by_id) == set(range(100))
+    h = (7 * 2654435761 + 42) & 0x7FFFFFFF
+    assert by_id[7].user_id == h % 97
+    assert abs(by_id[7].value - (h % 1000) / 10.0) < 1e-9

@@ -236,3 +236,25 @@ def test_interval_join_batch_parity(spark, event_dir):
     joined = S.interval_join_streams(views, clicks, keys=["user_id"], lookback="2 minutes")
     rows = joined.select("view_id", "click_id").collect()
     assert sorted((r.view_id, r.click_id) for r in rows) == [(3, 1), (3, 2)]
+
+
+def test_running_totals_tws(spark, event_dir, tmp_path):
+    # TWS ships a protobuf-based state protocol; container lacks protobuf.
+    pytest.importorskip("google.protobuf")
+    src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA)
+    out = S.running_totals_tws(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_tws"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r for r in spark.sql("SELECT * FROM tws_totals").collect()}
+    # single micro-batch → one update row per key with full totals
+    assert rows[1].n_events == 4
+    assert abs(rows[1].sum_value - 11.0) < 1e-9
+    assert rows[1].max_value == 5.0
+    assert rows[2].n_events == 1 and rows[2].max_value == 4.0
