@@ -301,3 +301,36 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         f"stack({len(columns)}, {stack_args}) as "
         "(column, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+def fk_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    keys: dict[str, str],
+    relation: str = "fk",
+) -> DataFrame:
+    """Referential-integrity check (the cross-table rule the single-
+    table Suite can't express): one row ``(relation, n_child,
+    n_orphans)`` counting child rows whose key has no parent.
+
+    ONE pass over the child table: left join against the parent's
+    DISTINCT key set (dedup'd so key fan-out can't inflate counts;
+    Catalyst broadcasts it when small, AQE handles the skewed case),
+    then a single aggregate. A NULL child key counts as an orphan — a
+    null FK references nothing, and the SQL twin (NOT EXISTS) agrees.
+
+    ``keys`` maps child column → parent column, e.g.
+    ``{"o_custkey": "c_custkey"}``.
+    """
+    pk = (
+        parent.select(*[F.col(p).alias(c) for c, p in keys.items()])
+        .distinct()
+        .withColumn("_pk_hit", F.lit(1))
+    )
+    joined = child.join(pk, on=list(keys), how="left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.when(F.col("_pk_hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphans"),
+    ).select(F.lit(relation).alias("relation"), "n_child", "n_orphans")

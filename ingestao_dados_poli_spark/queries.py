@@ -3738,3 +3738,41 @@ def q104_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------- 58. referential integrity (cross-table quality)
+
+@q(
+    "q105_fk_check",
+    """
+    SELECT 'orders->customer' AS relation,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    """,
+)
+def q105_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential integrity through quality.fk_violations —
+    the check the single-table expectation Suite can't express. Per
+    relation: one left join of the child against the parent's DISTINCT
+    keys + one aggregate (no NOT EXISTS subquery per row); orphan
+    semantics match the oracle's NOT EXISTS exactly, including NULL
+    child keys counting as orphans."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    a = Q.fk_violations(
+        orders, customer, {"o_custkey": "c_custkey"}, "orders->customer"
+    )
+    b = Q.fk_violations(
+        lineitem, part, {"l_partkey": "p_partkey"}, "lineitem->part"
+    )
+    return a.unionByName(b)

@@ -87,3 +87,21 @@ def test_observe_suite_zero_extra_pass(spark):
     unique = [r for r in report["results"] if r["rule"].startswith("unique")][0]
     assert unique.get("approx") is True
     assert report["success"] is False
+
+
+def test_fk_violations_detects_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (99, "orphan"), (None, "null-key")],
+        "ck long, v string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = Q.fk_violations(child, parent, {"ck": "pk"}, "child->parent").collect()[0]
+    assert out.relation == "child->parent"
+    assert out.n_child == 4
+    assert out.n_orphans == 2  # 99 and the NULL key
+
+    # duplicate parent keys must NOT inflate the child count (child key 1
+    # matches twice pre-distinct); orphans stay 99 + NULL
+    dup_parent = spark.createDataFrame([(1,), (1,), (2,)], "pk long")
+    out2 = Q.fk_violations(child, dup_parent, {"ck": "pk"}).collect()[0]
+    assert out2.n_child == 4 and out2.n_orphans == 2
