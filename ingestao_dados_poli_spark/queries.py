@@ -3776,3 +3776,136 @@ def q105_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem, part, {"l_partkey": "p_partkey"}, "lineitem->part"
     )
     return a.unionByName(b)
+
+
+# --------------------- 59. daily new + cumulative unique users
+
+@q(
+    "q106_cumulative_uniques",
+    """
+    WITH fs AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1
+    ),
+    d AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY 1)
+    SELECT CAST(first_day AS VARCHAR) AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY first_day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+def q106_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users + cumulative unique users WITHOUT a cumulative
+    count-distinct (which has no partial aggregate and would rescan the
+    prefix per day): each user contributes only their FIRST-seen day
+    (one user-keyed agg), the per-day counts then cumsum in a window
+    over the per-day table — whose cardinality is days-of-history, so
+    the unpartitioned window is over a config-bounded few hundred rows
+    at any event volume."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.col("first_day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+# --------------------- 60. weekly cohort retention
+
+@q(
+    "q107_cohort_retention",
+    """
+    WITH wk AS (
+        SELECT DISTINCT user_id,
+               CAST(floor((epoch(ts) - 1704067200) / 604800) AS BIGINT) AS week
+        FROM events
+    ),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1)
+    SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM wk JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q107_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by first-active
+    week, counted per week-offset since their cohort. The (user, week)
+    activity set is DISTINCT'd first so heavy users can't inflate
+    retention; cohort assignment is one user-keyed agg joined back on
+    the same hash-uniform key (AQE picks broadcast when the user dim is
+    small). count(*) over the distinct set replaces per-cell
+    count_distinct — same value, no second de-dup shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    base = 1704067200  # 2024-01-01 UTC, the corpus epoch
+    wk = ev.select(
+        "user_id",
+        F.floor((F.col("ts").cast("long") - base) / 604800).alias("week"),
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --------------------- 61. ordered funnel (view -> click -> purchase)
+
+@q(
+    "q108_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel
+    """,
+)
+def q108_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (first view, then a click at-or-after
+    it, then a purchase at-or-after that): each stage is one conditional
+    user-keyed min + an equi-join back on user_id — all hash-uniform
+    shuffles, no per-user sequence collection, no window over raw
+    events. Stage frames shrink monotonically, so AQE broadcasts the
+    later joins' right sides."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame | None, etype: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            prev_ts = prev.columns[1]
+            e = e.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    v = stage(None, "view", "v_ts")
+    c = stage(v, "click", "c_ts")
+    p = stage(c, "purchase", "p_ts")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in [(v, "n_view"), (c, "n_view_click"), (p, "n_full_funnel")]
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
