@@ -76,3 +76,35 @@ def test_q33_asof_is_single_shuffle_window(spark, sf_dir):
     assert "Window" in plan
     for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_q103_filter_pushes_below_arrow_map(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q103_arrow_normalize"](spark, sf_dir))
+    # the vec_id < 200 predicate reaches the parquet scan, so the
+    # mapInArrow kernel only ever sees the pruned rows...
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "LessThan(vec_id,200)" in pushed
+    # ...and the whole thing is a shuffle-free map over scan batches
+    assert "Exchange" not in plan
+
+
+def test_q99_regr_is_single_partial_hashagg(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q99_grouped_regression"](spark, sf_dir))
+    # regr_* moments partial-aggregate map-side: exactly one shuffle,
+    # hash aggregation (not sort-based), no Expand
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan and "Expand" not in plan
+
+
+def test_q106_no_cumulative_count_distinct(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q106_cumulative_uniques"](spark, sf_dir))
+    # the first-seen-day formulation needs no distinct operator at all —
+    # uniqueness falls out of the user-keyed min aggregate
+    assert "distinct" not in plan.lower()
+
+
+def test_q102_heavy_hitters_take_ordered(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q102_heavy_hitters"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the share total joins back by broadcast, never a sort-merge join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
