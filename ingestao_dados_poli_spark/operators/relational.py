@@ -229,3 +229,36 @@ def merge_upsert(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src_pri")
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot reconciliation: per-key diff of two table versions —
+    ``(keys..., change_type)`` with change_type ∈ added / removed /
+    changed / unchanged. The validation primitive for pipeline
+    migrations and backfills ("did the rewrite change anything it
+    shouldn't have?").
+
+    Scale shape: ONE full-outer equi-join on the (hash-uniform) key
+    columns; the non-key columns collapse to a single struct per side
+    before the join, so the compare is one null-safe struct equality
+    (no N per-column comparisons in the join output, no row
+    serialization to Python). AQE handles skewed keys.
+    """
+    compare_cols = compare_cols or [
+        c for c in old.columns if c not in keys and c in new.columns
+    ]
+    left = old.select(*keys, F.struct(*compare_cols).alias("_old"))
+    right = new.select(*keys, F.struct(*compare_cols).alias("_new"))
+    j = left.join(right, keys, "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old").eqNullSafe(F.col("_new")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, change.alias("change_type"))

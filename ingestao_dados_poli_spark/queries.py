@@ -3909,3 +3909,61 @@ def q108_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for df, name in [(v, "n_view"), (c, "n_view_click"), (p, "n_full_funnel")]
     ]
     return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+# --------------------- 62. snapshot diff / reconciliation
+
+@q(
+    "q109_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 53 = 0
+    )
+    SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_totalprice = new.o_totalprice
+                 AND old.o_orderstatus = new.o_orderstatus THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           count(*) AS n
+    FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q109_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill/migration reconciliation via relational.table_diff: a
+    deterministic 'rewritten' snapshot (some keys dropped, some prices
+    bumped, some keys added) is diffed against the original with ONE
+    full-outer join on the key — non-key columns collapse to a struct
+    per side so the compare is a single null-safe struct equality. The
+    oracle recomputes the same diff declaratively."""
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    old = _t(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    new = (
+        old.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 31 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            old.filter(k % 53 == 0).select(
+                (k + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    diff = R.table_diff(old, new, ["o_orderkey"])
+    return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))

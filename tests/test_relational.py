@@ -125,3 +125,20 @@ def test_heavy_hitters_topk_share(spark):
     # top-k must plan as TakeOrderedAndProject, not a global sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_table_diff_all_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+        "k long, v string, x double",
+    )
+    got = {r.k: r.change_type for r in R.table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    # null-safe struct equality: NULL == NULL inside compared columns
+    same = R.table_diff(old, old, ["k"])
+    assert {r.change_type for r in same.collect()} == {"unchanged"}
