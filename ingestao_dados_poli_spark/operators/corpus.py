@@ -256,3 +256,50 @@ def group_sample(
         .filter(F.col(rank_col) <= n)
         .drop(rank_col)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    id_col: str,
+    target_rows: float,
+    alpha: float = 0.5,
+    unit_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Temperature-rebalanced corpus subsample: keep each row with a
+    per-group probability chosen so expected group sizes follow the
+    p^alpha mixture weights (alpha < 1 upweights low-resource groups),
+    totalling ~``target_rows``. Membership is DETERMINISTIC — a row is
+    kept iff its md5 unit hash (cf. ``hash_bucket``) falls under the
+    group's keep probability — so reruns, appends, and other engines
+    reproduce the same sample (the property a training-mix materializer
+    needs for resumable 100 TB backfills; rand()-based sampling gives a
+    different corpus every run).
+
+    Scale shape: ONE raw scan for group counts (windows run over the
+    grouped, config-cardinality mixture table), the keep-prob table
+    broadcasts back, and the filter is scan-side hash math.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    w_all = Window.partitionBy()
+    g = g.withColumn(
+        "_wr", F.pow(F.col("_n") / F.sum("_n").over(w_all), alpha)
+    )
+    probs = g.select(
+        *group_cols,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_rows))
+            * (F.col("_wr") / F.sum("_wr").over(w_all))
+            / F.col("_n"),
+        ).alias("_keep_prob"),
+    )
+    u = hash_bucket(F.col(id_col), unit_buckets) / F.lit(float(unit_buckets))
+    return (
+        df.join(F.broadcast(probs), group_cols)
+        .filter(u < F.col("_keep_prob"))
+        .drop("_keep_prob")
+    )

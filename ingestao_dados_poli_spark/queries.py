@@ -3967,3 +3967,90 @@ def q109_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = R.table_diff(old, new, ["o_orderkey"])
     return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------- 63. deterministic temperature-weighted sampling
+
+@q(
+    "q110_weighted_sample",
+    """
+    WITH g AS (
+        SELECT lang, source, count(*) AS n_docs
+        FROM documents GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT lang, source, n_docs,
+               pow(n_docs / sum(n_docs) OVER (), 0.5) AS wr
+        FROM g
+    ),
+    p AS (
+        SELECT lang, source,
+               least(1.0, 200.0 * (wr / sum(wr) OVER ()) / n_docs)
+                   AS keep_prob
+        FROM w
+    ),
+    d AS (
+        SELECT d.lang AS lang, d.source AS source,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 1048576) / 1048576.0 AS u,
+               p.keep_prob AS keep_prob
+        FROM documents d
+        JOIN p ON d.lang = p.lang AND d.source = p.source
+    )
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_kept
+    FROM d WHERE u < keep_prob GROUP BY 1, 2
+    """,
+)
+def q110_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize q98's temperature mixture as an ACTUAL deterministic
+    subsample (corpus.weighted_sample): per-cell keep probabilities from
+    the p^0.5 weights, membership by md5 unit hash — so DuckDB
+    reproduces the EXACT same kept set row for row (hash-checked here),
+    which is what makes a 100 TB training-mix materialization resumable
+    and auditable. rand()-based sampleBy can't cross that bar."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = CO.weighted_sample(
+        docs,
+        group_cols=["lang", "source"],
+        id_col="doc_id",
+        target_rows=200.0,
+        alpha=0.5,
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+# --------------------- 64. rolling median (percentile as window fn)
+
+@q(
+    "q111_rolling_median",
+    """
+    SELECT event_id, user_id,
+           CAST(round(quantile_cont(value, 0.5) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ), 4) AS DOUBLE) AS rolling_median
+    FROM events WHERE user_id < 50
+    """,
+)
+def q111_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-event median per user — exact percentile as a WINDOW
+    aggregate (Spark recomputes the frame per row; fine for bounded
+    rows-frames, and the robust-statistics answer to q100's mean, which
+    outliers drag). Deterministic ROWS frame via the (ts, event_id)
+    tie-break; oracle uses DuckDB's quantile_cont with the identical
+    frame and interpolation."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias(
+            "rolling_median"
+        ),
+    )
