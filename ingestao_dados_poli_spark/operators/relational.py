@@ -262,3 +262,61 @@ def table_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(*keys, change.alias("change_type"))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    bucket_width: int,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Interval-OVERLAP join: all (left, right) pairs whose half-open
+    ranges ``[start, end)`` intersect (optionally also matching
+    ``extra_keys``). Range bounds are numeric (epoch seconds, positions).
+
+    Scale shape — this is the formulation that avoids the broadcast-
+    nested-loop plan Spark picks for a bare inequality join: each
+    interval EXPLODES onto the fixed-width buckets it covers, the join
+    is a plain hash equi-join on (extra_keys..., bucket), and the exact
+    overlap predicate filters the collisions. A pair sharing several
+    buckets would duplicate, so it is kept ONLY in the canonical bucket
+    containing max(left.start, right.start) — an arithmetic guard, not
+    a distinct (no second shuffle). Cost: rows x (range/bucket_width)
+    explosion vs pairwise candidates; pick ``bucket_width`` near the
+    typical interval length so each side lands in O(1) buckets.
+    """
+    ls, le = left_range
+    rs, re_ = right_range
+    keys = list(extra_keys)
+    clash = (set(left.columns) & set(right.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"interval_join: rename clashing non-key columns first: {sorted(clash)}"
+        )
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        b = F.explode(
+            F.sequence(
+                F.floor(F.col(s) / bucket_width),
+                # half-open end: an interval ending exactly on a bucket
+                # boundary does not reach into that bucket
+                F.floor((F.col(e) - 1) / bucket_width),
+            )
+        )
+        return df.withColumn("_bucket", b)
+
+    lb = bucketed(left, ls, le)
+    rb = bucketed(right.withColumnsRenamed({rs: f"_r_{rs}", re_: f"_r_{re_}"}), f"_r_{rs}", f"_r_{re_}")
+    joined = lb.join(rb, on=keys + ["_bucket"])
+    overlap = (F.col(ls) < F.col(f"_r_{re_}")) & (F.col(f"_r_{rs}") < F.col(le))
+    canonical = F.col("_bucket") == F.floor(
+        F.greatest(F.col(ls), F.col(f"_r_{rs}")) / bucket_width
+    )
+    return (
+        joined.filter(overlap & canonical)
+        .drop("_bucket")
+        .withColumnsRenamed({f"_r_{rs}": rs, f"_r_{re_}": re_})
+    )

@@ -4054,3 +4054,67 @@ def q111_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_median"
         ),
     )
+
+
+# --------------------- 65. interval-overlap join (binned, not NL-join)
+
+@q(
+    "q112_interval_overlap",
+    """
+    WITH iv AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                   + (o_orderkey % 14 + 1) * 86400 AS e
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS n_customers
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def q112_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping per-customer order-activity windows through
+    relational.interval_join: intervals explode onto fixed-width
+    buckets, the join is a hash EQUI-join on (custkey, bucket), exact
+    overlap filters collisions, and a canonical-bucket guard (bucket of
+    max(starts)) dedups multi-bucket pairs arithmetically — no
+    distinct, no broadcast-nested-loop (the plan Spark picks for bare
+    inequality joins, quadratic per key at scale). Oracle is the naive
+    inequality self-join."""
+    o = _t(spark, sf_dir, "orders")
+    # NTZ → LTZ first (session tz pinned UTC): NTZ has no direct long cast
+    s = F.col("o_orderdate").cast("timestamp").cast("long")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        s.alias("s"),
+        (s + (F.col("o_orderkey") % 14 + 1) * 86400).alias("e"),
+    )
+    a = iv.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("a_key"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = iv.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("b_key"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    pairs = R.interval_join(
+        a,
+        b,
+        left_range=("a_s", "a_e"),
+        right_range=("b_s", "b_e"),
+        bucket_width=14 * 86400,
+        extra_keys=["o_custkey"],
+    ).filter(F.col("a_key") < F.col("b_key"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

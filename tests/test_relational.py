@@ -142,3 +142,40 @@ def test_table_diff_all_change_types(spark):
     # null-safe struct equality: NULL == NULL inside compared columns
     same = R.table_diff(old, old, ["k"])
     assert {r.change_type for r in same.collect()} == {"unchanged"}
+
+
+def test_interval_join_overlap_matches_naive(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, "k", 0, 10), (2, "k", 20, 30), (3, "j", 5, 6)],
+        "a_id long, k string, a_start long, a_end long",
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 8, 25), (11, "k", 30, 40), (12, "j", 0, 100), (13, "k", 100, 200)],
+        "b_id long, k string, b_start long, b_end long",
+    )
+    out = R.interval_join(
+        left,
+        right,
+        left_range=("a_start", "a_end"),
+        right_range=("b_start", "b_end"),
+        bucket_width=7,
+        extra_keys=["k"],
+    )
+    got = sorted((r.a_id, r.b_id) for r in out.collect())
+    # naive semantics: overlap = a_start < b_end AND b_start < a_end,
+    # half-open — interval 2 [20,30) does NOT overlap 11 [30,40)
+    assert got == [(1, 10), (2, 10), (3, 12)]
+    # no duplicate pairs despite multi-bucket spans (12 covers 15 buckets)
+    assert len(got) == len(set(got))
+
+    # clashing column names are rejected, not silently mangled
+    with pytest.raises(ValueError):
+        R.interval_join(
+            left,
+            left,
+            left_range=("a_start", "a_end"),
+            right_range=("a_start", "a_end"),
+            bucket_width=7,
+        )
