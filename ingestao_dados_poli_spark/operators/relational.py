@@ -320,3 +320,44 @@ def interval_join(
         .drop("_bucket")
         .withColumnsRenamed({f"_r_{rs}": rs, f"_r_{re_}": re_})
     )
+
+
+def contiguous_ids(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    id_col: str = "row_id",
+) -> DataFrame:
+    """Contiguous ``0..N-1`` ids following the total order of
+    ``order_cols`` — WITHOUT the naive global-order window, whose
+    single unpartitioned task is where 100 TB jobs go to die, and
+    without ``monotonically_increasing_id`` (unique but gapped and
+    partition-layout-dependent).
+
+    Shape: range-repartition on the order keys (ordered partitions),
+    rank WITHIN each partition (parallel windows), then shift each
+    partition's ranks by the total count of earlier partitions — the
+    offsets come from a window over the per-partition count table
+    (one row per partition, trivially small) and broadcast back. Ids
+    are a valid total-order extension regardless of where the range
+    sampler places boundaries; pass a UNIQUE key in ``order_cols`` for
+    full run-to-run determinism (ties may otherwise order arbitrarily
+    across partition boundaries).
+    """
+    cols = [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(*cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    d = d.withColumn("_rn", F.row_number().over(w_local))
+    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(id_col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )

@@ -4118,3 +4118,61 @@ def q112_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+# --------------------- 66. contiguous row ids without a global window
+
+@q(
+    "q113_contiguous_ids",
+    """
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+    FROM orders
+    """,
+)
+def q113_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..N-1 ids in o_orderkey order via
+    relational.contiguous_ids: range-repartition → parallel per-
+    partition ranks → offsets from the (one-row-per-partition) count
+    table broadcast back. The oracle is the naive global row_number —
+    which is exactly the plan this operator exists to AVOID running on
+    the big table (a global-order window is one task at any scale);
+    hash-matching it proves the two-phase id assignment is equivalent."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return R.contiguous_ids(o, ["o_orderkey"])
+
+
+# --------------------- 67. unpivot / melt (wide -> long)
+
+@q(
+    "q114_unpivot",
+    """
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_price,
+               CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price,
+               CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (avg_price, max_price, min_price))
+    """,
+)
+def q114_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape with the built-in unpivot/melt (the inverse
+    of q36's pivot): metric columns become (metric, value) rows JVM-side
+    — no explode-of-struct-array hand-rolling. Runs on the already-
+    aggregated wide table, so the reshape touches group-count rows, not
+    the raw scan."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["avg_price", "max_price", "min_price"],
+        "metric",
+        "value",
+    )

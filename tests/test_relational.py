@@ -179,3 +179,15 @@ def test_interval_join_overlap_matches_naive(spark):
             right_range=("a_start", "a_end"),
             bucket_width=7,
         )
+
+
+def test_contiguous_ids_total_order_no_global_window(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [5, 3, 9, 1, 7, 2, 8, 0, 6, 4]], "k long"
+    ).repartition(4)
+    out = R.contiguous_ids(df, ["k"]).collect()
+    assert sorted((r.k, r.row_id) for r in out) == [(i, i) for i in range(10)]
+    # the only unpartitioned window runs over the per-partition count
+    # table, so the raw data is never sorted through one task
+    plan = R.contiguous_ids(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
