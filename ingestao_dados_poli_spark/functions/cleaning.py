@@ -112,3 +112,20 @@ def align_union(dfs: list[DataFrame]) -> DataFrame:
     for other in dfs[1:]:
         out = out.unionByName(other, allowMissingColumns=True)
     return out
+
+
+# Latin accent fold map: every accented char the reference's pt-BR bank/
+# claims names can carry (NFD would need a UDF; translate stays codegen).
+_ACCENTED = "áàâãäåÁÀÂÃÄÅéèêëÉÈÊËíìîïÍÌÎÏóòôõöÓÒÔÕÖúùûüÚÙÛÜçÇñÑýÝ"
+_FOLDED = "aaaaaaAAAAAAeeeeEEEEiiiiIIIIoooooOOOOOuuuuUUUUcCnNyY"
+
+
+def fold_accents(col: Column | str) -> Column:
+    """Strip Latin diacritics (``São Paulo`` → ``Sao Paulo``) with one
+    scan-side ``translate`` — the normalization a pt-BR entity-key join
+    (reference etl/4:26-28 joins on cleaned names) needs before
+    uppercase/regex rules, kept out of NAME_RULES so existing behavior
+    parity is untouched. Matches DuckDB's ``strip_accents`` for the
+    Latin-1/Latin Extended-A range enumerated here."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _ACCENTED, _FOLDED)

@@ -4176,3 +4176,59 @@ def q114_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+# --------------------- 68. ANSI-safe try_* family over messy input
+
+@q(
+    "q115_try_functions",
+    """
+    WITH messy AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'N/A'
+                    ELSE CAST(o_orderkey % 100 AS VARCHAR) END AS qty_s,
+               CAST(o_orderkey % 7 AS DOUBLE) AS denom
+        FROM orders
+    ),
+    parsed AS (
+        SELECT TRY_CAST(qty_s AS BIGINT) AS qty,
+               CASE WHEN denom = 0 THEN NULL
+                    ELSE TRY_CAST(qty_s AS BIGINT) / denom END AS ratio
+        FROM messy
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(qty) AS BIGINT) AS n_parsed,
+           CAST(count(ratio) AS BIGINT) AS n_ratios,
+           CAST(round(sum(ratio), 2) AS DOUBLE) AS sum_ratio
+    FROM parsed
+    """,
+)
+def q115_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe ingestion math on messy input: try_cast swallows
+    unparseable strings as NULL (a plain cast THROWS under Spark 4 ANSI
+    defaults and kills the job on the first bad row — fatal at 100 TB
+    where some bad rows are a certainty) and try_divide nulls
+    divide-by-zero instead of raising. The quarantine counts (parsed vs
+    total) are the ingestion health metrics; the oracle mirrors with
+    SQL TRY_CAST + a NULLIF-style guard."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    messy = o.select(
+        "o_orderkey",
+        F.when(k % 5 == 0, F.lit("N/A"))
+        .otherwise((k % 100).cast("string"))
+        .alias("qty_s"),
+        (k % 7).cast("double").alias("denom"),
+    )
+    parsed = messy.select(
+        F.col("qty_s").try_cast("bigint").alias("qty"),
+        F.try_divide(F.col("qty_s").try_cast("bigint"), F.col("denom")).alias(
+            "ratio"
+        ),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("qty").alias("n_parsed"),
+        F.count("ratio").alias("n_ratios"),
+        F.round(F.sum("ratio"), 2).alias("sum_ratio"),
+    )

@@ -66,3 +66,24 @@ def test_compat_int_index_truncates(spark):
     df = spark.createDataFrame([("0,25",), ("12,99",)], ["s"])
     out = df.select(L.compat_int_index("s").alias("v")).collect()
     assert [r.v for r in out] == [0, 12]
+
+
+def test_fold_accents_matches_duckdb(spark):
+    import duckdb
+
+    from ingestao_dados_poli_spark.functions.cleaning import fold_accents
+
+    names = [
+        "São Paulo",
+        "BANCO DO BRASÍL S.A.",
+        "Caixa Econômica",
+        "Função Ação çÇñÑ",
+        "no accents",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = [r.folded for r in df.select(fold_accents("name").alias("folded")).collect()]
+    want = [
+        duckdb.sql("select strip_accents(?)", params=[n]).fetchone()[0]
+        for n in names
+    ]
+    assert got == want

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ingestao_dados_poli_spark.operators import dedup as DD
 from ingestao_dados_poli_spark.operators import fuzzy as FZ
+from ingestao_dados_poli_spark.operators import relational as R
 from ingestao_dados_poli_spark.operators import similarity as SIM
 from ingestao_dados_poli_spark.session import get_spark
 
@@ -161,11 +162,40 @@ def main() -> None:
             lambda: SIM.embedding_near_dup_pairs(vecs, dim=32, threshold=0.9)
         )
         vecs.unpersist()
+        # interval overlap: n intervals in n/20 key groups, width ~bucket;
+        # candidate pairs stay near-linear because the join is equi on
+        # (key, bucket), never an inequality nested loop
+        iv = (
+            spark.range(n)
+            .select(
+                (F.col("id") % (n // 20)).alias("k"),
+                (F.col("id") * 37 % 100000).alias("a_s"),
+                (F.col("id") * 37 % 100000 + 50 + F.col("id") % 100).alias("a_e"),
+            )
+            .cache()
+        )
+        iv.count()
+        iv2 = iv.select(
+            F.col("k"),
+            F.col("a_s").alias("b_s"),
+            F.col("a_e").alias("b_e"),
+        )
+        results[label]["interval_join"] = time_op(
+            lambda: R.interval_join(
+                iv,
+                iv2,
+                left_range=("a_s", "a_e"),
+                right_range=("b_s", "b_e"),
+                bucket_width=128,
+                extra_keys=["k"],
+            )
+        )
+        iv.unpersist()
 
     ratio_n = big / small
     scaling = {
         op: round(results["big"][op] / max(results["small"][op], 0.01), 1)
-        for op in ("exact", "minhash", "simhash", "jaccard", "fuzzy", "embed_neardup")
+        for op in ("exact", "minhash", "simhash", "jaccard", "fuzzy", "embed_neardup", "interval_join")
     }
     print(json.dumps({"results": results, "size_ratio": ratio_n, "time_ratio": scaling}))
 
