@@ -4232,3 +4232,112 @@ def q115_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ratio").alias("n_ratios"),
         F.round(F.sum("ratio"), 2).alias("sum_ratio"),
     )
+
+
+# --------------------- 69. map-typed column functions
+
+@q(
+    "q116_map_functions",
+    """
+    WITH m AS (
+        SELECT o_orderpriority AS prio, 'base' AS k1,
+               o_totalprice AS v_base, 'tax' AS k2,
+               round(o_totalprice * 0.1, 2) AS v_tax
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    exploded AS (
+        SELECT prio, k1 AS key, v_base * 2 AS value FROM m
+        UNION ALL
+        SELECT prio, k2 AS key, v_tax * 2 AS value FROM m
+    )
+    SELECT prio, key, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM exploded GROUP BY 1, 2
+    """,
+)
+def q116_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns end to end: build with map_from_arrays,
+    rewrite every value JVM-side with transform_values (a map
+    higher-order function — no explode-modify-regroup round trip), then
+    explode to (key, value) rows for the aggregate. The oracle
+    reconstructs the same rows relationally — proving the map algebra
+    changes representation, not semantics."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    m = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.map_from_arrays(
+            F.array(F.lit("base"), F.lit("tax")),
+            F.array(
+                F.col("o_totalprice"),
+                F.round(F.col("o_totalprice") * 0.1, 2),
+            ),
+        ).alias("charges"),
+    )
+    doubled = m.select(
+        "prio",
+        F.transform_values("charges", lambda k, v: v * 2).alias("charges"),
+    )
+    rows = doubled.select("prio", F.explode("charges").alias("key", "value"))
+    return rows.groupBy("prio", "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# --------------------- 70. regexp_extract_all
+
+@q(
+    "q117_regex_extract_all",
+    """
+    SELECT term, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(regexp_extract_all(text, '\\b(s[a-z]{3,})\\b', 1)) AS term
+        FROM documents
+    )
+    GROUP BY term ORDER BY n DESC, term LIMIT 10
+    """,
+)
+def q117_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL regex matches per row (regexp_extract_all + explode), not
+    just the first — the shape of mention/entity extraction over a
+    crawl. Scan-side regex in codegen, one grouped agg, top-k via
+    TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.regexp_extract_all("text", F.lit(r"\b(s[a-z]{3,})\b"), F.lit(1))
+        ).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(10)
+    )
+
+
+# --------------------- 71. collation-aware comparison (Spark 4)
+
+@q(
+    "q118_collated_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status_cs,
+           CAST(count(DISTINCT lower(o_orderstatus)) AS BIGINT) AS n_status_ci
+    FROM orders GROUP BY 1
+    """,
+)
+def q118_collated_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: the same column counted distinct
+    under binary (case-sensitive) vs UTF8_LCASE collation — collation-
+    aware comparison pushes case-insensitivity into the comparator
+    (hash/sort-based distinct works directly) instead of rewriting
+    every predicate with lower(). The oracle expresses the LCASE
+    semantics with lower(), which must agree."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_orderstatus").alias("n_status_cs"),
+        F.count_distinct(
+            F.collate(F.col("o_orderstatus"), "UTF8_LCASE")
+        ).alias("n_status_ci"),
+    )
