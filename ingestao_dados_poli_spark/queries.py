@@ -4341,3 +4341,65 @@ def q118_collated_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collate(F.col("o_orderstatus"), "UTF8_LCASE")
         ).alias("n_status_ci"),
     )
+
+
+# --------------------- 72. time-series gap repair (interpolation)
+
+@q(
+    "q119_gap_fill",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events WHERE user_id < 40
+    ),
+    w AS (
+        SELECT user_id, event_id, tus, v,
+          last_value(v IGNORE NULLS) OVER b AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
+              OVER b AS pt,
+          first_value(v IGNORE NULLS) OVER f AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
+              OVER f AS nt
+        FROM g
+        WINDOW b AS (PARTITION BY user_id ORDER BY tus
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               f AS (PARTITION BY user_id ORDER BY tus
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id,
+           CAST(round(CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                WHEN nt = pt THEN pv
+                ELSE pv + (nv - pv) * (tus - pt) / (nt - pt)
+           END, 4) AS DOUBLE) AS v_filled
+    FROM w
+    """,
+)
+def q119_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of synthesized holes (every 7th event's
+    value nulled) via timeseries.linear_interpolate: prev/next non-null
+    neighbor values AND their timestamps come from four ignorenulls
+    window expressions over two sorted frames — never the naive
+    gap-to-observation range join (quadratic in gap length). Leading/
+    trailing gaps nearest-fill. Ordered by unique-per-user epoch
+    micros, so frames are deterministic; oracle is the identical
+    algebra in DuckDB IGNORE-NULLS windows."""
+    from ingestao_dados_poli_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    gappy = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    out = TS.linear_interpolate(
+        gappy, "v", "tus", partition_by=["user_id"], out_col="v_filled"
+    )
+    return out.select(
+        "user_id", "event_id", F.round("v_filled", 4).alias("v_filled")
+    )
