@@ -4403,3 +4403,77 @@ def q119_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", F.round("v_filled", 4).alias("v_filled")
     )
+
+
+# --------------------- 73. nested serving-layer arrays
+
+@q(
+    "q120_recent_orders_nested",
+    """
+    SELECT o_custkey,
+           array_to_string(
+               list_transform(
+                   (array_agg(o_orderkey
+                        ORDER BY o_orderdate DESC, o_orderkey DESC))[1:3],
+                   x -> CAST(x AS VARCHAR)),
+               ',') AS recent3,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def q120_recent_orders_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-layer denormalization: each customer's 3 most recent
+    order keys INLINE as a nested array — collect_list of sort-key
+    structs, sort_array, slice, project — all JVM array algebra in one
+    grouped agg (the alternative, a row_number window + re-collect, is
+    two shuffles). Negated sort keys give the descending order
+    sort_array lacks; ties break on orderkey so the result is
+    deterministic. Joined to string for the oracle comparison."""
+    o = _t(spark, sf_dir, "orders")
+    nd = -F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    item = F.struct(
+        nd.alias("nd"),
+        (-F.col("o_orderkey")).alias("nk"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list(item)), 1, 3),
+                lambda s: s["k"].cast("string"),
+            ),
+            ",",
+        ).alias("recent3"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------- 74. bitmap exact-distinct (mergeable, not HLL)
+
+@q(
+    "q121_bitmap_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM orders GROUP BY 1
+    """,
+)
+def q121_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting with mergeable state: Spark 3.5+ bitmap
+    aggregates — values bucket by bitmap_bucket_number (32k-wide
+    ranges), each (group, bucket) builds a fixed-size bitmap map-side,
+    and the distinct count is the sum of bitmap_counts. Unlike
+    count_distinct's Expand-based de-dup shuffle the state is bounded
+    and mergeable (HLL's rollup property — q90 — but exact); unlike
+    HLL there is no error. The right tool when key ranges are dense.
+    Oracle is plain COUNT(DISTINCT)."""
+    o = _t(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderpriority",
+        F.bitmap_bucket_number("o_custkey").alias("_bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("_bm")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count("_bm")).cast("long").alias("n_cust")
+    )
