@@ -40,6 +40,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     SimpleDataSourceStreamReader,
     EqualTo,
@@ -256,9 +257,50 @@ class SynthEventsStreamDataSource(DataSource):
         return _SynthEventsStreamReader(self.options)
 
 
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of ``_JsonlWriter``: tasks write task-unique
+    part files; the driver appends one manifest line PER MICRO-BATCH
+    (``_MANIFEST.jsonl``: batch id + files + row count), which is the
+    minimal exactly-once streaming file-sink contract — a reader that
+    honors the manifest never sees uncommitted or replayed-then-aborted
+    batch output, and a restarted query that re-runs batch N just
+    overwrites N's manifest line semantics (last write wins per id)."""
+
+    def __init__(self, options: dict[str, str]) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonlsink requires a path option")
+        self.path = path
+
+    def write(self, rows: Iterator[Row]) -> _PartFile:
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in rows:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _PartFile(path=out, rows=n)
+
+    def commit(self, messages: list[_PartFile | None], batchId: int) -> None:
+        entry = {
+            "batch": batchId,
+            "files": [m.path for m in messages if m is not None],
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.jsonl"), "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+    def abort(self, messages: list[_PartFile | None], batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class JsonlSinkDataSource(DataSource):
-    """``df.write.format("jsonlsink").option("path", ...)`` — see module
-    docstring."""
+    """``df.write.format("jsonlsink").option("path", ...)`` (batch) and
+    ``df.writeStream.format("jsonlsink")`` (per-micro-batch manifest) —
+    see module docstring."""
 
     @classmethod
     def name(cls) -> str:
@@ -269,6 +311,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> _JsonlWriter:
         return _JsonlWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> _JsonlStreamWriter:
+        return _JsonlStreamWriter(self.options)
 
 
 def register(spark: Any) -> None:

@@ -136,3 +136,40 @@ def test_syntheventstream_bounded_micro_batches(spark, tmp_path):
     h = (7 * 2654435761 + 42) & 0x7FFFFFFF
     assert by_id[7].user_id == h % 97
     assert abs(by_id[7].value - (h % 1000) / 10.0) < 1e-9
+
+
+def test_jsonlsink_streaming_per_batch_manifest(spark, tmp_path):
+    import json as _json
+
+    from ingestao_dados_poli_spark.sources import pyds
+
+    pyds.register(spark)
+    out = str(tmp_path / "stream_out")
+    src = (
+        spark.readStream.format("syntheventstream")
+        .option("rowsperbatch", "30")
+        .option("maxrows", "90")
+        .load()
+    )
+    q = (
+        src.writeStream.format("jsonlsink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_jsonl_stream"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    manifest = [
+        _json.loads(line)
+        for line in open(f"{out}/_MANIFEST.jsonl", encoding="utf-8")
+    ]
+    # 3 micro-batches of 30 rows, each committed with its own manifest line
+    assert sorted(m["batch"] for m in manifest) == [0, 1, 2]
+    assert sum(m["rows"] for m in manifest) == 90
+    # every manifest-listed file exists and row counts add up
+    n = 0
+    for m in manifest:
+        for f in m["files"]:
+            n += sum(1 for _ in open(f, encoding="utf-8"))
+    assert n == 90
