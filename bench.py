@@ -1,7 +1,12 @@
 """Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {top-10 slowest by best-of-2}, "cold_sum": ..., "n_queries":
+N, "sf": ...}. The headline stays under ~1.5 KB at any registry size
+(the driver captures only a short stdout tail — round 2's full
+121-query line outgrew it and was lost); the FULL per-query map
+(best-of-2 AND cold) is written to BENCH_local.json at the repo root
+and committed each round.
 
 Execution is forced with the noop sink (full computation, no collect, no
 result materialization on the driver) — the honest way to time a plan.
@@ -71,16 +76,38 @@ def main() -> None:
         cold[name] = round(t1, 3)
         best[name] = round(min(t1, t2), 3)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(best.values()), 3),
+        "unit": "sec",
+        "queries": best,
+        "cold_sum": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "n_queries": len(best),
+        "sf": sf_val,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    top10 = dict(
+        sorted(best.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
-                "value": round(sum(best.values()), 3),
+                "value": full["value"],
                 "unit": "sec",
-                "queries": best,
-                "cold_sum": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": top10,  # 10 slowest by best-of-2; full map in BENCH_local.json
+                "cold_sum": full["cold_sum"],
+                "n_queries": full["n_queries"],
+                "sf": sf_val,
+                "full": "BENCH_local.json",
             }
         )
     )

@@ -303,3 +303,85 @@ def weighted_sample(
         .filter(u < F.col("_keep_prob"))
         .drop("_keep_prob")
     )
+
+
+def _ngram_expr(tokens: Column, n: int) -> Column:
+    """In-row n-gram expansion: array of space-joined n-grams of the
+    token array — transform over sequence, no UDF, no explode yet."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_key: bool = True,
+) -> DataFrame:
+    """Corpus-wide boilerplate detection: word n-grams ranked by the
+    number of DISTINCT documents containing them — the pre-pass an LLM
+    data pipeline runs to find repeated headers/footers/licenses worth
+    stripping. Returns (ngram, doc_freq), ``top_k`` rows.
+
+    ``hash_key=True`` (default — the 100 TB shape): both shuffles (the
+    per-doc distinct and the doc-frequency groupBy) carry
+    ``xxhash64(ngram)`` — 8-byte keys instead of ~n-word strings, a
+    ~5-10x shuffle-byte reduction at n=5. The n-gram STRINGS are
+    recovered for the tiny top-k only, by a second in-row expansion
+    filtered through the broadcast top-k hash set (re-expansion is
+    scan-side compute against the original column — no string ever
+    shuffles; the recovered (hash, ngram) pairs are config-sized).
+    Tie-break at equal doc_freq is hash order (deterministic, not
+    lexicographic) — fine for boilerplate triage.
+
+    ``hash_key=False``: single-pass string-keyed plan with exact
+    lexicographic tie-break — what the q94 oracle checks, and the
+    right choice when the corpus is small or ties must be stable
+    across engines. xxhash64 collisions at the default 64 bits are
+    negligible below ~2^32 distinct n-grams (birthday bound).
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).filter(F.size("_w") >= n)
+    grams_arr = _ngram_expr(F.col("_w"), n)
+    if not hash_key:
+        grams = toks.select(
+            id_col, F.explode(grams_arr).alias("ngram")
+        ).distinct()
+        freq = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
+        return freq.orderBy(F.col("doc_freq").desc(), F.col("ngram")).limit(top_k)
+
+    # Phase 1: doc-frequency per HASH. array_distinct in-row first so
+    # the explode→distinct shuffle only sees per-doc-unique hashes.
+    hashed = toks.select(
+        id_col,
+        F.explode(
+            F.array_distinct(F.transform(grams_arr, lambda g: F.xxhash64(g)))
+        ).alias("h"),
+    ).distinct()
+    topk = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("h"))
+        .limit(top_k)
+    )
+    # Phase 2: recover strings for the k winners only — re-expand
+    # in-row, keep grams whose hash is in the broadcast top-k set,
+    # dedup the (hash, string) pairs (tiny: ≤ k rows + collisions).
+    names = (
+        toks.select(F.explode(grams_arr).alias("ngram"))
+        .withColumn("h", F.xxhash64("ngram"))
+        .join(F.broadcast(topk.select("h")), "h", "left_semi")
+        .groupBy("h")
+        .agg(F.min("ngram").alias("ngram"))
+    )
+    return (
+        topk.join(F.broadcast(names), "h")
+        .select("ngram", "doc_freq")
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram"))
+    )

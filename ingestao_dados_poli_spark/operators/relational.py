@@ -120,6 +120,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     right_prefix: str = "asof_",
+    slim: bool = False,
 ) -> DataFrame:
     """As-of (backward) join: for each left row, the latest right row with
     ``right.ts <= left.ts`` for the same key. Left rows with no prior
@@ -131,9 +132,36 @@ def asof_join(
     formulation that survives 100 TB, unlike point-in-interval joins
     that degrade to broadcast-nested-loop.
 
+    Payload-width trade, explicit: the default carries EVERY left
+    column through the union as null-padded fields — one wide shuffle,
+    and the window sorts wide rows. ``slim=True`` pushes only the
+    DISTINCT (key, left_ts) probe points through the union/window and
+    joins the resolved matches back onto the full left — the window
+    state is timestamp-thin regardless of left's schema, at the cost
+    of one extra (slim) distinct shuffle; the join-back is the same
+    single wide shuffle of left the default pays, and AQE broadcasts
+    the match table when it is small. Prefer ``slim=True`` when left
+    is wide (tens of columns) or the payload columns are large.
+    Identical results by construction: left rows sharing (key, ts)
+    have the same as-of match, so resolving per distinct probe point
+    loses nothing (equivalence pinned in test_relational).
+
     The right side must be unique per (key, ts); pre-aggregate if not
     (duplicate timestamps make any as-of result ill-defined).
     """
+    if slim:
+        probe = left.select(F.col(key), F.col(left_ts)).distinct()
+        matches = asof_join(
+            probe,
+            right,
+            key,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            right_cols=right_cols,
+            right_prefix=right_prefix,
+            slim=False,
+        )
+        return left.join(matches, on=[key, left_ts], how="left")
     rstruct = F.struct(
         F.col(right_ts).alias("_ts"), *[F.col(c) for c in right_cols]
     )
@@ -298,6 +326,10 @@ def interval_join(
         )
 
     def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        # Empty/inverted intervals (start >= end) are dropped BEFORE
+        # bucketing: a half-open [x, x) contains nothing so must match
+        # nothing, and F.sequence would otherwise build a DESCENDING
+        # bucket list for them — spurious rows on dirty data.
         b = F.explode(
             F.sequence(
                 F.floor(F.col(s) / bucket_width),
@@ -306,7 +338,7 @@ def interval_join(
                 F.floor((F.col(e) - 1) / bucket_width),
             )
         )
-        return df.withColumn("_bucket", b)
+        return df.filter(F.col(s) < F.col(e)).withColumn("_bucket", b)
 
     lb = bucketed(left, ls, le)
     rb = bucketed(right.withColumnsRenamed({rs: f"_r_{rs}", re_: f"_r_{re_}"}), f"_r_{rs}", f"_r_{re_}")
@@ -350,6 +382,9 @@ def contiguous_ids(
     w_local = Window.partitionBy("_pid").orderBy(*cols)
     d = d.withColumn("_rn", F.row_number().over(w_local))
     counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # INVARIANT (pinned by test_global_windows_are_post_aggregation):
+    # this unpartitioned window runs over the per-partition count table
+    # — exactly one row per range partition, never over the data.
     w_off = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )

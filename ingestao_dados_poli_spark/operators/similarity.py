@@ -42,9 +42,22 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, cos_sim), k rows per query.
 
-    broadcast(queries) × corpus → scan-side cosine → per-query window
-    top-k. The corpus is never shuffled; the window runs on the small
-    (|Q|·|C|→ranked) side which AQE coalesces.
+    Two-phase plan: broadcast(queries) × corpus → scan-side cosine →
+    PER-PARTITION pre-reduce → tiny per-query window. The corpus is
+    never shuffled, and — the phase that makes this survive scale-up —
+    the full |C|·|Q| scored product never shuffles either: each scan
+    partition reduces itself to ≤ k candidates per query with a
+    ``groupBy(query_id, spark_partition_id())`` +
+    ``slice(sort_array(collect_list(struct(-cos, id))), 1, k)``
+    aggregate (group keys are partition-local, so the map-side partial
+    aggregation completes each group in place and the shuffle carries
+    ≤ k·P·|Q| candidate rows, spread over |Q|·P group keys — never the
+    scored corpus funneled into |Q| window tasks). The final
+    ``row_number`` window then ranks ≤ k·P rows per query.
+
+    Null-scored candidates (null embedding → null cosine) are excluded
+    by the pre-reduce. Brute force is the exact baseline for modest
+    |Q|; ``topk_lsh`` / ``ivf_search`` are the advertised 100 TB paths.
     """
     q = F.broadcast(
         queries.select(F.col(query_id), F.col(query_vec))
@@ -54,11 +67,39 @@ def topk_bruteforce(
         F.col(corpus_id),
         cosine(F.col(corpus_vec), F.col(query_vec)).cast("double").alias("cos_sim"),
     )
+    # Phase 1: partition-local top-k. struct sort on (-cos, id) ==
+    # (cos desc, id asc) — the same total order the final window uses,
+    # so the pre-reduce provably never discards a global top-k row.
+    pre = (
+        scored.filter(F.col("cos_sim").isNotNull())
+        .groupBy(F.col(query_id), F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cos_sim")).alias("_neg"),
+                            F.col(corpus_id).alias("_cid"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select(F.col(query_id), F.explode("_top").alias("_t"))
+        .select(
+            F.col(query_id),
+            F.col("_t._cid").alias(corpus_id),
+            (-F.col("_t._neg")).alias("cos_sim"),
+        )
+    )
+    # Phase 2: final exact rank over the ≤ k·P survivors per query.
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()
     )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        pre.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

@@ -92,7 +92,7 @@ def gap_flags(
     partition_by: list[str],
     max_gap: int | float,
     flag_col: str = "gap_exceeded",
-) -> Column | DataFrame:
+) -> DataFrame:
     """Flag rows whose time since the previous observation exceeds
     ``max_gap`` (same units as ``ts_col``) — the guard that keeps
     interpolation honest: repairing across an outage is fabrication,

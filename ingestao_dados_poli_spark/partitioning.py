@@ -66,8 +66,11 @@ def heavy_hitters(
     the total for the share column is an aggregate of the same grouped
     table joined back by broadcast. ``persist=True`` (default) caches
     the grouped table so the raw input is scanned once even though two
-    plans hang off it — pass False when the input is itself trivially
-    recomputable.
+    plans hang off it; the k-row result is then materialized eagerly
+    (``localCheckpoint``) so the cache can be RELEASED before returning
+    — no session-lifetime leak per call. Pass False when the input is
+    itself trivially recomputable (skips both the cache and the eager
+    materialization, returning a fully lazy plan).
     """
     keys = [F.col(c) for c in key_cols]
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
@@ -75,11 +78,16 @@ def heavy_hitters(
         counts = counts.persist()
     total = counts.agg(F.sum("n").alias("_total"))
     top = counts.orderBy(F.col("n").desc(), *[c.asc() for c in keys]).limit(k)
-    return top.crossJoin(F.broadcast(total)).select(
+    out = top.crossJoin(F.broadcast(total)).select(
         *key_cols,
         F.col("n"),
         F.round(F.col("n") / F.col("_total"), 6).alias("share"),
     )
+    if persist:
+        # k rows — eager cut of the lineage, then drop the big cache.
+        out = out.localCheckpoint(eager=True)
+        counts.unpersist()
+    return out
 
 
 def morton_code(cols: list[Column], bits: int = 8) -> Column:

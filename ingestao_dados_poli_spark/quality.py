@@ -181,9 +181,19 @@ def _build_report(
             if approx_unique:
                 # HLL-estimated distinct: tolerate its default ~2.3% rsd
                 # rather than fail a genuinely-unique key on sketch noise;
-                # exactness needs validate()'s dedicated job.
+                # exactness needs validate()'s dedicated job. A column
+                # can hide up to ~5% real duplicates inside the sketch
+                # tolerance, so within-tolerance is "inconclusive", NOT
+                # success=True: a gate that certifies uniqueness off the
+                # success flag alone is pushed to validate()'s exact path.
                 res["approx"] = True
-                res["success"] = bool(d >= n * 0.95)
+                est_dup_ratio = max(0.0, 1.0 - d / n) if n else 0.0
+                res["observed"]["est_dup_ratio"] = round(est_dup_ratio, 6)
+                if d >= n * 0.95:
+                    res["success"] = True
+                    res["inconclusive"] = not ok
+                else:
+                    res["success"] = False
             results.append(res)
         else:
             bad = row.get(tag, 0) or 0

@@ -2908,6 +2908,9 @@ def q88_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(
         F.date_trunc("day", F.col("o_orderdate")).cast("string").alias("day")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("daily_total"))
+    # INVARIANT (pinned by test_global_windows_are_post_aggregation):
+    # this unpartitioned window's input is the daily aggregate —
+    # |rows| = |distinct days|, bounded by calendar span, not data size.
     w = Window.orderBy("day")
     prev = F.lag("daily_total").over(w)
     return daily.select(
@@ -3295,30 +3298,17 @@ def q94_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate detection: 5-grams ranked by the number
     of DISTINCT documents containing them — the pre-pass an LLM data
     pipeline runs to find repeated headers/footers/licenses worth
-    stripping. Shape: one in-row n-gram expansion (transform over
-    sequence — no UDF), explode, per-doc distinct, one map-side-
-    combined groupBy, TakeOrderedAndProject top-k. At 100 TB the
-    group key would be xxhash64(ngram) (8-byte shuffle rows) with the
-    string joined back for the tiny top-k only; the string key stays
-    here so the oracle checks values directly."""
+    stripping. Routed through ``corpus.boilerplate_ngrams``: the
+    operator DEFAULT is the hash-keyed 100 TB plan (xxhash64 8-byte
+    shuffle keys, strings recovered for the top-k only); the oracle
+    query pins ``hash_key=False`` because its exact lexicographic
+    tie-break at equal doc_freq is what DuckDB computes. The two
+    variants are equivalence-tested in test_corpus.py and timed
+    side-by-side in tools/scale_smoke.py."""
+    from ingestao_dados_poli_spark.operators.corpus import boilerplate_ngrams
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 5
-    )
-    grams = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 4),
-                    lambda i: F.array_join(F.slice("w", i, 5), " "),
-                )
-            ).alias("ngram"),
-        )
-        .distinct()
-    )
-    freq = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
-    return freq.orderBy(F.col("doc_freq").desc(), F.col("ngram")).limit(20)
+    return boilerplate_ngrams(docs, n=5, top_k=20, hash_key=False)
 
 
 # ------------------------- 48. Z-order clustering code (layout locality)
@@ -3810,6 +3800,9 @@ def q106_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = first_seen.groupBy("first_day").agg(
         F.count(F.lit(1)).alias("new_users")
     )
+    # INVARIANT (pinned by test_global_windows_are_post_aggregation):
+    # the unpartitioned cumsum window runs over the per-day table —
+    # |rows| = |distinct first-seen days|, calendar-bounded.
     w = Window.orderBy("first_day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -1,8 +1,8 @@
 """Spark 4 Python DataSource connectors.
 
-The reference ingests external, non-file data by driver-side download
-then parallelize (gerenciando-dados-externos/1:12-54 pulls a remote
-dataset onto the driver before Spark sees it) — a pattern that caps
+The reference moves external data with a single-machine bulk copy
+(gerenciando-dados-externos/0b-Moving-data-cloud-storage-to-dbfs.py:8
+runs one ``dbutils.fs.cp`` of the whole bucket) — a pattern that caps
 ingest at one machine's bandwidth. The Spark 4 Python DataSource API
 is the idiomatic replacement: the source declares PARTITIONS, every
 executor fetches/generates its own slice in parallel, and filter

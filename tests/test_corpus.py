@@ -195,3 +195,44 @@ def test_hll_rollup_merge_matches_direct_sketch(spark):
     assert abs(merged - direct) / direct <= 0.02
     assert abs(direct - 400) / 400 <= 0.05
     assert abs(merged - 400) / 400 <= 0.05
+
+
+def test_boilerplate_ngrams_hash_matches_string(spark):
+    """The hash-keyed 100 TB plan and the string-keyed oracle plan must
+    agree on the (ngram -> doc_freq) map; only tie ORDER at equal
+    doc_freq may differ (hash vs lexicographic)."""
+    header = "this document is provided under the sample license terms v1"
+    rows = [
+        (i, header + f" body {i} unique words here number {i * 7}")
+        for i in range(40)
+    ] + [(100 + i, f"totally distinct content {i} with no shared phrasing "
+          f"at all beyond this sentence {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = CO.boilerplate_ngrams(df, n=5, top_k=10)
+    strkey = CO.boilerplate_ngrams(df, n=5, top_k=10, hash_key=False)
+    hmap = {r.ngram: r.doc_freq for r in hashed.collect()}
+    smap = {r.ngram: r.doc_freq for r in strkey.collect()}
+    # every ngram both plans rank has the same doc_freq
+    for k in set(hmap) & set(smap):
+        assert hmap[k] == smap[k]
+    # the header 5-grams (doc_freq 40, no ties with body grams) must be
+    # identical in both — tie-break freedom only applies below them
+    top_h = {k for k, v in hmap.items() if v == 40}
+    top_s = {k for k, v in smap.items() if v == 40}
+    assert top_h == top_s and len(top_h) >= 5
+    # top-k sizes match
+    assert len(hmap) == len(smap) == 10
+
+
+def test_boilerplate_ngrams_hash_plan_shape(spark):
+    """The default plan's heavy shuffles must carry xxhash64 keys, and
+    no explode of raw strings may feed the distinct: the string column
+    appears only in the tiny top-k recovery join."""
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    plan = (
+        CO.boilerplate_ngrams(df, n=5, top_k=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan

@@ -50,3 +50,56 @@ def test_query_runs(spark, sf_dir, name):
     df = Q.QUERIES[name](spark, sf_dir)
     assert df.columns  # stable, non-empty schema
     df.limit(5).collect()  # executes without error
+
+
+def test_global_windows_are_post_aggregation(spark, sf_dir):
+    """Every deliberately-unpartitioned window in the registry must run
+    over a POST-AGGREGATION table (bounded cardinality), never over
+    fact rows: in the optimized plan, each Window node must sit above
+    an Aggregate. Pins the invariant the 'No Partition Defined for
+    Window' warnings rely on (q88 daily deltas, q106 cumulative
+    uniques, contiguous_ids partition offsets)."""
+    from ingestao_dados_poli_spark.operators.relational import contiguous_ids
+
+    nation = Q._t(spark, sf_dir, "nation")
+    cases = {
+        "q88_lag_delta": Q.QUERIES["q88_lag_delta"](spark, sf_dir),
+        "q106_cumulative_uniques": Q.QUERIES["q106_cumulative_uniques"](
+            spark, sf_dir
+        ),
+        "contiguous_ids": contiguous_ids(nation, ["n_nationkey"]),
+    }
+    for name, df in cases.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        w = plan.find("Window")
+        a = plan.find("Aggregate", w)
+        assert w != -1, f"{name}: no Window in plan\n{plan}"
+        assert a != -1, (
+            f"{name}: Window has no Aggregate beneath it — the global "
+            f"window would scan raw rows\n{plan}"
+        )
+
+
+def test_local_artifacts_cover_registry():
+    """CORRECTNESS_local.json / BENCH_local.json are the in-repo
+    replacements for the driver's truncated artifacts (round-2
+    verdict #1): they must exist, cover the FULL registry, and report
+    zero failures."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent
+    cpath = root / "CORRECTNESS_local.json"
+    assert cpath.exists(), "run: python tools/check_oracle.py --json"
+    c = json.loads(cpath.read_text())
+    assert set(c["queries"]) == set(Q.QUERIES), (
+        "stale CORRECTNESS_local.json — re-run tools/check_oracle.py --json"
+    )
+    assert c["failures"] == [], c["failures"]
+    statuses = {v["status"] for v in c["queries"].values()}
+    assert statuses <= {"ok", "rows_only"}, statuses
+
+    bpath = root / "BENCH_local.json"
+    assert bpath.exists(), "run: python bench.py (writes BENCH_local.json)"
+    b = json.loads(bpath.read_text())
+    assert set(b["queries"]) == set(Q.QUERIES), "stale BENCH_local.json"

@@ -105,6 +105,40 @@ def test_asof_join(spark):
     assert out.count() == left.count()  # left rows always survive
 
 
+def test_asof_join_slim_wide_left_identical(spark):
+    """slim=True must return exactly the default's results on a WIDE
+    left (50 payload columns) — including duplicate (key, ts) probe
+    points and no-match rows — while keeping the window input thin."""
+    from pyspark.sql import functions as F
+
+    wide = [F.col("id") % 7, (F.col("id") * 13 % 1000).alias("ts")] + [
+        (F.col("id") * (i + 3)).alias(f"pay{i:02d}") for i in range(50)
+    ]
+    left = (
+        spark.range(500)
+        .select(F.col("id").alias("k"), *wide)
+        .withColumnRenamed("(id % 7)", "key")
+    )
+    left = left.withColumn("key", F.col("k") % 7).drop("k")
+    # duplicate probe points: two rows share every (key, ts)
+    left = left.unionByName(left)
+    right = spark.range(100).select(
+        (F.col("id") % 7).alias("key"),
+        (F.col("id") * 29 % 900).alias("ts"),
+        (F.col("id") * 2).alias("val"),
+    ).groupBy("key", "ts").agg(F.min("val").alias("val"))  # unique per (key, ts)
+
+    a = R.asof_join(left, right, key="key", right_cols=["val"])
+    b = R.asof_join(left, right, key="key", right_cols=["val"], slim=True)
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    key = lambda t: tuple((v is None, v if v is not None else 0) for v in t)
+    ra = sorted(map(tuple, a.select(*cols).collect()), key=key)
+    rb = sorted(map(tuple, b.select(*cols).collect()), key=key)
+    assert ra == rb
+    assert len(ra) == 1000
+
+
 def test_range_join(spark):
     points = spark.createDataFrame([(1, 5), (1, 15), (2, 25)], ["g", "x"])
     ivals = spark.createDataFrame([(1, 0, 10, "lo"), (1, 10, 20, "hi"), (2, 20, 30, "mid")],

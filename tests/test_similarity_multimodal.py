@@ -45,6 +45,58 @@ def test_topk_bruteforce(spark):
     assert set(got) == {0, 4, 1}  # nearest neighbors by cosine
 
 
+def test_topk_bruteforce_two_phase_plan(spark):
+    """The scored |C|x|Q| product must pre-reduce per scan partition
+    BEFORE the per-query window: the optimized plan contains an
+    Aggregate grouped on spark_partition_id (phase 1), and the window
+    therefore ranks <= k*P survivors, never the full product."""
+    corpus = _vecs(spark)
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.topk_bruteforce(corpus, queries, k=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    assert "sort_array" in plan, plan
+    # correctness unchanged by the pre-reduce: exact per-query top-k
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 2 for v in per_q.values())
+
+
+def test_topk_bruteforce_many_partitions_exact(spark):
+    """Pre-reduce must not discard global winners: with the corpus
+    scattered over many partitions (each holding < k of the true top-k)
+    the result still equals the exact ranking."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(16)
+    queries = spark.createDataFrame(rows[:3], ["query_id", "query_vec"])
+    got = SIM.topk_bruteforce(corpus, queries, k=5).collect()
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cos_sim))
+    for qid, vec in rows[:3]:
+        exact = sorted(
+            ((cid, cos(v, vec)) for cid, v in rows),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert [c for c, _ in sorted(by_q[qid], key=lambda t: (-t[1], t[0]))] == [
+            c for c, _ in exact
+        ]
+
+
 def test_topk_lsh_recall_on_exact_match(spark):
     corpus = _vecs(spark)
     queries = corpus.filter(F.col("vec_id") == 0).select(

@@ -18,6 +18,7 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F
 
+from ingestao_dados_poli_spark.operators import corpus as CO
 from ingestao_dados_poli_spark.operators import dedup as DD
 from ingestao_dados_poli_spark.operators import fuzzy as FZ
 from ingestao_dados_poli_spark.operators import relational as R
@@ -146,6 +147,15 @@ def main() -> None:
             "jaccard": time_op(
                 lambda: DD.jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.5)
             ),
+            # hash-keyed (default, 8-byte shuffle keys) vs string-keyed
+            # boilerplate detection: the hash plan must stay at or below
+            # the string plan's time and both must scale near-linearly
+            "boiler_hash": time_op(
+                lambda: CO.boilerplate_ngrams(docs, n=5, top_k=20)
+            ),
+            "boiler_str": time_op(
+                lambda: CO.boilerplate_ngrams(docs, n=5, top_k=20, hash_key=False)
+            ),
         }
         docs.unpersist()
         names = synth_names(spark, n).cache()
@@ -195,7 +205,7 @@ def main() -> None:
     ratio_n = big / small
     scaling = {
         op: round(results["big"][op] / max(results["small"][op], 0.01), 1)
-        for op in ("exact", "minhash", "simhash", "jaccard", "fuzzy", "embed_neardup", "interval_join")
+        for op in ("exact", "minhash", "simhash", "jaccard", "boiler_hash", "boiler_str", "fuzzy", "embed_neardup", "interval_join")
     }
     print(json.dumps({"results": results, "size_ratio": ratio_n, "time_ratio": scaling}))
 
