@@ -322,6 +322,115 @@ def minhash_candidate_pairs(
     )
 
 
+def dedup_incremental_exact(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str,
+    id_col: str,
+    existing_is_fingerprints: bool = False,
+) -> DataFrame:
+    """Incremental exact dedup — the every-ingest operation of a growing
+    corpus: drop rows of ``new`` whose normalized text already exists in
+    ``existing``, then drop intra-batch duplicates (keep lowest id).
+
+    Scale shape: both sides reduce to md5 fingerprints scan-side; the
+    corpus side collapses to its DISTINCT fingerprint set before the
+    anti-join, so the join carries 16-byte hash-uniform keys — never
+    corpus text. At 100 TB you don't rescan the corpus per batch: you
+    MAINTAIN the fingerprint set as its own compact table (append each
+    batch's surviving fingerprints) and pass it with
+    ``existing_is_fingerprints=True`` (a one-column ``_fp`` table);
+    the per-ingest cost is then |delta| + |fp set| — independent of
+    corpus text bytes.
+    """
+    if existing_is_fingerprints:
+        fps = existing.select(F.col("_fp")).distinct()
+    else:
+        fps = existing.select(
+            fingerprint_exact(text_col).alias("_fp")
+        ).distinct()
+    survivors = dedup_exact(new, text_col, id_col)
+    return (
+        survivors.withColumn("_fp", fingerprint_exact(text_col))
+        .join(fps, "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
+def minhash_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    k: int = 5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """(left_id, right_id, est_jaccard) near-dup candidates BETWEEN two
+    corpora — the delta-vs-corpus LSH join for incremental ingest
+    (``minhash_candidate_pairs`` is the within-corpus variant; this one
+    never pairs two rows from the same side, so a boilerplate-heavy
+    corpus can't explode against itself).
+
+    Same discipline as the self-join: signatures ride in-row into the
+    (band, bucket) groups — ONE shuffle, no join-back recompute —
+    and ``max_bucket_size`` caps degenerate buckets counting BOTH
+    sides. Pair expansion is in-row over each bucket's doc list,
+    filtered to cross-side pairs.
+    """
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by num_bands={num_bands}"
+        )
+    rows_per_band = num_hashes // num_bands
+
+    def banded(df: DataFrame, side: int) -> DataFrame:
+        sigs = fan_out(df).select(
+            F.col(id_col).alias("_id"),
+            F.lit(side).alias("_side"),
+            _minhash_from_token_hashes_udf(num_hashes, k)(
+                _token_hashes(text_col)
+            ).alias("minhash"),
+        )
+        return sigs.select(
+            F.struct("_side", "_id", "minhash").alias("doc"),
+            F.explode(
+                minhash_bands("minhash", num_bands, rows_per_band)
+            ).alias("bb"),
+        ).select(
+            "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    est = F.aggregate(
+        F.zip_with(
+            F.col("p.id_a.minhash"),
+            F.col("p.id_b.minhash"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    pairs = (
+        banded(left, 0)
+        .unionByName(banded(right, 1))
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs").between(2, max_bucket_size))
+        .select(F.explode(_pairs_in_group(F.array_sort("docs"))).alias("p"))
+        # sides sort first in the struct, so cross-side pairs always
+        # have id_a from left (side 0) and id_b from right (side 1)
+        .filter(F.col("p.id_a._side") != F.col("p.id_b._side"))
+        .select(
+            F.col("p.id_a._id").alias("left_id"),
+            F.col("p.id_b._id").alias("right_id"),
+            est.cast("double").alias("est_jaccard"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return pairs
+
+
 def dedup_minhash(
     df: DataFrame,
     text_col: str,

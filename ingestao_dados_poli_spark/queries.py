@@ -4470,3 +4470,362 @@ def q121_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum(F.bitmap_count("_bm")).cast("long").alias("n_cust")
     )
+
+
+# --------------------- 75. JSON round-trip through the Python DataSource sink
+
+@q(
+    "q122_json_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_roundtrip,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM documents
+    """,
+)
+def q122_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ties the IO connectors to the correctness gate (round-2 verdict
+    #7): documents.parquet → JSONL via the manifest-committed
+    ``jsonlsink`` Python DataSource → ``read_json`` (PERMISSIVE with
+    explicit schema) → field-level parity. Returns one row
+    (n_docs, n_roundtrip, n_mismatch); the oracle asserts the
+    round-trip is LOSSLESS — n_roundtrip = |documents| and zero
+    per-field hash mismatches — so a sink that drops rows, a manifest
+    that lists an uncommitted file, or a reader that mangles escaping
+    all turn the row red, not just a unit test.
+
+    Only manifest-committed files are read back (the sink's
+    exactly-once contract); the md5 parity hash covers every column
+    with an explicit null sentinel so a null→empty-string corruption
+    cannot cancel out.
+    """
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from ingestao_dados_poli_spark.sources import pyds, readers
+
+    pyds.register(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = _os.path.join(
+        _tempfile.mkdtemp(prefix="q122_jsonl_"), "data"
+    )  # call-unique: bench re-runs never collide
+    docs.write.format("jsonlsink").mode("append").option("path", out).save()
+    with open(_os.path.join(out, "_MANIFEST")) as fh:
+        committed = _json.load(fh)["files"]
+
+    back = readers.read_json(spark, committed, schema=docs.schema).select(
+        *docs.columns
+    )
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        cells = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in docs.columns
+            if c != "doc_id"
+        ]
+        return df.select("doc_id", F.md5(F.concat_ws("\x1f", *cells)).alias("h"))
+
+    o = fingerprint(docs).withColumnRenamed("h", "h_orig")
+    r = fingerprint(back).withColumnRenamed("h", "h_rt")
+    j = o.join(r, "doc_id", "full_outer")
+    return j.agg(
+        F.count("h_orig").cast("long").alias("n_docs"),
+        F.count("h_rt").cast("long").alias("n_roundtrip"),
+        F.sum(
+            F.when(
+                F.col("h_orig").isNull()
+                | F.col("h_rt").isNull()
+                | (F.col("h_orig") != F.col("h_rt")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )
+
+
+# --------------------------- 76. incremental ingest dedup (delta vs corpus)
+
+@q(
+    "q123_incremental_dedup",
+    """
+    WITH existing AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+    delta AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+    intra AS (
+        SELECT d.* FROM delta d
+        WHERE d.doc_id = (SELECT min(d2.doc_id) FROM delta d2
+                          WHERE md5(trim(regexp_replace(lower(d2.text), '\\s+', ' ', 'g')))
+                              = md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))))
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM intra i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e
+                      WHERE md5(trim(regexp_replace(lower(e.text), '\\s+', ' ', 'g')))
+                        = md5(trim(regexp_replace(lower(i.text), '\\s+', ' ', 'g'))))
+    """,
+)
+def q123_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a delta batch (doc_id % 4 = 0) lands
+    against the already-ingested corpus (the rest); survivors are delta
+    docs that are neither exact dups of the corpus nor intra-batch dups
+    (keep lowest id). This is the EVERY-BATCH operation of a growing
+    100 TB corpus — `dedup.dedup_incremental_exact` reduces both sides
+    to md5 fingerprints scan-side and anti-joins 16-byte hash-uniform
+    keys; at scale the corpus fingerprint set is maintained as its own
+    compact table (existing_is_fingerprints=True) so ingest cost is
+    |delta| + |fp set|, independent of corpus text bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    survivors = DD.dedup_incremental_exact(delta, existing, "text", "doc_id")
+    return survivors.agg(
+        F.count(F.lit(1)).cast("long").alias("n_survivors"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ----------------------- 77. delta-vs-corpus near-dup candidates (LSH join)
+
+@q("q124_minhash_between")
+def q124_minhash_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates BETWEEN a delta batch and the corpus via the
+    cross-corpus banded-LSH join (`dedup.minhash_pairs_between`) —
+    the approximate companion to q123's exact path: one shuffle on
+    (band, bucket), signatures in-row, cross-side pairs only, capped
+    buckets. Rows-only (MinHash is sampling-based, not SQL-expressible);
+    the recall/precision properties are unit-tested in test_text_dedup
+    against brute-force Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    pairs = DD.minhash_pairs_between(
+        delta, existing, "text", "doc_id", num_hashes=64, num_bands=16
+    )
+    return pairs.filter(F.col("est_jaccard") >= 0.5).select(
+        F.col("left_id").alias("delta_id"),
+        F.col("right_id").alias("corpus_id"),
+        F.round("est_jaccard", 4).alias("est_jaccard"),
+    )
+
+
+# ---------------- 78. TPC-H Q17 shape: correlated avg-quantity subquery
+
+@q(
+    "q125_small_qty_revenue",
+    """
+    WITH pavg AS (
+        SELECT l_partkey, count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS s
+        FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand,
+           CAST(round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      / 700.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * a.n * 5 < a.s
+    GROUP BY 1
+    """,
+)
+def q125_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue lost to small-quantity orders: lines
+    with quantity below 20% of their part's average, per brand. The
+    classic correlated scalar subquery DECORRELATED by hand into a
+    per-part aggregate joined back on the same hash-uniform key (what
+    Catalyst's RewriteCorrelatedScalarSubquery does to the SQL form;
+    stating it as DataFrame ops makes the one-extra-scan cost
+    explicit, and AQE broadcasts the part-level agg when small).
+    Cross-engine exactness: the 0.2·avg threshold is evaluated in
+    INTEGER form (5·qty·n < Σqty — quantities are integral) and
+    revenue sums in cents-as-long, so no float boundary can flip a row
+    between Spark and the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    pavg = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("long").alias("s"),
+    )
+    return (
+        li.join(pavg, "l_partkey")
+        .filter(F.col("l_quantity").cast("long") * F.col("n") * 5 < F.col("s"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 700.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ------------- 79. TPC-H Q22 shape: dormant high-balance customers
+
+@q(
+    "q126_dormant_rich_customers",
+    """
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+                AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q126_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — high-balance customers gone quiet: acctbal
+    above the positive-balance average AND no orders since 2000, per
+    nation. Two classic subquery forms in one plan: a scalar aggregate
+    (1-row table cross-joined broadcast — Spark's own decorrelation of
+    the scalar subquery) and an ANTI join against a date-pruned order
+    scan (the NOT EXISTS; the o_orderdate predicate pushes into the
+    parquet scan so the anti-join build side is the filtered tail, not
+    the fact table). Balance sums in cents-as-long for cross-engine
+    hash equality; the avg threshold itself is compared as double —
+    safe because acctbals are 2-dp values nowhere near the average's
+    ulp."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
+            ).alias("total_bal"),
+        )
+    )
+
+
+# ---------------- 80. TPC-H Q18 shape: large-volume orders (HAVING semi)
+
+@q(
+    "q127_large_volume_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q127_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — who places the bulk orders: orders whose line
+    quantities sum past a threshold, with customer attribution, top-100
+    by price. The HAVING aggregate runs FIRST on the fact table (map-
+    side combined, hash-uniform orderkey) so the expensive joins see
+    only qualifying orderkeys (~0.2% here) — aggregate-then-join, the
+    order Catalyst cannot derive itself when the threshold sits on the
+    aggregate. Top-k via TakeOrderedAndProject (per-partition heaps),
+    price-then-key tie-break for a deterministic oracle hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# -------------- 81. TPC-H Q7 shape: nation-pair trade volume by year
+
+@q(
+    "q128_nation_pair_volume",
+    """
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS INT) AS yr,
+           CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                               AS BIGINT)) / 100.0, 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+    JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+    WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+      AND ns.n_nationkey <> nc.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q128_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — trade volume between nation pairs by year: the
+    widest join tree in the registry (fact ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ nation, two roles for the same dim). Spark
+    shape: the nation filters push into BOTH broadcast nation scans
+    BEFORE the joins, and because customer/supplier join through those
+    filtered broadcasts, AQE prunes most of the fact table at the
+    earliest shuffle. Revenue per row is a deterministic double
+    product rounded to cents ONCE, then summed as long — bitwise
+    cross-engine equality with no float-order sensitivity."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    ns = F.broadcast(
+        nation.filter(F.col("n_nationkey") < 3).select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    nc = F.broadcast(
+        nation.filter(F.col("n_nationkey") < 3).select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(nc, cust["c_nationkey"] == nc["c_nk"])
+        .join(ns, supp["s_nationkey"] == ns["s_nk"])
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
+    )

@@ -81,7 +81,13 @@ def read_json(
     reader = spark.read.option("mode", mode).options(**options)
     if schema is not None:
         if mode == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
-            schema = schema.add(corrupt_col, "string")
+            # COPY before extending: StructType.add mutates in place, and
+            # the caller's schema is often another DataFrame's cached
+            # .schema object — mutating it would make that DataFrame
+            # claim a corrupt-record column it doesn't have.
+            from pyspark.sql.types import StructType
+
+            schema = StructType(list(schema.fields)).add(corrupt_col, "string")
         reader = reader.schema(schema).option("columnNameOfCorruptRecord", corrupt_col)
     return reader.json(path)
 

@@ -104,7 +104,22 @@ def test_q106_no_cumulative_count_distinct(spark, sf_dir):
 
 
 def test_q102_heavy_hitters_take_ordered(spark, sf_dir):
-    plan = _plan(Q.QUERIES["q102_heavy_hitters"](spark, sf_dir))
+    # q102 (persist=True) eagerly materializes + localCheckpoints its
+    # k-row result so the grouped-counts cache can be released (round-2
+    # advice: no session-lifetime cache leak), which truncates the
+    # visible plan — so assert the plan SHAPE on the identical
+    # persist=False lazy variant, and the leak fix on the default.
+    from ingestao_dados_poli_spark.partitioning import heavy_hitters
+
+    lineitem = Q._t(spark, sf_dir, "lineitem")
+    plan = _plan(heavy_hitters(lineitem, ["l_returnflag"], k=5, persist=False))
     assert "TakeOrderedAndProject" in plan
     # the share total joins back by broadcast, never a sort-merge join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # default path: cache released after materialization — the grouped
+    # counts table must not linger in the cache manager
+    out = Q.QUERIES["q102_heavy_hitters"](spark, sf_dir)
+    assert out.count() > 0
+    jsm = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    for rdd_info in jsm.values().toList().toString().split(","):
+        assert "ShuffledRowRDD" not in rdd_info

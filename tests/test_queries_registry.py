@@ -18,6 +18,7 @@ ROWS_ONLY = {
     "q40_media_features",
     "q49_stratified_sample",
     "q97_media_decode",
+    "q124_minhash_between",
 }
 
 

@@ -186,3 +186,62 @@ def test_read_binary_files_feeds_multimodal_decode(spark, tmp_path):
 
     # max_bytes ceiling filters scan-side
     assert read_binary_files(spark, str(tmp_path), glob="*.ppm", max_bytes=10).count() == 0
+
+
+def test_read_json_does_not_mutate_caller_schema(spark, tmp_path):
+    """read_json under PERMISSIVE appends a corrupt-record column to the
+    schema it is given; it must extend a COPY — the caller's schema is
+    typically another DataFrame's cached .schema object, and mutating
+    it makes that DataFrame claim a column its plan doesn't have
+    (regression: q122 hit exactly this)."""
+    src = spark.createDataFrame([(1, "a")], "id long, v string")
+    p = str(tmp_path / "j")
+    src.write.json(p)
+    before = src.columns[:]
+    out = read_json(spark, p, schema=src.schema)
+    assert src.columns == before  # caller schema untouched
+    assert "_corrupt_record" in out.columns
+    src.select(*src.columns).collect()  # still resolvable
+
+
+def test_events_ts_normalizes_both_vintages(spark):
+    """SURVEY §8: driver testdata has shipped events.ts as BOTH
+    TIMESTAMP(NANOS)-surfaced-as-long and micro TIMESTAMP_NTZ across
+    rounds. _events_ts must map both encodings of the same instant to
+    the identical UTC timestamp, so the next vintage drift is caught
+    here, not by a red oracle run."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ingestao_dados_poli_spark import queries as Q
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    instants = [
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 6, 15, 12, 34, 56, 789012),
+        dt.datetime(2025, 12, 31, 23, 59, 59, 999999),
+    ]
+    nanos = spark.createDataFrame(
+        [(int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000,)
+         for t in instants],
+        "ts long",
+    )
+    ntz = spark.createDataFrame(
+        [(t,) for t in instants], "ts timestamp_ntz"
+    )
+    got_nanos = [
+        r.s for r in Q._events_ts(nanos)
+        .select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s"))
+        .collect()
+    ]
+    got_ntz = [
+        r.s for r in Q._events_ts(ntz)
+        .select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s"))
+        .collect()
+    ]
+    want = [t.strftime("%Y-%m-%d %H:%M:%S.%f") for t in instants]
+    assert got_nanos == want
+    assert got_ntz == want
+    # already-normalized input passes through unchanged
+    assert Q._events_ts(Q._events_ts(ntz)).schema["ts"].dataType.typeName() == "timestamp"

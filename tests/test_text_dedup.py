@@ -117,3 +117,51 @@ def test_jaccard_pairs_exact(spark):
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
     assert got[(1, 5)] == 1.0
     assert 0.4 <= got[(1, 3)] < 1.0
+
+
+def test_dedup_incremental_exact(spark):
+    existing = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "already  Known TEXT")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Already known text"),     # dup of corpus (normalized)
+            (11, "fresh content one"),
+            (12, "fresh content one"),      # intra-batch dup, higher id
+            (13, "fresh content two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.dedup_incremental_exact(new, existing, "text", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+    # fingerprint-table path gives the same answer
+    from pyspark.sql import functions as F
+
+    fps = existing.select(DD.fingerprint_exact("text").alias("_fp"))
+    out2 = DD.dedup_incremental_exact(
+        new, fps, "text", "doc_id", existing_is_fingerprints=True
+    )
+    assert sorted(r.doc_id for r in out2.collect()) == [11, 13]
+
+
+def test_minhash_pairs_between_cross_side_only(spark):
+    base = "one two three four five six seven eight nine ten " * 6
+    left = spark.createDataFrame(
+        [(1, base), (2, "completely different words in this document " * 8),
+         (3, base + " tail")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(100, base), (101, "unrelated corpus text entirely " * 10),
+         (102, "completely different words in this document " * 8)],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_pairs_between(left, right, "text", "doc_id").collect()
+    got = {(r.left_id, r.right_id) for r in pairs}
+    # identical cross-side texts must be found with est_jaccard ~1
+    assert (1, 100) in got and (2, 102) in got
+    strong = {(r.left_id, r.right_id): r.est_jaccard for r in pairs}
+    assert strong[(1, 100)] == 1.0 and strong[(2, 102)] == 1.0
+    # no within-side pairs ever: left ids only on the left, right on right
+    assert all(l < 100 <= r for l, r in got)
