@@ -321,29 +321,35 @@ def boilerplate_ngrams(
     top_k: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_key: bool = True,
+    hash_key: bool = False,
 ) -> DataFrame:
     """Corpus-wide boilerplate detection: word n-grams ranked by the
     number of DISTINCT documents containing them — the pre-pass an LLM
     data pipeline runs to find repeated headers/footers/licenses worth
     stripping. Returns (ngram, doc_freq), ``top_k`` rows.
 
-    ``hash_key=True`` (default — the 100 TB shape): both shuffles (the
-    per-doc distinct and the doc-frequency groupBy) carry
-    ``xxhash64(ngram)`` — 8-byte keys instead of ~n-word strings, a
-    ~5-10x shuffle-byte reduction at n=5. The n-gram STRINGS are
-    recovered for the tiny top-k only, by a second in-row expansion
-    filtered through the broadcast top-k hash set (re-expansion is
-    scan-side compute against the original column — no string ever
-    shuffles; the recovered (hash, ngram) pairs are config-sized).
-    Tie-break at equal doc_freq is hash order (deterministic, not
-    lexicographic) — fine for boilerplate triage.
+    Both variants dedup per-document IN-ROW (``array_distinct`` over
+    the gram array) so the doc-frequency groupBy is the ONLY shuffle —
+    a cross-row ``distinct`` before counting would be a second full
+    shuffle that the in-row dedup already guarantees is a no-op.
 
-    ``hash_key=False``: single-pass string-keyed plan with exact
-    lexicographic tie-break — what the q94 oracle checks, and the
-    right choice when the corpus is small or ties must be stable
-    across engines. xxhash64 collisions at the default 64 bits are
-    negligible below ~2^32 distinct n-grams (birthday bound).
+    ``hash_key=False`` (default): single-pass string-keyed plan, exact
+    lexicographic tie-break (what the q94 oracle checks). The groupBy
+    partial-aggregates map-side, so the shuffle carries per-partition
+    distinct grams, lz4-compressed.
+
+    ``hash_key=True``: the shuffle carries ``xxhash64(ngram)`` 8-byte
+    keys; strings are recovered for the tiny top-k only, by a second
+    in-row expansion filtered through the broadcast top-k hash set.
+    MEASURED trade (tools/scale_smoke.py, 50k synthetic docs): the
+    second scan costs ~1.8x wall-clock locally, and shuffle BYTES drop
+    only ~10% (120 vs 134 MB) because lz4 compresses low-entropy gram
+    text to near hash size. Choose it only when the shuffle — not the
+    scan — is the measured bottleneck: high-entropy corpora (real web
+    text compresses worse than synthetic), very long n-grams, or a
+    doc-frequency shuffle that spills. Tie-break at equal doc_freq is
+    hash order (deterministic, not lexicographic). xxhash64 collisions
+    are negligible below ~2^32 distinct n-grams (birthday bound).
     """
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
@@ -351,19 +357,19 @@ def boilerplate_ngrams(
     grams_arr = _ngram_expr(F.col("_w"), n)
     if not hash_key:
         grams = toks.select(
-            id_col, F.explode(grams_arr).alias("ngram")
-        ).distinct()
+            id_col, F.explode(F.array_distinct(grams_arr)).alias("ngram")
+        )
         freq = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
         return freq.orderBy(F.col("doc_freq").desc(), F.col("ngram")).limit(top_k)
 
-    # Phase 1: doc-frequency per HASH. array_distinct in-row first so
-    # the explode→distinct shuffle only sees per-doc-unique hashes.
+    # Phase 1: doc-frequency per HASH — in-row per-doc dedup, one
+    # 8-byte-key shuffle.
     hashed = toks.select(
         id_col,
         F.explode(
             F.array_distinct(F.transform(grams_arr, lambda g: F.xxhash64(g)))
         ).alias("h"),
-    ).distinct()
+    )
     topk = (
         hashed.groupBy("h")
         .agg(F.count(F.lit(1)).alias("doc_freq"))

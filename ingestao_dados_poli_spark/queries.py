@@ -3298,13 +3298,14 @@ def q94_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate detection: 5-grams ranked by the number
     of DISTINCT documents containing them — the pre-pass an LLM data
     pipeline runs to find repeated headers/footers/licenses worth
-    stripping. Routed through ``corpus.boilerplate_ngrams``: the
-    operator DEFAULT is the hash-keyed 100 TB plan (xxhash64 8-byte
-    shuffle keys, strings recovered for the top-k only); the oracle
-    query pins ``hash_key=False`` because its exact lexicographic
-    tie-break at equal doc_freq is what DuckDB computes. The two
-    variants are equivalence-tested in test_corpus.py and timed
-    side-by-side in tools/scale_smoke.py."""
+    stripping. Routed through ``corpus.boilerplate_ngrams`` (string
+    key — the measured-better default: one scan, one map-side-combined
+    shuffle; see the operator docstring for the scale_smoke numbers
+    that demoted the hash-keyed variant to opt-in). Exact
+    lexicographic tie-break at equal doc_freq is what DuckDB computes.
+    The two variants are equivalence-tested in test_corpus.py and
+    timed + shuffle-byte-measured side-by-side in
+    tools/scale_smoke.py."""
     from ingestao_dados_poli_spark.operators.corpus import boilerplate_ngrams
 
     docs = _t(spark, sf_dir, "documents")
@@ -4827,5 +4828,123 @@ def q128_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("o_orderdate").cast("int").alias("yr"),
         )
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
+    )
+
+
+# -------- 82. streaming under RocksDB state store (large-state path)
+
+@q(
+    "q129_streaming_rocksdb",
+    """
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+               AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q129_streaming_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q46's streaming plan with the state held in ROCKSDB instead of
+    the heap-backed default — the provider a 100 TB/day stream needs
+    once state outgrows executor memory. Oracle-checked against plain
+    batch SQL like every streaming twin, AND self-asserting: if the
+    provider silently fell back to HDFS-backed (no rocksdb custom
+    metrics in the query progress), the query raises — the gate goes
+    red rather than green-by-accident on the wrong store."""
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        rocksdb_state,
+        state_partitions,
+        tumbling_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(_events_ts)
+    )
+    agg = tumbling_counts(src, window_len="1 day", watermark="10 minutes")
+    name = f"q129_sink_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8), rocksdb_state(spark, bounded_memory_mb=512):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="q129_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        progress = query.lastProgress
+    ops = (progress or {}).get("stateOperators") or []
+    custom = ops[0].get("customMetrics", {}) if ops else {}
+    if not any(k.startswith("rocksdb") for k in custom):
+        raise RuntimeError(
+            f"RocksDB state store did not engage: {sorted(custom)[:5]}"
+        )
+    return spark.table(name).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+# ----------------- 83. TPC-H Q5 shape: local-supplier volume by nation
+
+@q(
+    "q130_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                               AS BIGINT)) / 100.0, 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q130_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — revenue served by LOCAL suppliers per nation:
+    the signature is the join-through equality s_nationkey =
+    c_nationkey, which is not a star-schema edge but a constraint
+    BETWEEN two dimension branches; Spark evaluates it as a residual
+    condition on the supplier hash join, so no extra shuffle appears.
+    Date range prunes orders at the scan; nation/region broadcast;
+    revenue in cents-as-long (cross-engine exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (supp["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
         .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
     )

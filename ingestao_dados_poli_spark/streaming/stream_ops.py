@@ -252,6 +252,48 @@ def state_partitions(spark: SparkSession, n: int):
         spark.conf.set(key, old)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession, bounded_memory_mb: int | None = None):
+    """Scope the RocksDB state-store provider around a streaming query
+    start — the LARGE-STATE path. The default HDFS-backed provider
+    keeps every state key on the JVM heap, so state is capped by
+    executor memory; RocksDB keeps the working set in native memory +
+    local SSD with incremental checkpointing, which is how a 100 TB/day
+    streaming dedup or sessionization holds billions of keys per
+    executor without OOM. ``bounded_memory_mb`` additionally caps the
+    TOTAL native block-cache+memtable footprint across all shards on an
+    executor (off-heap memory is invisible to Spark's own memory
+    manager, so unbounded RocksDB on a packed host gets the executor
+    killed by the OS, not by Spark).
+
+    Like ``state_partitions``, the provider is frozen into the
+    checkpoint at first start; restores session conf afterward.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    mem_key = "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"
+    cap_key = "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    if bounded_memory_mb is not None:
+        spark.conf.set(mem_key, "true")
+        spark.conf.set(cap_key, str(bounded_memory_mb))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+        if bounded_memory_mb is not None:
+            spark.conf.unset(mem_key)
+            spark.conf.unset(cap_key)
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

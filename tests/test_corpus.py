@@ -208,7 +208,7 @@ def test_boilerplate_ngrams_hash_matches_string(spark):
     ] + [(100 + i, f"totally distinct content {i} with no shared phrasing "
           f"at all beyond this sentence {i}") for i in range(10)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    hashed = CO.boilerplate_ngrams(df, n=5, top_k=10)
+    hashed = CO.boilerplate_ngrams(df, n=5, top_k=10, hash_key=True)
     strkey = CO.boilerplate_ngrams(df, n=5, top_k=10, hash_key=False)
     hmap = {r.ngram: r.doc_freq for r in hashed.collect()}
     smap = {r.ngram: r.doc_freq for r in strkey.collect()}
@@ -230,7 +230,7 @@ def test_boilerplate_ngrams_hash_plan_shape(spark):
     appears only in the tiny top-k recovery join."""
     df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
     plan = (
-        CO.boilerplate_ngrams(df, n=5, top_k=3)
+        CO.boilerplate_ngrams(df, n=5, top_k=3, hash_key=True)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()

@@ -123,3 +123,35 @@ def test_q102_heavy_hitters_take_ordered(spark, sf_dir):
     jsm = spark.sparkContext._jsc.sc().getPersistentRDDs()
     for rdd_info in jsm.values().toList().toString().split(","):
         assert "ShuffledRowRDD" not in rdd_info
+
+
+def test_plan_audit_artifact_clean():
+    """PLANAUDIT_local.json (tools/plan_audit.py, committed per round)
+    must show zero CartesianProduct plans and no NEW
+    BroadcastNestedLoopJoin beyond the deliberate scalar/1-row
+    broadcast set — an accidental BNLJ on a growing side is the
+    classic silent 100 TB killer."""
+    import json
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "PLANAUDIT_local.json"
+    assert path.exists(), "run: python tools/plan_audit.py"
+    audit = json.loads(path.read_text())
+    s = audit["summary"]
+    assert set(audit["queries"]) == set(Q.QUERIES), (
+        "stale PLANAUDIT_local.json — re-run tools/plan_audit.py"
+    )
+    assert s["plan_errors"] == []
+    assert s["queries_with_cartesian_product"] == []
+    # deliberate BNLJs, each a broadcast of a 1-row/config-sized side:
+    # q26/q66/q80 broadcast tiny stats or query sets, q48 broadcasts an
+    # interval dim, q108 a step-count literal, q126 a 1-row scalar agg
+    allowed = {
+        "q108_funnel",
+        "q126_dormant_rich_customers",
+        "q26_embedding_topk",
+        "q48_range_join",
+        "q66_tfidf_top_terms",
+        "q80_psi_drift",
+    }
+    assert set(s["queries_with_bnlj"]) <= allowed, s["queries_with_bnlj"]

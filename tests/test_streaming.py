@@ -258,3 +258,33 @@ def test_running_totals_tws(spark, event_dir, tmp_path):
     assert abs(rows[1].sum_value - 11.0) < 1e-9
     assert rows[1].max_value == 5.0
     assert rows[2].n_events == 1 and rows[2].max_value == 4.0
+
+
+def test_rocksdb_state_store(spark, event_dir, tmp_path):
+    """The RocksDB provider (the state-bigger-than-heap path) must
+    actually engage: same watermarked aggregate as the HDFS-backed
+    default, identical results, and the query progress must report
+    rocksdb custom metrics — proof the native store held the state."""
+    with S.rocksdb_state(spark, bounded_memory_mb=256):
+        src = S.read_file_stream(spark, event_dir, EVENT_SCHEMA)
+        agg = S.tumbling_counts(src, window_len="1 minute", watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory").queryName("rocks")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck_rocks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = q.lastProgress
+    out = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM rocks").collect()
+    }
+    assert out[("2024-01-01 00:00:00", "click")] == 3
+    assert out[("2024-01-01 00:02:00", "view")] == 1
+    assert out[("2024-01-01 01:00:00", "click")] == 1
+    ops = progress["stateOperators"]
+    assert ops, progress
+    custom = ops[0].get("customMetrics", {})
+    assert any(k.startswith("rocksdb") for k in custom), custom
