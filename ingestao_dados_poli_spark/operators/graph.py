@@ -93,3 +93,92 @@ def component_sizes(components: DataFrame) -> DataFrame:
         .groupBy("component_size")
         .agg(F.count(F.lit(1)).alias("n_components"))
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    start_mass: int = 1_000_000,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> DataFrame:
+    """Iterative PageRank in EXACT integer arithmetic — the mass-passing
+    formulation that makes an iterative float algorithm byte-identical
+    across engines (and therefore oracle-checkable, where classic
+    double-precision PageRank would hash-mismatch on summation order):
+
+    every node starts with ``start_mass`` integer units; per iteration
+    each node sends ``(mass * 17) div (20 * out_degree)`` units down
+    each out-edge (damping 17/20 = 0.85), keeps nothing, and the
+    undistributed remainder — the 15% teleport share, floor-division
+    residues, and ALL mass of dangling (no-out-edge) nodes — pools and
+    redistributes equally as ``pool div N`` to every node. Division
+    residue of the pool itself (< N units per iteration) evaporates;
+    with 1e6 start units the total drift over a handful of iterations
+    is parts-per-thousand — ranking-irrelevant, and determinism is
+    what buys the exact cross-engine check.
+
+    Scale shape per iteration: one broadcast-out-degree join, one
+    map-side-combined groupBy(dst) — both on hash-uniform node keys —
+    and a 1-row pool aggregate crossJoined back (never collected);
+    ``localCheckpoint`` cuts lineage each round like
+    ``connected_components``. Returns (node, mass) — rank order =
+    mass desc.
+    """
+    # Materialize the edge list ONCE — every iteration joins it, and
+    # without the cut each round would recompute the (possibly
+    # expensive) edge derivation from scratch. Same lineage discipline
+    # as the ranks checkpoint below.
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    n_nodes = nodes.count()  # scalar, config-cardinality driver value
+    ranks = nodes.withColumn("mass", F.lit(start_mass).cast("long"))
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, "node", "left")
+        # per-edge integer give; dangling nodes (null degree) give 0
+        give = with_deg.select(
+            F.col("node"),
+            F.col("mass"),
+            F.coalesce(F.col("_deg"), F.lit(0)).alias("_deg"),
+            F.when(
+                F.col("_deg").isNotNull(),
+                F.expr(
+                    f"(mass * {damping_num}) div ({damping_den} * _deg)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_give"),
+        )
+        contrib = (
+            e.join(give.select(F.col("node").alias("_s"), "_give"), "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("_give").alias("_in"))
+        )
+        pool = give.agg(
+            F.sum(F.col("mass") - F.col("_give") * F.col("_deg")).alias("_pool")
+        )
+        share = F.expr(f"_pool div {n_nodes}")
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(pool))
+            .select(
+                "node",
+                (F.coalesce(F.col("_in"), F.lit(0)) + share)
+                .cast("long")
+                .alias("mass"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

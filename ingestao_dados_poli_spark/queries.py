@@ -4948,3 +4948,77 @@ def q130_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
     )
+
+
+# ------------- 84. iterative PageRank, exactly oracled (integer mass)
+
+@q(
+    "q131_pagerank",
+    """
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        UNION
+        SELECT DISTINCT o_custkey + 1000000 AS src, l_suppkey AS dst
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+    g1 AS (SELECT r.node, r.mass, coalesce(d.deg, 0) AS deg,
+                  CASE WHEN d.deg IS NOT NULL
+                       THEN (r.mass * 17) // (20 * d.deg) ELSE 0 END AS give
+           FROM r0 r LEFT JOIN deg d USING (node)),
+    c1 AS (SELECT e.dst AS node, sum(g.give) AS cin
+           FROM edges e JOIN g1 g ON g.node = e.src GROUP BY 1),
+    p1 AS (SELECT sum(mass - give * deg) AS pool FROM g1),
+    r1 AS (SELECT nd.node, CAST(coalesce(c.cin, 0) + pool // n AS BIGINT) AS mass
+           FROM nodes nd LEFT JOIN c1 c USING (node) CROSS JOIN p1 CROSS JOIN nn),
+    g2 AS (SELECT r.node, r.mass, coalesce(d.deg, 0) AS deg,
+                  CASE WHEN d.deg IS NOT NULL
+                       THEN (r.mass * 17) // (20 * d.deg) ELSE 0 END AS give
+           FROM r1 r LEFT JOIN deg d USING (node)),
+    c2 AS (SELECT e.dst AS node, sum(g.give) AS cin
+           FROM edges e JOIN g2 g ON g.node = e.src GROUP BY 1),
+    p2 AS (SELECT sum(mass - give * deg) AS pool FROM g2),
+    r2 AS (SELECT nd.node, CAST(coalesce(c.cin, 0) + pool // n AS BIGINT) AS mass
+           FROM nodes nd LEFT JOIN c2 c USING (node) CROSS JOIN p2 CROSS JOIN nn),
+    g3 AS (SELECT r.node, r.mass, coalesce(d.deg, 0) AS deg,
+                  CASE WHEN d.deg IS NOT NULL
+                       THEN (r.mass * 17) // (20 * d.deg) ELSE 0 END AS give
+           FROM r2 r LEFT JOIN deg d USING (node)),
+    c3 AS (SELECT e.dst AS node, sum(g.give) AS cin
+           FROM edges e JOIN g3 g ON g.node = e.src GROUP BY 1),
+    p3 AS (SELECT sum(mass - give * deg) AS pool FROM g3),
+    r3 AS (SELECT nd.node, CAST(coalesce(c.cin, 0) + pool // n AS BIGINT) AS mass
+           FROM nodes nd LEFT JOIN c3 c USING (node) CROSS JOIN p3 CROSS JOIN nn)
+    SELECT CAST(node AS BIGINT) AS node, mass
+    FROM r3 ORDER BY mass DESC, node LIMIT 20
+    """,
+)
+def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the supplier↔customer shipment graph
+    (bipartite, both directions), 3 rounds of
+    ``graph.pagerank_integer`` — the INTEGER mass-passing formulation
+    whose floor-division arithmetic is bit-identical across engines,
+    so an ITERATIVE algorithm (the category usually stuck with
+    rows-only checks, like q65's closure) gets a full value-hash
+    oracle: the DuckDB twin unrolls the same three rounds as chained
+    CTEs. Top-20 most-central nodes by final mass."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("o_custkey") + 1000000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks = G.pagerank_integer(edges, iterations=3)
+    return ranks.orderBy(F.col("mass").desc(), F.col("node")).limit(20)

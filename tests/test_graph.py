@@ -39,3 +39,20 @@ def test_component_sizes(spark):
     )
     sizes = {r.component_size: r.n_components for r in G.component_sizes(comps).collect()}
     assert sizes == {3: 1, 1: 2}
+
+
+def test_pagerank_integer_hand_computed(spark):
+    """One iteration on A->B, B->A, A->C, hand-computed in exact
+    integer arithmetic: A out-deg 2 gives 425/edge (17000 div 40),
+    B gives 850, C is dangling; pool = 150+150+1000 = 1300,
+    share = 433; masses (A,B,C) = (1283, 858, 858)."""
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", "C")], "src string, dst string"
+    )
+    out = G.pagerank_integer(edges, iterations=1, start_mass=1000)
+    got = {r.node: r.mass for r in out.collect()}
+    assert got == {"A": 1283, "B": 858, "C": 858}
+    # three iterations conserve mass modulo the documented <N/iter drift
+    out3 = G.pagerank_integer(edges, iterations=3, start_mass=1000)
+    total = sum(r.mass for r in out3.collect())
+    assert 3000 - 9 <= total <= 3000

@@ -1,0 +1,77 @@
+"""Atomic snapshot publishing: pointer semantics, pinned reads,
+vacuum safety."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ingestao_dados_poli_spark.sources import fs, versioned as V
+
+
+def _df(spark, tag: str, n: int = 5):
+    return spark.range(n).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def test_publish_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    assert V.latest_version(spark, path) is None
+    v1 = V.publish(spark, _df(spark, "a"), path)
+    v2 = V.publish(spark, _df(spark, "b", 7), path)
+    assert (v1, v2) == (1, 2)
+    assert V.latest_version(spark, path) == 2
+    assert V.read_latest(spark, path).count() == 7
+    # pinned read is unaffected by later publishes (reproducibility)
+    pinned = V.read_version(spark, path, 1)
+    V.publish(spark, _df(spark, "c", 9), path)
+    assert pinned.count() == 5
+    assert {r.tag for r in pinned.collect()} == {"a"}
+    assert V.read_latest(spark, path).count() == 9
+
+
+def test_failed_write_leaves_previous_version_live(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    V.publish(spark, _df(spark, "good"), path)
+    # a write that explodes mid-job must NOT move the pointer
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("mid-write failure")
+
+    bad = spark.range(3).select(boom("id").alias("id"))
+    with pytest.raises(Exception):
+        V.publish(spark, bad, path)
+    assert V.latest_version(spark, path) == 1
+    assert {r.tag for r in V.read_latest(spark, path).collect()} == {"good"}
+
+
+def test_vacuum_keeps_newest_and_pointed(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    for tag in "abcd":
+        V.publish(spark, _df(spark, tag), path)
+    deleted = V.vacuum(spark, path, keep=2)
+    assert deleted == [1, 2]
+    assert V._versions(spark, path) == [3, 4]
+    assert V.read_latest(spark, path).count() == 5
+    # pointed-to version survives even when older than the keep window
+    with pytest.raises(Exception):
+        V.read_version(spark, path, 1).count()
+
+
+def test_publish_gate_with_quality(spark, tmp_path):
+    """The intended composition: validate the CANDIDATE, flip only on
+    green — a red suite must leave the pointer untouched."""
+    from ingestao_dados_poli_spark.quality import Rule, Suite, validate
+
+    path = str(tmp_path / "tbl")
+    V.publish(spark, _df(spark, "v1"), path)
+    candidate = _df(spark, "v2").withColumn(
+        "id", F.when(F.col("id") == 0, None).otherwise(F.col("id"))
+    )
+    suite = Suite("gate", [Rule("not_null", "id")])
+    report = validate(candidate, suite)
+    assert not report["success"]
+    if report["success"]:  # pragma: no cover - the red path is the test
+        V.publish(spark, candidate, path)
+    assert V.latest_version(spark, path) == 1
