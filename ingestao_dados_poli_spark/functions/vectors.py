@@ -33,7 +33,12 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide, not `/`: a zero-norm vector makes the denominator 0,
+    # which under Spark 4's default ANSI mode is a RUNTIME ERROR that
+    # kills the whole job — one null embedding row must not crash a
+    # corpus-wide similarity scan. Null result rows are then excluded
+    # by the consumers' null filters (e.g. topk_bruteforce pre-reduce).
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

@@ -55,9 +55,10 @@ def topk_bruteforce(
     scored corpus funneled into |Q| window tasks). The final
     ``row_number`` window then ranks ≤ k·P rows per query.
 
-    Null-scored candidates (null embedding → null cosine) are excluded
-    by the pre-reduce. Brute force is the exact baseline for modest
-    |Q|; ``topk_lsh`` / ``ivf_search`` are the advertised 100 TB paths.
+    Null- and NaN-scored candidates (null embedding → null cosine;
+    zero-norm vector → 0/0 = NaN) are excluded by the pre-reduce.
+    Brute force is the exact baseline for modest |Q|; ``topk_lsh`` /
+    ``ivf_search`` are the advertised 100 TB paths.
     """
     q = F.broadcast(
         queries.select(F.col(query_id), F.col(query_vec))
@@ -70,8 +71,11 @@ def topk_bruteforce(
     # Phase 1: partition-local top-k. struct sort on (-cos, id) ==
     # (cos desc, id asc) — the same total order the final window uses,
     # so the pre-reduce provably never discards a global top-k row.
+    # NaN excluded along with null: a zero-norm vector scores 0/0 = NaN,
+    # which Spark sorts LAST ascending but FIRST descending — left in,
+    # the pre-reduce and the final window would disagree about it.
     pre = (
-        scored.filter(F.col("cos_sim").isNotNull())
+        scored.filter(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
         .groupBy(F.col(query_id), F.spark_partition_id().alias("_pid"))
         .agg(
             F.slice(

@@ -5022,3 +5022,61 @@ def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     ranks = G.pagerank_integer(edges, iterations=3)
     return ranks.orderBy(F.col("mass").desc(), F.col("node")).limit(20)
+
+
+# ---------- 85. versioned-publish round-trip through the oracle gate
+
+@q(
+    "q132_versioned_publish",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_pinned,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(1 AS BIGINT) AS live_version
+    FROM documents
+    """,
+)
+def q132_versioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ties `sources/versioned.py` to the gate: publish documents as
+    snapshot v=1, publish a CORRUPTED candidate behind a failing write
+    (must NOT move the pointer), then read back BOTH the live pointer
+    and the pinned version and prove they are the same complete
+    snapshot. A broken pointer flip, a half-published table, or a
+    pinned read seeing later data each turns the row red. The oracle
+    is the source table itself: lossless publish means identical
+    count/sum, live_version stays 1 because the failed publish never
+    flipped."""
+    import tempfile
+
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="q132_tbl_") + "/t"
+    v1 = V.publish(spark, docs, path)
+    # failing publish: ANSI division by zero explodes mid-write; the
+    # pointer must survive pointing at v1
+    try:
+        V.publish(
+            spark,
+            docs.select((F.col("doc_id") / F.lit(0)).alias("boom")),
+            path,
+        )
+    except Exception:
+        pass
+    live = V.read_latest(spark, path)
+    pinned = V.read_version(spark, path, v1)
+    return (
+        live.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .crossJoin(
+            pinned.agg(F.count(F.lit(1)).cast("long").alias("n_pinned"))
+        )
+        .select(
+            "n_rows",
+            "n_pinned",
+            "total_chars",
+            F.lit(V.latest_version(spark, path)).cast("long").alias("live_version"),
+        )
+    )

@@ -149,6 +149,7 @@ def test_plan_audit_artifact_clean():
     allowed = {
         "q108_funnel",
         "q126_dormant_rich_customers",
+        "q132_versioned_publish",  # 1-row agg x 1-row agg crossJoin
         "q26_embedding_topk",
         "q48_range_join",
         "q66_tfidf_top_terms",

@@ -389,3 +389,19 @@ def test_l2_normalize_arrow_values_and_zero_vector(spark):
     # shuffle-free: a pure map over scan batches
     plan = l2_normalize_arrow(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_topk_bruteforce_zero_vector_excluded(spark):
+    """A zero-norm corpus vector scores NaN against every query and
+    must never outrank real candidates (NaN sorts FIRST in a
+    descending window — the naive plan returns it at rank 1)."""
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.5])],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], ["query_id", "query_vec"]
+    )
+    got = [r.vec_id for r in SIM.topk_bruteforce(corpus, queries, k=2).collect()]
+    assert 0 not in got
+    assert set(got) == {1, 2}
