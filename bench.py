@@ -65,8 +65,20 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     best: dict[str, float] = {}
+    errors: list[str] = []
     for name, fn in q.QUERIES.items():
-        t1 = run_once(fn)
+        t0 = time.time()
+        try:
+            t1 = run_once(fn)
+        except Exception:
+            # One failing query must not abort the bench and lose the
+            # whole artifact (the exact loss mode this harness exists
+            # to prevent); record time-to-failure, flag it, move on.
+            errors.append(name)
+            t1 = time.time() - t0
+            cold[name] = round(t1, 3)
+            best[name] = round(t1, 3)
+            continue
         try:
             t2 = run_once(fn)
         except Exception:
@@ -85,6 +97,7 @@ def main() -> None:
         "cold_sum": round(sum(cold.values()), 3),
         "cold_queries": cold,
         "n_queries": len(best),
+        "errors": errors,
         "sf": sf_val,
     }
     out_path = os.path.join(
@@ -106,6 +119,7 @@ def main() -> None:
                 "queries": top10,  # 10 slowest by best-of-2; full map in BENCH_local.json
                 "cold_sum": full["cold_sum"],
                 "n_queries": full["n_queries"],
+                "errors": errors,
                 "sf": sf_val,
                 "full": "BENCH_local.json",
             }

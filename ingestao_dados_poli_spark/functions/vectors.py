@@ -34,10 +34,12 @@ def norm(a: Column | str) -> Column:
 
 def cosine(a: Column | str, b: Column | str) -> Column:
     # try_divide, not `/`: a zero-norm vector makes the denominator 0,
-    # which under Spark 4's default ANSI mode is a RUNTIME ERROR that
-    # kills the whole job — one null embedding row must not crash a
-    # corpus-wide similarity scan. Null result rows are then excluded
-    # by the consumers' null filters (e.g. topk_bruteforce pre-reduce).
+    # which under Spark 4's default ANSI mode is a RUNTIME ERROR even
+    # for doubles (verified in this build: SELECT 1e0/0e0 raises
+    # DIVIDE_BY_ZERO) — one degenerate embedding row must not kill a
+    # corpus-wide similarity scan. try_divide yields NULL instead,
+    # which the consumers' null filters exclude (e.g. topk_bruteforce
+    # pre-reduce).
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 

@@ -161,7 +161,16 @@ def asof_join(
             right_prefix=right_prefix,
             slim=False,
         )
-        return left.join(matches, on=[key, left_ts], how="left")
+        # NULL-SAFE join-back (<=>): the default path's window groups
+        # null keys/timestamps into a partition like any other value,
+        # so the slim path must match them too — a plain equi-join
+        # would silently drop every null-key left row's match.
+        m = matches.withColumnsRenamed({key: "_mk", left_ts: "_mts"})
+        return left.join(
+            m,
+            left[key].eqNullSafe(m["_mk"]) & left[left_ts].eqNullSafe(m["_mts"]),
+            "left",
+        ).drop("_mk", "_mts")
     rstruct = F.struct(
         F.col(right_ts).alias("_ts"), *[F.col(c) for c in right_cols]
     )

@@ -43,22 +43,30 @@ def topk_bruteforce(
     """Exact cosine top-k: (query_id, vec_id, cos_sim), k rows per query.
 
     Two-phase plan: broadcast(queries) × corpus → scan-side cosine →
-    PER-PARTITION pre-reduce → tiny per-query window. The corpus is
-    never shuffled, and — the phase that makes this survive scale-up —
-    the full |C|·|Q| scored product never shuffles either: each scan
-    partition reduces itself to ≤ k candidates per query with a
-    ``groupBy(query_id, spark_partition_id())`` +
-    ``slice(sort_array(collect_list(struct(-cos, id))), 1, k)``
-    aggregate (group keys are partition-local, so the map-side partial
-    aggregation completes each group in place and the shuffle carries
-    ≤ k·P·|Q| candidate rows, spread over |Q|·P group keys — never the
-    scored corpus funneled into |Q| window tasks). The final
-    ``row_number`` window then ranks ≤ k·P rows per query.
+    per-(partition, query) pre-reduce → tiny per-query window. The
+    corpus is never shuffled, and the round-1 scale-killer — the whole
+    scored product row-numbered through |Q| window tasks — is gone:
+    the ``groupBy(query_id, spark_partition_id())`` groups spread over
+    |Q|·P keys, and the final ``row_number`` window ranks ≤ k·P rows
+    per query.
 
-    Null- and NaN-scored candidates (null embedding → null cosine;
-    zero-norm vector → 0/0 = NaN) are excluded by the pre-reduce.
-    Brute force is the exact baseline for modest |Q|; ``topk_lsh`` /
-    ``ivf_search`` are the advertised 100 TB paths.
+    Honest limits of this formulation (measured, not assumed): the
+    k-slice is a RESULT expression of the aggregate, evaluated after
+    the merge, so the exchange still transports each group's full
+    candidate list (the scored product, packed into arrays) — phase 1
+    fixes the reducer FUNNEL, not the shuffle BYTES — and the
+    non-spillable ``collect_list`` buffer per (query, partition) group
+    is bounded by partition size, not by k. Size scan partitions so
+    rows-per-partition × |Q| structs fit executor memory, or use the
+    bounded-candidate paths below when |C|·|Q| is genuinely huge.
+
+    Null- and NaN-scored candidates are excluded by the pre-reduce:
+    null embeddings and zero-norm vectors score null (``cosine`` uses
+    ``try_divide`` — ANSI mode raises on a bare double division), and
+    NaN ELEMENTS inside an embedding propagate to a NaN score, which
+    would sort FIRST in the final descending window but LAST in the
+    ascending pre-reduce. Brute force is the exact baseline for modest
+    |Q|; ``topk_lsh`` / ``ivf_search`` are the advertised 100 TB paths.
     """
     q = F.broadcast(
         queries.select(F.col(query_id), F.col(query_vec))

@@ -4502,15 +4502,19 @@ def q122_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import json as _json
     import os as _os
-    import tempfile as _tempfile
+    import shutil as _shutil
 
     from ingestao_dados_poli_spark.sources import pyds, readers
 
     pyds.register(spark)
     docs = _t(spark, sf_dir, "documents")
-    out = _os.path.join(
-        _tempfile.mkdtemp(prefix="q122_jsonl_"), "data"
-    )  # call-unique: bench re-runs never collide
+    # pid-scoped REUSED dir, cleared on entry: bounds /tmp growth to
+    # one corpus copy per process (mkdtemp per call leaked one per
+    # bench run). Safe because each constructed DataFrame is fully
+    # consumed before the next call re-enters (gate/bench are serial).
+    base = f"/tmp/q122_jsonl_{_os.getpid()}"
+    _shutil.rmtree(base, ignore_errors=True)
+    out = _os.path.join(base, "data")
     docs.write.format("jsonlsink").mode("append").option("path", out).save()
     with open(_os.path.join(out, "_MANIFEST")) as fh:
         committed = _json.load(fh)["files"]
@@ -4852,7 +4856,8 @@ def q129_streaming_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     provider silently fell back to HDFS-backed (no rocksdb custom
     metrics in the query progress), the query raises — the gate goes
     red rather than green-by-accident on the wrong store."""
-    import tempfile
+    import os as _os
+    import shutil as _shutil
     import uuid
 
     from ingestao_dados_poli_spark.streaming.stream_ops import (
@@ -4871,12 +4876,17 @@ def q129_streaming_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = tumbling_counts(src, window_len="1 day", watermark="10 minutes")
     name = f"q129_sink_{uuid.uuid4().hex[:8]}"
+    # pid-scoped checkpoint dir, cleared on entry (a reused checkpoint
+    # would resume from committed offsets and emit nothing; a mkdtemp
+    # per call leaked one dir per run)
+    ck = f"/tmp/q129_ck_{_os.getpid()}"
+    _shutil.rmtree(ck, ignore_errors=True)
     with state_partitions(spark, 8), rocksdb_state(spark, bounded_memory_mb=512):
         query = (
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="q129_ck_"))
+            .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
         )
@@ -5039,22 +5049,26 @@ def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q132_versioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ties `sources/versioned.py` to the gate: publish documents as
     snapshot v=1, publish a CORRUPTED candidate behind a failing write
-    (must NOT move the pointer), then read back BOTH the live pointer
-    and the pinned version and prove they are the same complete
-    snapshot. A broken pointer flip, a half-published table, or a
-    pinned read seeing later data each turns the row red. The oracle
-    is the source table itself: lossless publish means identical
-    count/sum, live_version stays 1 because the failed publish never
-    flipped."""
-    import tempfile
+    (must stay uncommitted), then read back BOTH the live (max
+    committed) version and the pinned version and prove they are the
+    same complete snapshot. A missing commit marker, a half-published
+    table, or a pinned read seeing later data each turns the row red.
+    The oracle is the source table itself: lossless publish means
+    identical count/sum, live_version stays 1 because the failed
+    publish never committed."""
+    import os as _os
+    import shutil as _shutil
 
     from ingestao_dados_poli_spark.sources import versioned as V
 
     docs = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="q132_tbl_") + "/t"
+    # pid-scoped, cleared on entry: bounds /tmp to one copy per process
+    base = f"/tmp/q132_tbl_{_os.getpid()}"
+    _shutil.rmtree(base, ignore_errors=True)
+    path = base + "/t"
     v1 = V.publish(spark, docs, path)
-    # failing publish: ANSI division by zero explodes mid-write; the
-    # pointer must survive pointing at v1
+    # failing publish: ANSI division by zero explodes mid-write; v=2
+    # stays uncommitted and invisible, v1 stays live
     try:
         V.publish(
             spark,

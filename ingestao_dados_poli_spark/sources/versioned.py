@@ -7,24 +7,28 @@ moment today's starts. This module is the minimal safe-publish
 protocol on plain parquet directories, no Delta/Iceberg runtime:
 
 - every publish writes a FRESH ``v=<n>`` directory (never in place);
-- the ``_LATEST`` pointer file flips via write-temp + rename — atomic
-  on HDFS/local (on object stores, where rename is copy+delete, the
-  pointer file is small enough that the non-atomic window is one
-  PUT; a reader never sees a partial SNAPSHOT either way, because
-  data directories are immutable once the pointer names them);
-- readers resolve the pointer first (``read_latest``) or pin a
-  version (``read_version`` — reproducibility: a training run records
-  the snapshot version it read, and reruns read the same bytes);
-- ``vacuum`` deletes all but the newest ``keep`` snapshots and never
-  the pointed-to one.
+- a version becomes visible by CREATING a ``_COMMITTED`` marker file
+  inside its own directory — one atomic file create, no shared
+  pointer file is ever deleted or renamed, so there is NO window in
+  which the table has no live version (an earlier design flipped a
+  ``_LATEST`` pointer via rm+rename; the gap between the two ops
+  could strand readers, so markers replaced it);
+- readers resolve "latest" as the max committed version
+  (``read_latest``) or pin one (``read_version`` — reproducibility: a
+  training run records the snapshot version it read, and reruns read
+  the same bytes); uncommitted directories — crashed publishes — are
+  invisible;
+- ``vacuum`` deletes all but the newest ``keep`` committed snapshots,
+  plus abandoned uncommitted directories older than the newest
+  committed one (don't run vacuum concurrently with a publish).
 
 Pairs with ``operators.relational.snapshot_diff`` for version-to-
-version change capture, and with ``quality.validate`` as the
-publish gate (validate the candidate dir, flip the pointer only on
-green — the write is invisible to readers until the flip).
+version change capture, and with ``quality.validate`` as the publish
+gate (validate the DataFrame, publish only on green — q132 exercises
+the full protocol inside the oracle gate).
 
 Scale notes: the protocol costs ONE extra driver metadata op per
-publish (the pointer flip) over a plain write; data movement is
+publish (the marker create) over a plain write; data movement is
 identical. Snapshot dirs are immutable so caches/manifest listings
 stay valid; vacuum bounds storage at keep x table size.
 """
@@ -37,11 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ingestao_dados_poli_spark.sources import fs
 
-_POINTER = "_LATEST"
-_VDIR = re.compile(r".*/v=(\d+)$")
+_MARKER = "_COMMITTED"
+_VDIR = re.compile(r".*/v=(\d+)/?$")
 
 
-def _versions(spark: SparkSession, path: str) -> list[int]:
+def _version_dirs(spark: SparkSession, path: str) -> list[int]:
+    """All v=N directories, committed or not."""
     if not fs.exists(spark, path):
         return []
     out = []
@@ -52,26 +57,18 @@ def _versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
+def _committed(spark: SparkSession, path: str) -> list[int]:
+    return [
+        v
+        for v in _version_dirs(spark, path)
+        if fs.exists(spark, f"{path}/v={v}/{_MARKER}")
+    ]
+
+
 def latest_version(spark: SparkSession, path: str) -> int | None:
-    """Resolve the pointer; None when nothing is published yet."""
-    ptr = f"{path}/{_POINTER}"
-    if not fs.exists(spark, ptr):
-        return None
-    # tiny file: read driver-side through the Hadoop FS (works on any
-    # scheme), not spark.read (no executor jobs for 8 bytes)
-    jfs, jpath, _ = fs._fs(spark, ptr)
-    stream = jfs.open(jpath)
-    try:
-        raw = []
-        for _ in range(16):  # pointer is "<n>\n" — tiny by contract
-            b = stream.read()
-            if b < 0:
-                break
-            raw.append(b)
-    finally:
-        stream.close()
-    digits = "".join(chr(b) for b in raw if chr(b).isdigit())
-    return int(digits) if digits else None
+    """Highest committed version; None when nothing is published."""
+    committed = _committed(spark, path)
+    return committed[-1] if committed else None
 
 
 def publish(
@@ -80,35 +77,35 @@ def publish(
     path: str,
     **writer_options: str,
 ) -> int:
-    """Write ``df`` as the next snapshot version and atomically flip
-    the pointer to it. Returns the published version number. The data
-    write happens BEFORE the flip, so a crash mid-write leaves the
-    previous version live and a garbage ``v=<n>`` dir for vacuum —
-    never a half-published table."""
-    existing = _versions(spark, path)
+    """Write ``df`` as the next snapshot version and commit it with an
+    atomic marker create. Returns the published version number. A
+    crash mid-write leaves an UNCOMMITTED (invisible) ``v=<n>`` dir
+    for vacuum — never a half-published table, and the previously
+    committed version stays live throughout."""
+    existing = _version_dirs(spark, path)
     n = (existing[-1] if existing else 0) + 1
     vdir = f"{path}/v={n}"
     writer = df.write.mode("error")
     for k, v in writer_options.items():
         writer = writer.option(k, v)
     writer.parquet(vdir)
-    tmp = f"{path}/{_POINTER}.tmp"
-    jfs, jpath, _ = fs._fs(spark, tmp)
-    stream = jfs.create(jpath, True)
+    jfs, jpath, _ = fs._fs(spark, f"{vdir}/{_MARKER}")
+    stream = jfs.create(jpath, False)  # atomic create, no overwrite
     try:
-        stream.write(bytearray(f"{n}\n".encode("ascii")))
+        stream.write(bytearray(b"committed\n"))
     finally:
         stream.close()
-    if fs.exists(spark, f"{path}/{_POINTER}"):
-        fs.rm(spark, f"{path}/{_POINTER}", recursive=False)
-    if not fs.rename(spark, tmp, f"{path}/{_POINTER}"):
-        raise IOError(f"pointer flip failed for {path}")
     return n
 
 
 def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     """Pin a snapshot — the reproducibility contract: same version,
-    same bytes, regardless of later publishes."""
+    same bytes, regardless of later publishes. Refuses uncommitted
+    (crashed-publish) directories."""
+    if not fs.exists(spark, f"{path}/v={version}/{_MARKER}"):
+        raise FileNotFoundError(
+            f"version {version} under {path} is absent or uncommitted"
+        )
     return spark.read.parquet(f"{path}/v={version}")
 
 
@@ -120,13 +117,20 @@ def read_latest(spark: SparkSession, path: str) -> DataFrame:
 
 
 def vacuum(spark: SparkSession, path: str, keep: int = 2) -> list[int]:
-    """Delete all but the newest ``keep`` snapshots (and never the
-    pointed-to one, even if older). Returns deleted versions."""
+    """Delete all but the newest ``keep`` committed snapshots, plus
+    abandoned uncommitted dirs older than the newest committed one.
+    Returns deleted versions. Not safe to run concurrently with a
+    publish (an in-flight publish looks abandoned)."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
-    live = latest_version(spark, path)
-    versions = _versions(spark, path)
-    victims = [v for v in versions[:-keep] if v != live]
+    committed = _committed(spark, path)
+    keep_set = set(committed[-keep:])
+    newest = committed[-1] if committed else -1
+    victims = [
+        v
+        for v in _version_dirs(spark, path)
+        if v not in keep_set and (v in committed or v < newest)
+    ]
     for v in victims:
         fs.rm(spark, f"{path}/v={v}")
     return victims

@@ -274,24 +274,28 @@ def rocksdb_state(spark: SparkSession, bounded_memory_mb: int | None = None):
     Like ``state_partitions``, the provider is frozen into the
     checkpoint at first start; restores session conf afterward.
     """
-    key = "spark.sql.streaming.stateStore.providerClass"
-    mem_key = "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"
-    cap_key = "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
+    keys = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+    }
     if bounded_memory_mb is not None:
-        spark.conf.set(mem_key, "true")
-        spark.conf.set(cap_key, str(bounded_memory_mb))
+        keys["spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"] = "true"
+        keys["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] = str(
+            bounded_memory_mb
+        )
+    # save/restore EVERY conf we touch — unsetting a key the session had
+    # configured (e.g. its own RocksDB memory cap) would leave later
+    # queries running unbounded, the exact failure this scope prevents
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
-        if bounded_memory_mb is not None:
-            spark.conf.unset(mem_key)
-            spark.conf.unset(cap_key)
+        for k, prior in old.items():
+            if prior is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prior)
 
 
 def interval_join_streams(

@@ -104,3 +104,4 @@ def test_local_artifacts_cover_registry():
     assert bpath.exists(), "run: python bench.py (writes BENCH_local.json)"
     b = json.loads(bpath.read_text())
     assert set(b["queries"]) == set(Q.QUERIES), "stale BENCH_local.json"
+    assert b.get("errors", []) == [], b["errors"]

@@ -139,6 +139,27 @@ def test_asof_join_slim_wide_left_identical(spark):
     assert len(ra) == 1000
 
 
+def test_asof_join_slim_null_keys_match_default(spark):
+    """Null keys and null timestamps must resolve IDENTICALLY in both
+    payload modes: the window path groups nulls like any value, so the
+    slim join-back must be null-safe (a plain equi-join drops them)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(None, 5, "a"), (None, 2, "b"), (1, None, "c"), (1, 5, "d")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(None, 3, 9), (1, 4, 7)], "k int, ts int, v int"
+    )
+    a = R.asof_join(left, right, key="k", right_cols=["v"])
+    b = R.asof_join(left, right, key="k", right_cols=["v"], slim=True)
+    ga = {r.tag: r.asof_v for r in a.collect()}
+    gb = {r.tag: r.asof_v for r in b.collect()}
+    assert ga == gb
+    assert ga["a"] == 9  # null-key left row matches null-key right row
+
+
 def test_range_join(spark):
     points = spark.createDataFrame([(1, 5), (1, 15), (2, 25)], ["g", "x"])
     ivals = spark.createDataFrame([(1, 0, 10, "lo"), (1, 10, 20, "hi"), (2, 20, 30, "mid")],

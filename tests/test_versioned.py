@@ -34,7 +34,7 @@ def test_publish_read_roundtrip(spark, tmp_path):
 def test_failed_write_leaves_previous_version_live(spark, tmp_path):
     path = str(tmp_path / "tbl")
     V.publish(spark, _df(spark, "good"), path)
-    # a write that explodes mid-job must NOT move the pointer
+    # a write that explodes mid-job must stay invisible (no marker)
     @F.udf("long")
     def boom(x):
         raise RuntimeError("mid-write failure")
@@ -44,6 +44,12 @@ def test_failed_write_leaves_previous_version_live(spark, tmp_path):
         V.publish(spark, bad, path)
     assert V.latest_version(spark, path) == 1
     assert {r.tag for r in V.read_latest(spark, path).collect()} == {"good"}
+    # the crashed dir is invisible to pinned reads and reaped by vacuum
+    with pytest.raises(FileNotFoundError):
+        V.read_version(spark, path, 2)
+    V.publish(spark, _df(spark, "next"), path)
+    assert V.latest_version(spark, path) == 3
+    assert 2 in V.vacuum(spark, path, keep=2)
 
 
 def test_vacuum_keeps_newest_and_pointed(spark, tmp_path):
@@ -52,7 +58,7 @@ def test_vacuum_keeps_newest_and_pointed(spark, tmp_path):
         V.publish(spark, _df(spark, tag), path)
     deleted = V.vacuum(spark, path, keep=2)
     assert deleted == [1, 2]
-    assert V._versions(spark, path) == [3, 4]
+    assert V._version_dirs(spark, path) == [3, 4]
     assert V.read_latest(spark, path).count() == 5
     # pointed-to version survives even when older than the keep window
     with pytest.raises(Exception):

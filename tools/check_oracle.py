@@ -51,6 +51,11 @@ def main() -> int:
         args.remove("--json")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if write_json and only:
+        # never clobber the committed full-registry artifact with a
+        # filtered partial report
+        print("refusing --json with a query filter: artifact must cover the full registry")
+        return 2
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()

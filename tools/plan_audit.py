@@ -13,6 +13,13 @@ plan and grade it against the antipatterns that kill 100 TB jobs:
   (bounded cardinality); counted here, proven in
   test_global_windows_are_post_aggregation.
 
+Caveat: queries that EXECUTE during construction (q102's eager
+localCheckpoint releases its cache; q91/q92/q129 run streams; q122/
+q132 run IO protocols) audit as a degenerate post-execution scan —
+their real plan shapes are pinned by dedicated tests instead
+(test_q102_heavy_hitters_take_ordered, test_streaming, test_pyds,
+test_versioned).
+
 Writes PLANAUDIT_local.json. Usage:
 
     python tools/plan_audit.py [sf_dir]

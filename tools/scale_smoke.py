@@ -183,7 +183,7 @@ def main() -> None:
             lambda: CO.boilerplate_ngrams(docs, n=5, top_k=20, hash_key=False)
         )
         b2 = shuffle_write_bytes(spark)
-        if b0 >= 0:
+        if b0 >= 0 and b1 >= 0 and b2 >= 0:  # any -1 sentinel poisons deltas
             results[label]["boiler_hash_shuffle_mb"] = round((b1 - b0) / 1e6, 2)
             results[label]["boiler_str_shuffle_mb"] = round((b2 - b1) / 1e6, 2)
         docs.unpersist()
