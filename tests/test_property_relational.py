@@ -110,3 +110,40 @@ def test_contiguous_ids_total_order(spark, vals, parts):
     assert sorted(r.rid for r in out) == list(range(len(rows)))
     by_rank = sorted(out, key=lambda r: r.rid)
     assert [(r.v, r.uid) for r in by_rank] == sorted(rows)
+
+
+DOCS = st.lists(
+    st.sampled_from(["alpha beta", "Alpha  Beta", "gamma", "delta x", "", " "]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@BATCH_SETTINGS
+@given(new=DOCS, existing=DOCS)
+def test_dedup_incremental_matches_bruteforce(spark, new, existing):
+    """dedup_incremental_exact == set-algebra reference under text
+    normalization (lower + whitespace squash + trim), including empty
+    strings, whitespace-only docs, and normalization collisions."""
+    from ingestao_dados_poli_spark.operators import dedup as DD
+
+    def norm(s):
+        return " ".join(s.lower().split())
+
+    ndf = spark.createDataFrame(
+        list(enumerate(new)) or [(None, None)], "doc_id int, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    edf = spark.createDataFrame(
+        list(enumerate(existing)) or [(None, None)], "doc_id int, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    got = sorted(
+        r.doc_id for r in DD.dedup_incremental_exact(ndf, edf, "text", "doc_id").collect()
+    )
+    seen_existing = {norm(t) for t in existing}
+    want, seen = [], set()
+    for i, t in enumerate(new):
+        n = norm(t)
+        if n not in seen_existing and n not in seen:
+            want.append(i)
+            seen.add(n)
+    assert got == sorted(want)
