@@ -183,9 +183,11 @@ def _build_report(
                 # rather than fail a genuinely-unique key on sketch noise;
                 # exactness needs validate()'s dedicated job. A column
                 # can hide up to ~5% real duplicates inside the sketch
-                # tolerance, so within-tolerance is "inconclusive", NOT
-                # success=True: a gate that certifies uniqueness off the
-                # success flag alone is pushed to validate()'s exact path.
+                # tolerance, so a within-tolerance-but-not-exact estimate
+                # sets success=True (don't page on sketch noise) AND
+                # inconclusive=True. The suite-level `certified` flag
+                # (below) is False whenever any rule is inconclusive —
+                # publish gates MUST key on `certified`, not `success`.
                 res["approx"] = True
                 est_dup_ratio = max(0.0, 1.0 - d / n) if n else 0.0
                 res["observed"]["est_dup_ratio"] = round(est_dup_ratio, 6)
@@ -199,9 +201,20 @@ def _build_report(
             bad = row.get(tag, 0) or 0
             results.append({"rule": rule.describe(), "success": bad == 0, "unexpected_count": int(bad)})
 
+    success = all(r["success"] for r in results)
+    inconclusive = any(r.get("inconclusive") for r in results)
     return {
         "suite": suite.name,
-        "success": all(r["success"] for r in results),
+        "success": success,
+        # Three-state verdict: `success` is the alerting signal (sketch
+        # noise tolerated), `certified` is the GATING signal (exact
+        # evidence only). A suite with an approx-unique rule inside HLL
+        # tolerance is success=True but certified=False — anything that
+        # irreversibly promotes data (versioned.publish) must check
+        # `certified`; only validate()'s exact path can certify a
+        # unique rule.
+        "inconclusive": inconclusive,
+        "certified": success and not inconclusive,
         "row_count": int(row_count),
         "results": results,
         "duration_s": round(time.time() - started, 3),
@@ -237,8 +250,11 @@ def observe_suite(df: DataFrame, suite: Suite):
     then call ``finish()`` for the report dict. One degradation forced
     by the Observation contract (metrics must be commutative partial
     aggregates, so no exact ``count_distinct``): ``unique`` rules use
-    ``approx_count_distinct`` and carry ``approx: True`` — use
-    ``validate`` when key uniqueness must be certified exactly.
+    ``approx_count_distinct`` and carry ``approx: True`` — the report's
+    suite-level ``certified`` is False whenever a unique rule relied on
+    the sketch tolerance. Publish gates must key on ``certified`` (use
+    ``validate`` when key uniqueness must be certified exactly);
+    ``success`` alone only says "nothing definitively failed".
     """
     from pyspark.sql import Observation
 

@@ -5048,14 +5048,17 @@ def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q132_versioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ties `sources/versioned.py` to the gate: publish documents as
-    snapshot v=1, publish a CORRUPTED candidate behind a failing write
-    (must stay uncommitted), then read back BOTH the live (max
-    committed) version and the pinned version and prove they are the
-    same complete snapshot. A missing commit marker, a half-published
-    table, or a pinned read seeing later data each turns the row red.
-    The oracle is the source table itself: lossless publish means
-    identical count/sum, live_version stays 1 because the failed
-    publish never committed."""
+    snapshot v=1, then attempt a SCHEMA-DRIFTED candidate — the schema
+    contract recorded in v=1's commit marker refuses it DRIVER-SIDE
+    (SchemaDriftError before any write job: no executor work, no
+    abandoned v-dir, and no stack-trace noise in benchmark logs), then
+    read back BOTH the live (max committed) version and the pinned
+    version and prove they are the same complete snapshot. A missing
+    commit marker, a half-published table, a pinned read seeing later
+    data, or a drifted publish slipping through each turns the row
+    red. The oracle is the source table itself: lossless publish means
+    identical count/sum, live_version stays 1 because the drifted
+    candidate was refused before writing."""
     import os as _os
     import shutil as _shutil
 
@@ -5067,16 +5070,19 @@ def q132_versioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shutil.rmtree(base, ignore_errors=True)
     path = base + "/t"
     v1 = V.publish(spark, docs, path)
-    # failing publish: ANSI division by zero explodes mid-write; v=2
-    # stays uncommitted and invisible, v1 stays live
+    # drifted publish: wrong column set → refused before the write
+    # starts; nothing (not even an uncommitted dir) is left behind
+    drift_refused = False
     try:
         V.publish(
             spark,
-            docs.select((F.col("doc_id") / F.lit(0)).alias("boom")),
+            docs.select(F.col("doc_id").alias("boom")),
             path,
         )
-    except Exception:
-        pass
+    except V.SchemaDriftError:
+        drift_refused = True
+    if not drift_refused or V._version_dirs(spark, path) != [1]:
+        raise AssertionError("schema-drift gate failed to refuse cleanly")
     live = V.read_latest(spark, path)
     pinned = V.read_version(spark, path, v1)
     return (

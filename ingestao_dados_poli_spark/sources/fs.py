@@ -41,6 +41,32 @@ def exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def read_text(spark: SparkSession, path: str) -> str:
+    """Read a SMALL control file (commit marker, manifest) as UTF-8.
+    Driver-side via the Hadoop FS API — works on local/HDFS/S3A alike
+    and never launches a Spark job. For data files use spark.read."""
+    fs, jpath, jvm = _fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        # commons-io ships on Spark's classpath; one JVM call, no
+        # per-byte py4j round trips
+        return str(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, content: str, overwrite: bool = False) -> None:
+    """Atomically create a SMALL control file with the given UTF-8
+    content (create-no-overwrite by default — the commit-marker
+    primitive: the create either fully succeeds or fully fails)."""
+    fs, jpath, _ = _fs(spark, path)
+    stream = fs.create(jpath, overwrite)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+
+
 def rm(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     fs, jpath, _ = _fs(spark, path)
     return bool(fs.delete(jpath, recursive))

@@ -25,7 +25,10 @@ protocol on plain parquet directories, no Delta/Iceberg runtime:
 Pairs with ``operators.relational.snapshot_diff`` for version-to-
 version change capture, and with ``quality.validate`` as the publish
 gate (validate the DataFrame, publish only on green — q132 exercises
-the full protocol inside the oracle gate).
+the full protocol inside the oracle gate). Gate on the report's
+``certified`` flag, not ``success``: ``observe_suite`` reports
+sketch-tolerant unique checks as success=True/certified=False, and a
+publish is an irreversible promotion.
 
 Scale notes: the protocol costs ONE extra driver metadata op per
 publish (the marker create) over a plain write; data movement is
@@ -35,14 +38,24 @@ stay valid; vacuum bounds storage at keep x table size.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from ingestao_dados_poli_spark.sources import fs
 
 _MARKER = "_COMMITTED"
 _VDIR = re.compile(r".*/v=(\d+)/?$")
+
+
+class SchemaDriftError(ValueError):
+    """A candidate snapshot's schema is incompatible with the table's
+    committed schema. Raised DRIVER-SIDE, before any write job starts —
+    a schema-drifted publish would silently break every pinned-vs-live
+    reader downstream (the reference's silver stage exists to enforce
+    schema conformance, etl/1-processing-banks.py:54-74)."""
 
 
 def _version_dirs(spark: SparkSession, path: str) -> list[int]:
@@ -71,17 +84,69 @@ def latest_version(spark: SparkSession, path: str) -> int | None:
     return committed[-1] if committed else None
 
 
+def _schema_fields(schema: StructType) -> dict[str, str]:
+    """name → type map used for compatibility checks. Nullability and
+    column ORDER are intentionally ignored: parquet reads are by-name,
+    so reordered columns don't break readers, but a renamed column or
+    a changed type does."""
+    return {f.name: f.dataType.simpleString() for f in schema.fields}
+
+
+def snapshot_schema(spark: SparkSession, path: str, version: int) -> StructType | None:
+    """The schema recorded in a committed version's marker, or None for
+    markers written before the schema contract existed (legacy
+    ``committed`` one-liners)."""
+    marker = f"{path}/v={version}/{_MARKER}"
+    if not fs.exists(spark, marker):
+        raise FileNotFoundError(
+            f"version {version} under {path} is absent or uncommitted"
+        )
+    try:
+        payload = json.loads(fs.read_text(spark, marker))
+        return StructType.fromJson(payload["schema"])
+    except (ValueError, KeyError, TypeError):
+        return None
+
+
 def publish(
     spark: SparkSession,
     df: DataFrame,
     path: str,
+    allow_schema_change: bool = False,
     **writer_options: str,
 ) -> int:
     """Write ``df`` as the next snapshot version and commit it with an
     atomic marker create. Returns the published version number. A
     crash mid-write leaves an UNCOMMITTED (invisible) ``v=<n>`` dir
     for vacuum — never a half-published table, and the previously
-    committed version stays live throughout."""
+    committed version stays live throughout.
+
+    Schema contract: every commit marker records the snapshot's schema
+    (JSON). A candidate whose columns/types don't match the latest
+    committed schema is REFUSED driver-side with ``SchemaDriftError``
+    BEFORE any write job launches (no executor work, no abandoned
+    ``v=<n>`` dir, no 100-TB write wasted on a doomed publish).
+    Intentional evolution is ``allow_schema_change=True``; the new
+    schema is then recorded and becomes the contract for later
+    publishes. Nullability and column order are not drift — parquet
+    reads are by-name."""
+    committed = _committed(spark, path)
+    if committed and not allow_schema_change:
+        prev = snapshot_schema(spark, path, committed[-1])
+        if prev is not None:
+            want, got = _schema_fields(prev), _schema_fields(df.schema)
+            if want != got:
+                missing = sorted(set(want) - set(got))
+                added = sorted(set(got) - set(want))
+                retyped = sorted(
+                    c for c in set(want) & set(got) if want[c] != got[c]
+                )
+                raise SchemaDriftError(
+                    f"candidate schema drifts from committed v={committed[-1]} "
+                    f"of {path}: missing={missing} added={added} "
+                    f"retyped={[(c, want[c], got[c]) for c in retyped]}; "
+                    "pass allow_schema_change=True for intentional evolution"
+                )
     existing = _version_dirs(spark, path)
     n = (existing[-1] if existing else 0) + 1
     vdir = f"{path}/v={n}"
@@ -89,12 +154,12 @@ def publish(
     for k, v in writer_options.items():
         writer = writer.option(k, v)
     writer.parquet(vdir)
-    jfs, jpath, _ = fs._fs(spark, f"{vdir}/{_MARKER}")
-    stream = jfs.create(jpath, False)  # atomic create, no overwrite
-    try:
-        stream.write(bytearray(b"committed\n"))
-    finally:
-        stream.close()
+    marker = json.dumps(
+        {"version": n, "schema": json.loads(df.schema.json())},
+        ensure_ascii=False,
+    )
+    # atomic create, no overwrite — the commit point
+    fs.write_text(spark, f"{vdir}/{_MARKER}", marker + "\n", overwrite=False)
     return n
 
 

@@ -89,6 +89,31 @@ def test_observe_suite_zero_extra_pass(spark):
     assert report["success"] is False
 
 
+def test_observe_suite_inconclusive_unique_not_certified(spark):
+    """A key with ~1% real duplicates slips inside the HLL tolerance:
+    the rule stays success=True (no alert on sketch noise) but the
+    suite must NOT certify — publish gates key on `certified`."""
+    rows = [(i,) for i in range(990)] + [(i,) for i in range(10)]  # 10 dupes
+    df = spark.createDataFrame(rows, "k long")
+    observed, finish = Q.observe_suite(df, Q.Suite("u").add(Q.unique("k")))
+    assert observed.count() == 1000
+    report = finish()
+    unique = report["results"][0]
+    assert unique["success"] is True  # within ~2.3% rsd tolerance
+    assert unique["inconclusive"] is True  # estimate != row count
+    assert report["success"] is True
+    assert report["inconclusive"] is True
+    assert report["certified"] is False  # the gate signal
+
+    # validate()'s exact path on the same data: definitive failure,
+    # and a clean frame is both success AND certified
+    exact = Q.validate(df, Q.Suite("u").add(Q.unique("k")))
+    assert exact["success"] is False and exact["certified"] is False
+    clean = Q.validate(df.distinct(), Q.Suite("u").add(Q.unique("k")))
+    assert clean["success"] is True and clean["certified"] is True
+    assert clean["inconclusive"] is False
+
+
 def test_fk_violations_detects_orphans(spark):
     child = spark.createDataFrame(
         [(1, "a"), (2, "b"), (99, "orphan"), (None, "null-key")],

@@ -34,12 +34,16 @@ def test_publish_read_roundtrip(spark, tmp_path):
 def test_failed_write_leaves_previous_version_live(spark, tmp_path):
     path = str(tmp_path / "tbl")
     V.publish(spark, _df(spark, "good"), path)
-    # a write that explodes mid-job must stay invisible (no marker)
+    # a write that explodes mid-job must stay invisible (no marker);
+    # schema matches the committed one so the failure happens IN the
+    # write, past the driver-side drift gate
     @F.udf("long")
     def boom(x):
         raise RuntimeError("mid-write failure")
 
-    bad = spark.range(3).select(boom("id").alias("id"))
+    bad = spark.range(3).select(
+        boom("id").alias("id"), F.lit("bad").alias("tag")
+    )
     with pytest.raises(Exception):
         V.publish(spark, bad, path)
     assert V.latest_version(spark, path) == 1
@@ -65,6 +69,68 @@ def test_vacuum_keeps_newest_and_pointed(spark, tmp_path):
         V.read_version(spark, path, 1).count()
 
 
+def test_schema_contract_refuses_drift_driver_side(spark, tmp_path):
+    """A drifted candidate is refused BEFORE any write job: no new
+    v-dir (committed or not) may appear."""
+    path = str(tmp_path / "tbl")
+    V.publish(spark, _df(spark, "a"), path)
+
+    # missing column
+    with pytest.raises(V.SchemaDriftError, match="missing=\\['tag'\\]"):
+        V.publish(spark, spark.range(3), path)
+    # added column
+    with pytest.raises(V.SchemaDriftError, match="added=\\['extra'\\]"):
+        V.publish(spark, _df(spark, "b").withColumn("extra", F.lit(1)), path)
+    # retyped column
+    with pytest.raises(V.SchemaDriftError, match="retyped"):
+        V.publish(
+            spark,
+            _df(spark, "c").withColumn("id", F.col("id").cast("string")),
+            path,
+        )
+    # refusal happened driver-side: not even an uncommitted dir exists
+    assert V._version_dirs(spark, path) == [1]
+
+    # column REORDER and nullability are not drift (parquet is by-name)
+    v2 = V.publish(spark, _df(spark, "d").select("tag", "id"), path)
+    assert v2 == 2
+
+
+def test_schema_contract_evolution_and_recorded_schema(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    V.publish(spark, _df(spark, "a"), path)
+    rec = V.snapshot_schema(spark, path, 1)
+    assert rec is not None
+    assert {f.name: f.dataType.simpleString() for f in rec.fields} == {
+        "id": "bigint",
+        "tag": "string",
+    }
+    # intentional evolution: opt in, then the NEW schema is the contract
+    evolved = _df(spark, "b").withColumn("extra", F.lit(1))
+    v2 = V.publish(spark, evolved, path, allow_schema_change=True)
+    assert v2 == 2
+    with pytest.raises(V.SchemaDriftError):
+        V.publish(spark, _df(spark, "c"), path)  # old shape now drifts
+    assert V.publish(spark, evolved, path) == 3
+
+
+def test_schema_contract_tolerates_legacy_markers(spark, tmp_path):
+    """Markers written before the contract (plain 'committed') have no
+    recorded schema: reads work and the next publish is allowed."""
+    from ingestao_dados_poli_spark.sources import fs
+
+    path = str(tmp_path / "tbl")
+    _df(spark, "a").write.parquet(f"{path}/v=1")
+    fs.write_text(spark, f"{path}/v=1/_COMMITTED", "committed\n")
+    assert V.latest_version(spark, path) == 1
+    assert V.snapshot_schema(spark, path, 1) is None
+    assert V.read_latest(spark, path).count() == 5
+    # no recorded schema → nothing to drift from; publish proceeds and
+    # RECORDS a schema, upgrading the table to the contract
+    assert V.publish(spark, spark.range(2), path) == 2
+    assert V.snapshot_schema(spark, path, 2) is not None
+
+
 def test_publish_gate_with_quality(spark, tmp_path):
     """The intended composition: validate the CANDIDATE, flip only on
     green — a red suite must leave the pointer untouched."""
@@ -77,7 +143,9 @@ def test_publish_gate_with_quality(spark, tmp_path):
     )
     suite = Suite("gate", [Rule("not_null", "id")])
     report = validate(candidate, suite)
-    assert not report["success"]
-    if report["success"]:  # pragma: no cover - the red path is the test
+    # gate on `certified`, not `success`: an inconclusive (sketch-
+    # tolerant) suite must not promote data either
+    assert not report["certified"]
+    if report["certified"]:  # pragma: no cover - the red path is the test
         V.publish(spark, candidate, path)
     assert V.latest_version(spark, path) == 1
