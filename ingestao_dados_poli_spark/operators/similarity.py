@@ -144,13 +144,18 @@ def _lsh_signatures_udf(num_planes: int, num_tables: int, dim: int):
     """
     from pyspark.sql.functions import pandas_udf
 
+    # num_planes=0 is the DEGENERATE-EXACT mode: every row signs to 0,
+    # one bucket per table, LSH recall becomes 1.0 by construction —
+    # the configuration the oracle-twin queries use to value-check the
+    # whole candidate→verify machinery against brute force.
     m = np.array(
         [
             _plane_signs(t, p, dim)
             for t in range(num_tables)
             for p in range(num_planes)
-        ]
-    ).T  # (dim, num_tables*num_planes)
+        ],
+        dtype=np.float64,
+    ).reshape(num_tables * num_planes, dim).T  # (dim, num_tables*num_planes)
     weights = (np.ones(num_tables)[:, None] * (1 << np.arange(num_planes))[None, :]).astype(
         np.int64
     )  # bit weights per (table, plane)
@@ -180,6 +185,8 @@ def signed_random_projection(
     mixed-length vectors, ~2 hash calls per element per plane).
     """
     v = F.col(vec) if isinstance(vec, str) else vec
+    if num_planes == 0:  # degenerate-exact mode: everything in bucket 0
+        return F.lit(0).cast("long")
 
     def proj_for(p: int) -> Column:
         if dim is not None:
@@ -216,6 +223,7 @@ def topk_lsh(
     query_vec: str = "query_vec",
     dim: int | None = None,
     max_bucket_size: int = 1000,
+    score_round: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table hyperplane LSH.
 
@@ -235,6 +243,14 @@ def topk_lsh(
     bucket. The shuffle introduced by the groupBy moves ONLY the rows
     that already collided with a query — the same rows the re-rank had
     to shuffle anyway.
+
+    ``num_planes=0`` with ``num_tables=1`` and a ``max_bucket_size``
+    above the corpus size is the DEGENERATE-EXACT configuration: every
+    row lands in the single bucket, recall is 1.0 by construction, and
+    the result equals ``topk_bruteforce`` — the oracle-twin mode (the
+    IVF analog is ``ivf_topk(nprobe=nlist)``). ``score_round`` rounds
+    the cosine BEFORE ranking so float noise can't flip ranks across
+    engines.
     """
     sig_fn = _lsh_signatures_udf(num_planes, num_tables, dim) if dim else None
 
@@ -288,11 +304,10 @@ def topk_lsh(
         )
         .dropDuplicates([query_id, corpus_id])
     )
-    scored = cands.select(
-        query_id,
-        corpus_id,
-        cosine(F.col(corpus_vec), F.col(query_vec)).cast("double").alias("cos_sim"),
-    )
+    sim = cosine(F.col(corpus_vec), F.col(query_vec)).cast("double")
+    if score_round is not None:
+        sim = F.round(sim, score_round)
+    scored = cands.select(query_id, corpus_id, sim.alias("cos_sim"))
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()
     )
@@ -312,6 +327,7 @@ def embedding_near_dup_pairs(
     num_tables: int = 4,
     dim: int | None = None,
     max_bucket_size: int = 500,
+    score_round: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) pairs above ``threshold`` — embedding-space
     near-duplicate detection. LSH self-collision candidates + exact
@@ -324,6 +340,14 @@ def embedding_near_dup_pairs(
     signature buckets (e.g. a mass of zero/near-zero vectors all hashing
     to sig 0) that would otherwise emit O(n²) pairs. Cost is therefore
     bounded by buckets × cap² regardless of the signature distribution.
+
+    ``num_planes=0, num_tables=1`` with ``max_bucket_size`` above the
+    input size is the DEGENERATE-EXACT mode (recall 1.0: one bucket
+    holds everything, candidates = all pairs) — the oracle-twin
+    configuration; only sensible on a bounded slice, since it IS the
+    quadratic all-pairs plan the production config exists to avoid.
+    ``score_round`` rounds the cosine before the threshold test so the
+    boundary is engine-stable.
     """
     if dim:
         sig_fn = _lsh_signatures_udf(num_planes, num_tables, dim)
@@ -364,11 +388,12 @@ def embedding_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cands.select(
-        "id_a",
-        "id_b",
-        cosine("va", "vb").cast("double").alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    sim = cosine("va", "vb").cast("double")
+    if score_round is not None:
+        sim = F.round(sim, score_round)
+    return cands.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
 
 
 def nearest_centroid(

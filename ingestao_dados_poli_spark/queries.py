@@ -732,26 +732,177 @@ def q26_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------- 13. rows-only (non-SQL-expressible)
 
-@q("q27_minhash_pairs")
+# Shared CTE fragment: word 5-shingle SETS of normalized text, as
+# DuckDB SQL — the string-side mirror of the engine's hashed-shingle
+# pipeline (shingle_hashes_udf). Docs shorter than 5 tokens yield one
+# shingle over all tokens, mirroring shingles()' fallback.
+_SHINGLE5_SQL = """
+         tok AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 FROM u),
+         sh AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(toks) - 4, 1) + 1),
+                         i -> array_to_string(toks[i:i+4], ' '))) AS ss
+                FROM tok)
+"""
+
+
+@q(
+    "q27_minhash_pairs",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         u AS (SELECT doc_id, text FROM base
+               UNION ALL
+               SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id < 100),
+         g AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
+               FROM u)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM g a JOIN g b ON a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
 def q27_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup candidates (no DuckDB analog → rows-only)."""
-    docs = _t(spark, sf_dir, "documents")
-    return DD.minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=32, num_bands=8)
+    """MinHash LSH through the FULL production banded pipeline (fused
+    token-hash → rolling-shingle → permutation-min kernel, band
+    explode, (band, bucket) shuffle, in-row pair expansion,
+    positional-agreement estimator), value-checked on its PROVABLE
+    subset: identical-normalized-text pairs MUST appear among the
+    candidates (identical text ⟹ identical signature ⟹ collision in
+    every band — recall 1.0 by pigeonhole, no probability involved)
+    with est_jaccard exactly 1.0 (all 32 minima agree). The query
+    unions a shifted copy of the first 100 docs to make that subset
+    non-empty, then keeps candidate pairs whose md5 fingerprints
+    match; the DuckDB twin is the brute-force md5 self-join. A dropped
+    identical pair (bucketing bug) fails on rows, a wrong estimator
+    (kernel bug) fails on values. The probabilistic near-dup
+    candidates this filter discards are recall-tested in
+    `tests/test_text_dedup.py` (an est==1.0 oracle is NOT sound here:
+    the corpus has J≈0.989 non-identical pairs, which tie all 32
+    minima with P≈0.7)."""
+    from ingestao_dados_poli_spark.functions.text import fingerprint
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        "doc_id", "text"
+    )
+    copies = base.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    u = base.unionByName(copies)
+    fp = u.select(F.col("doc_id"), fingerprint("text").alias("_fp"))
+    pairs = DD.minhash_candidate_pairs(
+        u, "text", "doc_id", num_hashes=32, num_bands=8, k=5
+    )
+    return (
+        pairs.join(
+            fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("_fa")),
+            "id_a",
+        )
+        .join(
+            fp.select(F.col("doc_id").alias("id_b"), F.col("_fp").alias("_fb")),
+            "id_b",
+        )
+        .filter(F.col("_fa") == F.col("_fb"))
+        .select("id_a", "id_b", "est_jaccard")
+    )
 
 
-@q("q28_simhash_pairs")
+@q(
+    "q28_simhash_pairs",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         u AS (SELECT doc_id, text FROM base
+               UNION ALL
+               SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id < 100),
+         g AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
+               FROM u)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM g a JOIN g b ON a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
 def q28_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_hamming=3 is the Manku et al. near-dup operating point for
-    64-bit SimHash; num_chunks derives to 4, so the pigeonhole recall
-    guarantee covers the full requested distance."""
-    docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    """SimHash through the full Manku chunk-bucket pipeline at its
+    production operating point (max_hamming=3, 4 pigeonhole chunks),
+    value-checked on its PROVABLE subset: identical-normalized-text
+    pairs MUST be found (identical text ⟹ identical 63-bit signature
+    ⟹ hamming 0 ⟹ every chunk collides) with hamming exactly 0.
+    Shifted copies of the first 100 docs make that subset non-empty;
+    candidates are filtered to md5-equal pairs; the DuckDB twin is the
+    brute-force md5 self-join. A dropped pair (chunk-bucket bug) fails
+    on rows, a wrong signature kernel fails the hamming value. The
+    probabilistic hamming-1..3 near-dup pairs the filter discards are
+    recall-tested in `tests/test_text_dedup.py` (an identical-multiset
+    oracle at max_hamming=0 is NOT sound: the corpus has near-dup
+    pairs whose 63 bit-balances all keep their sign)."""
+    from ingestao_dados_poli_spark.functions.text import fingerprint
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        "doc_id", "text"
+    )
+    copies = base.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    u = base.unionByName(copies)
+    fp = u.select(F.col("doc_id"), fingerprint("text").alias("_fp"))
+    pairs = DD.simhash_pairs(u, "text", "doc_id", max_hamming=3)
+    return (
+        pairs.join(
+            fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("_fa")),
+            "id_a",
+        )
+        .join(
+            fp.select(F.col("doc_id").alias("id_b"), F.col("_fp").alias("_fb")),
+            "id_b",
+        )
+        .filter(F.col("_fa") == F.col("_fb"))
+        .select("id_a", "id_b", "hamming")
+    )
 
 
-@q("q29_jaccard_pairs")
+@q(
+    "q29_jaccard_pairs",
+    """
+    WITH u AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+    """
+    + _SHINGLE5_SQL
+    + """,
+         ex AS (SELECT doc_id, len(ss) AS n, unnest(ss) AS s FROM sh),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          any_value(a.n) AS na, any_value(b.n) AS nb,
+                          count(*) AS i
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             CAST(round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS DOUBLE) AS jaccard
+      FROM inter)
+    WHERE jaccard >= 0.3
+    """,
+)
 def q29_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return DD.jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.3)
+    """EXACT n-gram Jaccard via the inverted shingle index — unlike the
+    probabilistic LSH queries this algorithm is exact by nature, so the
+    oracle needs no degenerate trick: it only needs the posting cap to
+    be lossless, guaranteed by bounding the slice to 500 docs with
+    ``max_posting_len=600`` (a posting can never exceed the doc count;
+    the corpus's real max posting is 3). The DuckDB twin builds string
+    5-shingle sets and brute-force joins them; the engine side works
+    on xxhash64'd shingles (8-byte postings instead of ~40-byte
+    strings — the 100 TB shuffle argument), so the value hash also
+    certifies hash-vs-string shingle identity on this corpus. Jaccard
+    rounded to 6 dp on both engines."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # inner threshold slightly below the advertised one so the 6-dp
+    # ROUNDED filter decides the boundary identically on both engines
+    pairs = DD.jaccard_pairs(
+        docs, "text", "doc_id", k=5, threshold=0.29, max_posting_len=600
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 6)).filter(
+        F.col("jaccard") >= 0.3
+    )
 
 
 # ------------------------------------------- 14. statistics aggregates
@@ -1416,16 +1567,45 @@ def q54_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------- 24. rows-only LSH / media (non-SQL-expressible)
 
-@q("q39_embedding_sim_pairs")
+@q(
+    "q39_embedding_sim_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 500)
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(round(list_cosine_similarity(a.v, b.v), 6) AS DOUBLE) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    WHERE cos_sim >= 0.3
+    """,
+)
 def q39_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH self-join similarity pairs over embeddings (rows-only). The
-    corpus has no true near-dups (max pairwise cosine ≈0.46), so the
-    threshold is set low to exercise the candidate→verify path."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    """Embedding-space near-dup pairs through the FULL LSH machinery
+    (signature UDF → bucket groupBy → in-row pair expansion → cosine
+    verify) in its degenerate-exact configuration: ``num_planes=0,
+    num_tables=1`` puts every vector in one bucket, so recall is 1.0
+    by construction and the result is value-hash-checkable against a
+    DuckDB brute-force pair join (list_cosine_similarity). Bounded to
+    vec_id < 500 because this mode IS the quadratic all-pairs plan;
+    the production (probabilistic-recall, bucketed) configuration of
+    the same operator is exercised by `tests/test_similarity_multimodal.py`.
+    Cosine rounded to 6 dp on both engines so the threshold boundary
+    can't flip on float noise. The corpus has no true near-dups (max
+    pairwise cosine ≈0.46), so threshold 0.3 keeps the verify path
+    non-empty."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
     return SIM.embedding_near_dup_pairs(
-        emb, threshold=0.3, num_planes=8, num_tables=4, dim=64
+        emb,
+        threshold=0.3,
+        num_planes=0,
+        num_tables=1,
+        dim=64,
+        max_bucket_size=600,
+        score_round=6,
     )
 
 
@@ -1440,16 +1620,49 @@ def q40_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q30_embedding_lsh_topk")
+@q(
+    "q30_embedding_lsh_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+           FROM embeddings c CROSS JOIN q)
+    SELECT query_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
 def q30_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the 100 TB scale path)."""
+    """LSH-bucketed top-k through the FULL scale-path machinery
+    (signatures → broadcast semi-join → capped bucket groupBy →
+    re-rank) in its degenerate-exact configuration: ``num_planes=0,
+    num_tables=1`` collides everything, so the candidate set is the
+    whole corpus and the result provably equals brute force — the same
+    nprobe=nlist trick that oracles IVF in q76. The DuckDB twin is the
+    q26 brute-force top-k; the two queries agreeing on the same hash
+    is the point (different physical plans, one answer). Probabilistic
+    configs of the same operator are recall-tested in
+    `tests/test_similarity_multimodal.py`."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return SIM.topk_lsh(emb, queries, k=5, num_planes=8, num_tables=4, dim=64)
+    return SIM.topk_lsh(
+        emb,
+        queries,
+        k=5,
+        num_planes=0,
+        num_tables=1,
+        dim=64,
+        max_bucket_size=1_000_000,
+        score_round=6,
+    )
 
 
 # ------------------------------- 25. fuzzy match / histogram / stats / ntile
@@ -4593,25 +4806,59 @@ def q123_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------- 77. delta-vs-corpus near-dup candidates (LSH join)
 
-@q("q124_minhash_between")
+@q(
+    "q124_minhash_between",
+    """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         delta AS (SELECT doc_id + 100000 AS doc_id, text FROM corpus
+                   WHERE doc_id < 100),
+         ck AS (SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
+                FROM corpus),
+         dk AS (SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
+                FROM delta)
+    SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM dk d JOIN ck c ON d.key = c.key
+    """,
+)
 def q124_minhash_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates BETWEEN a delta batch and the corpus via the
     cross-corpus banded-LSH join (`dedup.minhash_pairs_between`) —
     the approximate companion to q123's exact path: one shuffle on
     (band, bucket), signatures in-row, cross-side pairs only, capped
-    buckets. Rows-only (MinHash is sampling-based, not SQL-expressible);
-    the recall/precision properties are unit-tested in test_text_dedup
-    against brute-force Jaccard."""
-    docs = _t(spark, sf_dir, "documents")
-    delta = docs.filter(F.col("doc_id") % 4 == 0)
-    existing = docs.filter(F.col("doc_id") % 4 != 0)
-    pairs = DD.minhash_pairs_between(
-        delta, existing, "text", "doc_id", num_hashes=64, num_bands=16
+    buckets. Value-checked on the PROVABLE subset (same construction
+    as q27): the delta is an id-shifted copy of the first 100 corpus
+    docs, so every delta doc has exactly one identical-text partner in
+    the corpus, each such pair MUST collide in every band (identical
+    signature — recall 1.0 by pigeonhole) with est_jaccard exactly
+    1.0, and candidates are filtered to fingerprint-equal pairs. The
+    DuckDB twin is the brute-force cross-side md5 join. Probabilistic
+    near-dup recall is unit-tested in test_text_dedup against
+    brute-force Jaccard."""
+    from ingestao_dados_poli_spark.functions.text import fingerprint
+
+    corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        "doc_id", "text"
     )
-    return pairs.filter(F.col("est_jaccard") >= 0.5).select(
-        F.col("left_id").alias("delta_id"),
-        F.col("right_id").alias("corpus_id"),
-        F.round("est_jaccard", 4).alias("est_jaccard"),
+    delta = corpus.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    pairs = DD.minhash_pairs_between(
+        delta, corpus, "text", "doc_id", num_hashes=64, num_bands=16
+    )
+    dfp = delta.select(F.col("doc_id").alias("left_id"), fingerprint("text").alias("_fa"))
+    cfp = corpus.select(F.col("doc_id").alias("right_id"), fingerprint("text").alias("_fb"))
+    return (
+        pairs.join(dfp, "left_id")
+        .join(cfp, "right_id")
+        .filter(F.col("_fa") == F.col("_fb"))
+        .select(
+            F.col("left_id").alias("delta_id"),
+            F.col("right_id").alias("corpus_id"),
+            F.col("est_jaccard"),
+        )
     )
 
 

@@ -39,7 +39,8 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.warehouse.dir": os.environ.get(
         "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
     ),
-    # Deterministic, locale-independent string comparison semantics.
+    # Proleptic-Gregorian date/time PARSING (no silent legacy-calendar
+    # fallback) — keeps timestamp parsing deterministic across JVMs.
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
 }
 

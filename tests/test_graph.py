@@ -33,6 +33,59 @@ def test_connected_components_two_cliques(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_star_equivalent_to_flood_on_random_graphs(spark):
+    """Property: the large-star/small-star contraction computes the
+    SAME (node → min-id) labeling as flooding on random graphs of
+    assorted density, including graphs with duplicate/self/reversed
+    edges. (Seeded stdlib RNG, not hypothesis: each case costs Spark
+    jobs, so a handful of seeded draws beats shrinking here.)"""
+    import random
+
+    for seed, n, m in [(1, 30, 15), (2, 30, 45), (3, 60, 30), (4, 12, 66)]:
+        rng = random.Random(seed)
+        e = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = spark.createDataFrame(e, ["src", "dst"])
+        flood = {
+            r.node: r.component
+            for r in G.connected_components(edges, algorithm="flood").collect()
+        }
+        star = {
+            r.node: r.component
+            for r in G.connected_components(edges, algorithm="star").collect()
+        }
+        assert star == flood, f"seed={seed}: star != flood"
+
+
+def test_star_handles_path_graph_within_log_rounds(spark):
+    """The motivating case: a 64-node path (diameter 63) converges for
+    star in O(log n) rounds — max_iter=8 suffices where flooding
+    would need 64 rounds — and still matches flooding's labeling run
+    with an uncapped budget."""
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    star = G.connected_components(edges, algorithm="star", max_iter=8).collect()
+    assert {r.component for r in star} == {0}
+    assert len(star) == n
+
+
+def test_star_singletons_and_isolated_nodes(spark):
+    edges = spark.createDataFrame([(5, 5), (1, 2)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (5,), (9,)], ["node"])
+    comps = {
+        r.node: r.component
+        for r in G.connected_components(edges, nodes=nodes, algorithm="star").collect()
+    }
+    assert comps == {1: 1, 2: 1, 5: 5, 9: 9}
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="flood"):
+        G.connected_components(edges, algorithm="bfs")
+
+
 def test_component_sizes(spark):
     comps = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)], ["node", "component"]

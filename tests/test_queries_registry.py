@@ -9,16 +9,14 @@ import pytest
 import __spark_entry__ as entry
 from ingestao_dados_poli_spark import queries as Q
 
+# Down from 9 in round 3: the LSH-candidate queries (q27/q28/q29/q30/
+# q39/q124) gained DuckDB oracles via provable-subset / degenerate-exact
+# configurations. What remains is genuinely non-SQL-expressible: media
+# byte decoding and engine-specific sampling RNG.
 ROWS_ONLY = {
-    "q27_minhash_pairs",
-    "q28_simhash_pairs",
-    "q29_jaccard_pairs",
-    "q30_embedding_lsh_topk",
-    "q39_embedding_sim_pairs",
     "q40_media_features",
     "q49_stratified_sample",
     "q97_media_decode",
-    "q124_minhash_between",
 }
 
 

@@ -57,7 +57,11 @@ def main() -> int:
         print("refusing --json with a query filter: artifact must cover the full registry")
         return 2
 
-    spark = get_spark("oracle-check")
+    # no console progress bars: they interleave with the per-query ok/FAIL
+    # lines and garble the log (the --json artifact was never affected)
+    spark = get_spark(
+        "oracle-check", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
