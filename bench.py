@@ -66,6 +66,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     best: dict[str, float] = {}
     errors: list[str] = []
+    error_seconds: dict[str, float] = {}
     for name, fn in q.QUERIES.items():
         t0 = time.time()
         try:
@@ -73,11 +74,11 @@ def main() -> None:
         except Exception:
             # One failing query must not abort the bench and lose the
             # whole artifact (the exact loss mode this harness exists
-            # to prevent); record time-to-failure, flag it, move on.
+            # to prevent); record time-to-FAILURE separately, flag it,
+            # move on. Failure latency must NOT enter "value"/"cold_sum"
+            # — a fast crash would make the bench look faster.
             errors.append(name)
-            t1 = time.time() - t0
-            cold[name] = round(t1, 3)
-            best[name] = round(t1, 3)
+            error_seconds[name] = round(time.time() - t0, 3)
             continue
         try:
             t2 = run_once(fn)
@@ -98,6 +99,7 @@ def main() -> None:
         "cold_queries": cold,
         "n_queries": len(best),
         "errors": errors,
+        "error_seconds": error_seconds,
         "sf": sf_val,
     }
     out_path = os.path.join(
@@ -120,6 +122,7 @@ def main() -> None:
                 "cold_sum": full["cold_sum"],
                 "n_queries": full["n_queries"],
                 "errors": errors,
+                "error_seconds": error_seconds,
                 "sf": sf_val,
                 "full": "BENCH_local.json",
             }

@@ -338,18 +338,26 @@ def boilerplate_ngrams(
     partial-aggregates map-side, so the shuffle carries per-partition
     distinct grams, lz4-compressed.
 
-    ``hash_key=True``: the shuffle carries ``xxhash64(ngram)`` 8-byte
-    keys; strings are recovered for the tiny top-k only, by a second
-    in-row expansion filtered through the broadcast top-k hash set.
-    MEASURED trade (tools/scale_smoke.py, 50k synthetic docs): the
-    second scan costs ~1.8x wall-clock locally, and shuffle BYTES drop
-    only ~10% (120 vs 134 MB) because lz4 compresses low-entropy gram
-    text to near hash size. Choose it only when the shuffle — not the
-    scan — is the measured bottleneck: high-entropy corpora (real web
-    text compresses worse than synthetic), very long n-grams, or a
-    doc-frequency shuffle that spills. Tie-break at equal doc_freq is
-    hash order (deterministic, not lexicographic). xxhash64 collisions
-    are negligible below ~2^32 distinct n-grams (birthday bound).
+    ``hash_key=True``: the HEAVY shuffle carries ``xxhash64(ngram)``
+    8-byte keys; the winners' strings AND their exact doc_freq are then
+    recovered by a second in-row expansion filtered through the
+    broadcast top-k hash set and recounted BY STRING — the recount
+    group-by touches only rows whose gram hashes into the ≤ top_k
+    winner set, so its shuffle is a few thousand short strings. A hash
+    collision therefore cannot inflate a reported doc_freq or merge two
+    grams into one row; its only residual effect is on candidate
+    SELECTION (a collision-inflated hash could displace the true k-th
+    hash from the phase-1 top-k) — negligible below ~2^32 distinct
+    n-grams (birthday bound), and now the worst case is a missing tail
+    row, not a wrong count. Tie-break at equal doc_freq is
+    lexicographic within the hash-selected pool, same as the default
+    plan. MEASURED trade (tools/scale_smoke.py, 50k synthetic docs):
+    the second scan costs ~1.8x wall-clock locally, and shuffle BYTES
+    drop only ~10% (120 vs 134 MB) because lz4 compresses low-entropy
+    gram text to near hash size. Choose it only when the shuffle — not
+    the scan — is the measured bottleneck: high-entropy corpora (real
+    web text compresses worse than synthetic), very long n-grams, or a
+    doc-frequency shuffle that spills.
     """
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
@@ -376,18 +384,20 @@ def boilerplate_ngrams(
         .orderBy(F.col("doc_freq").desc(), F.col("h"))
         .limit(top_k)
     )
-    # Phase 2: recover strings for the k winners only — re-expand
-    # in-row, keep grams whose hash is in the broadcast top-k set,
-    # dedup the (hash, string) pairs (tiny: ≤ k rows + collisions).
-    names = (
-        toks.select(F.explode(grams_arr).alias("ngram"))
-        .withColumn("h", F.xxhash64("ngram"))
-        .join(F.broadcast(topk.select("h")), "h", "left_semi")
-        .groupBy("h")
-        .agg(F.min("ngram").alias("ngram"))
+    # Phase 2: recover strings AND exact counts for the k winners only —
+    # re-expand per-doc-distinct grams in-row, keep those whose hash is
+    # in the broadcast top-k set, recount doc_freq BY STRING. The
+    # recount's group-by keys are the ≤ k winners (+ any colliders), so
+    # this shuffle is tiny; a collision yields two correct rows instead
+    # of one merged wrong one.
+    exact = (
+        toks.select(F.explode(F.array_distinct(grams_arr)).alias("ngram"))
+        .join(
+            F.broadcast(topk.select("h")),
+            F.xxhash64(F.col("ngram")) == F.col("h"),
+            "left_semi",
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
-    return (
-        topk.join(F.broadcast(names), "h")
-        .select("ngram", "doc_freq")
-        .orderBy(F.col("doc_freq").desc(), F.col("ngram"))
-    )
+    return exact.orderBy(F.col("doc_freq").desc(), F.col("ngram")).limit(top_k)

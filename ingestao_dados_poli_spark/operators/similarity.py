@@ -39,26 +39,31 @@ def topk_bruteforce(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    chunk_rows: int = 1 << 20,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, cos_sim), k rows per query.
 
     Two-phase plan: broadcast(queries) × corpus → scan-side cosine →
-    per-(partition, query) pre-reduce → tiny per-query window. The
-    corpus is never shuffled, and the round-1 scale-killer — the whole
-    scored product row-numbered through |Q| window tasks — is gone:
-    the ``groupBy(query_id, spark_partition_id())`` groups spread over
-    |Q|·P keys, and the final ``row_number`` window ranks ≤ k·P rows
-    per query.
+    per-(partition, chunk, query) pre-reduce → tiny per-query window.
+    The corpus is never shuffled, and the round-1 scale-killer — the
+    whole scored product row-numbered through |Q| window tasks — is
+    gone: the pre-reduce groups spread over |Q|·P·chunks keys, and the
+    final ``row_number`` window ranks ≤ k·(chunks per partition)·P
+    rows per query.
 
-    Honest limits of this formulation (measured, not assumed): the
-    k-slice is a RESULT expression of the aggregate, evaluated after
-    the merge, so the exchange still transports each group's full
-    candidate list (the scored product, packed into arrays) — phase 1
-    fixes the reducer FUNNEL, not the shuffle BYTES — and the
-    non-spillable ``collect_list`` buffer per (query, partition) group
-    is bounded by partition size, not by k. Size scan partitions so
-    rows-per-partition × |Q| structs fit executor memory, or use the
-    bounded-candidate paths below when |C|·|Q| is genuinely huge.
+    The ``collect_list`` pre-reduce buffer is NOT spillable, so group
+    size is bounded structurally rather than by a docstring: each scan
+    partition's scored rows are split into chunks of ≤ ``chunk_rows``
+    rows (via ``monotonically_increasing_id``'s documented low 33 bits
+    = the within-partition record number), and the group key is
+    (query, partition, chunk). No group — hence no aggregation buffer
+    — can exceed ``chunk_rows`` structs (~50 MB of (double, long) at
+    the 1 Mi default), whatever the partition size or |Q|. Chunking
+    cannot change the answer: a global top-k row for a query is by
+    definition in the top-k of every subset that contains it, so the
+    chunk-local slice never discards one. At default parquet split
+    sizes a partition is a single chunk and the plan is identical to
+    the unchunked one.
 
     Null- and NaN-scored candidates are excluded by the pre-reduce:
     null embeddings and zero-norm vectors score null (``cosine`` uses
@@ -75,8 +80,18 @@ def topk_bruteforce(
         F.col(query_id),
         F.col(corpus_id),
         cosine(F.col(corpus_vec), F.col(query_vec)).cast("double").alias("cos_sim"),
+        # Within-partition record number (mid's low 33 bits) → chunk id.
+        # Computed on the SCORED product, so the bound holds in scored
+        # rows even though the broadcast cross join multiplies each
+        # corpus row by |Q| inside the partition.
+        (
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+            / F.lit(int(chunk_rows))
+        )
+        .cast("long")
+        .alias("_chunk"),
     )
-    # Phase 1: partition-local top-k. struct sort on (-cos, id) ==
+    # Phase 1: chunk-local top-k. struct sort on (-cos, id) ==
     # (cos desc, id asc) — the same total order the final window uses,
     # so the pre-reduce provably never discards a global top-k row.
     # NaN excluded along with null: a zero-norm vector scores 0/0 = NaN,
@@ -84,7 +99,11 @@ def topk_bruteforce(
     # the pre-reduce and the final window would disagree about it.
     pre = (
         scored.filter(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
-        .groupBy(F.col(query_id), F.spark_partition_id().alias("_pid"))
+        .groupBy(
+            F.col(query_id),
+            F.spark_partition_id().alias("_pid"),
+            F.col("_chunk"),
+        )
         .agg(
             F.slice(
                 F.sort_array(

@@ -5107,38 +5107,45 @@ def q129_streaming_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
     import uuid
 
+    from ingestao_dados_poli_spark.session import scoped_conf
     from ingestao_dados_poli_spark.streaming.stream_ops import (
         rocksdb_state,
         state_partitions,
         tumbling_counts,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .transform(_events_ts)
-    )
-    agg = tumbling_counts(src, window_len="1 day", watermark="10 minutes")
-    name = f"q129_sink_{uuid.uuid4().hex[:8]}"
-    # pid-scoped checkpoint dir, cleared on entry (a reused checkpoint
-    # would resume from committed offsets and emit nothing; a mkdtemp
-    # per call leaked one dir per run)
-    ck = f"/tmp/q129_ck_{_os.getpid()}"
-    _shutil.rmtree(ck, ignore_errors=True)
-    with state_partitions(spark, 8), rocksdb_state(spark, bounded_memory_mb=512):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
+    # Scoped, unlike _t()'s session-wide set: a batch DataFrame from _t
+    # executes after _t returns so its conf must outlive the call, but
+    # this stream runs to completion inside the block — the flag can be
+    # restored the moment the last micro-batch commits.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(_events_ts)
         )
-        query.awaitTermination(300)
-        progress = query.lastProgress
+        agg = tumbling_counts(src, window_len="1 day", watermark="10 minutes")
+        name = f"q129_sink_{uuid.uuid4().hex[:8]}"
+        # pid-scoped checkpoint dir, cleared on entry (a reused checkpoint
+        # would resume from committed offsets and emit nothing; a mkdtemp
+        # per call leaked one dir per run)
+        ck = f"/tmp/q129_ck_{_os.getpid()}"
+        _shutil.rmtree(ck, ignore_errors=True)
+        with state_partitions(spark, 8), rocksdb_state(
+            spark, bounded_memory_mb=512
+        ):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+            progress = query.lastProgress
     ops = (progress or {}).get("stateOperators") or []
     custom = ops[0].get("customMetrics", {}) if ops else {}
     if not any(k.startswith("rocksdb") for k in custom):

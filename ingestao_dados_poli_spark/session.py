@@ -19,6 +19,7 @@ Design notes for 100 TB:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -75,3 +76,26 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of a block, then restore the
+    prior value (or unset if it had none). Session confs are process-
+    global mutable state on a shared SparkSession; an unscoped ``set``
+    leaks into every later query in the session. Use this for any conf
+    a single query needs (legacy reader flags, per-stream sizing) so
+    the session's defaults stay authoritative.
+    """
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

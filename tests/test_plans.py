@@ -58,10 +58,13 @@ def test_q26_corpus_never_shuffles(spark, sf_dir):
 
 def test_q27_minhash_shuffle_budget(spark, sf_dir):
     plan = _plan(Q.QUERIES["q27_minhash_pairs"](spark, sf_dir))
-    # bucket groupBy + pair dropDuplicates — the two algorithm-inherent
-    # shuffles; a regression to the self-join formulation adds more
+    # bucket groupBy + pair dedup — the two algorithm-inherent shuffles;
+    # a regression to the self-join formulation adds more. The oracle's
+    # fingerprint join-backs must stay BROADCAST (tiny per-id md5 side);
+    # a SortMergeJoin would mean they started shuffling the pair stream.
     assert plan.count("Exchange hashpartitioning") <= 3
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
 
 
 def test_q14_whole_stage_codegen(spark, sf_dir):

@@ -97,6 +97,37 @@ def test_topk_bruteforce_many_partitions_exact(spark):
         ]
 
 
+def test_topk_bruteforce_chunked_buffer_exact(spark):
+    """The structural buffer bound (chunk_rows) must not change the
+    answer: forcing chunks far smaller than a partition (chunk_rows=7,
+    so every (query, partition, chunk) group holds <= 7 scored rows,
+    well under k*|Q|) still yields the exact per-query top-k."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(150)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    queries = spark.createDataFrame(rows[:3], ["query_id", "query_vec"])
+    got = SIM.topk_bruteforce(corpus, queries, k=5, chunk_rows=7).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cos_sim))
+    for qid, vec in rows[:3]:
+        exact = sorted(
+            ((cid, cos(v, vec)) for cid, v in rows),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert [c for c, _ in sorted(by_q[qid], key=lambda t: (-t[1], t[0]))] == [
+            c for c, _ in exact
+        ]
+
+
 def test_topk_lsh_recall_on_exact_match(spark):
     corpus = _vecs(spark)
     queries = corpus.filter(F.col("vec_id") == 0).select(
