@@ -1,0 +1,133 @@
+"""Persistable bloom-filter key pruning — runtime-filter semantics that
+survive ACROSS jobs.
+
+Catalyst's own runtime bloom filter (`spark.sql.optimizer.runtime.
+bloomFilter.enabled`) injects a semi-join filter WITHIN one query's
+plan; it cannot help the incremental-pipeline shape where the key set
+is known from an EARLIER job — prune today's 100 TB fact scan by the
+key set of yesterday's dimension snapshot, or by the fingerprint set of
+the already-ingested corpus, without re-aggregating the keys per run.
+This module makes the bloom a first-class ARTIFACT: build once, save as
+a tiny parquet, load in any later job, prune any DataFrame.
+
+Contract: NO false negatives — every row whose key was in the build set
+passes the filter (so `join(bloom_prune(fact), dim)` ≡ `join(fact,
+dim)` exactly; false positives only cost the join a little extra work).
+Keys are hashed JVM-side with `xxhash64` (scan-stage, codegen), so the
+only Python work is the Arrow-vectorized bit probe; positions come from
+Kirsch-Mitzenmacher double hashing of the single 64-bit hash.
+
+Sizing: bits/key ≈ -1.44·log2(fpp); the default 2^23 bits (1 MiB)
+holds ~1 M keys at ~2% fpp with 5 probes. The bit array must fit in
+one task's memory by design (that is what makes a bloom useful); the
+build OR-merges one partial bloom PER PARTITION on the driver —
+partitions × num_bits/8 bytes of driver traffic, so coalesce a
+very-wide build first (documented on `build_key_bloom`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _positions(h: np.ndarray, i: int, num_bits: int) -> np.ndarray:
+    """i-th probe position per key — Kirsch-Mitzenmacher double hashing
+    (h1 + i·h2) mod m over the two 32-bit halves of the xxhash64."""
+    h1 = h >> np.uint64(32)
+    h2 = h & np.uint64(0xFFFFFFFF)
+    return (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+
+
+def build_key_bloom(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> bytes:
+    """One pass over ``df``: xxhash64 each key JVM-side, set bits in a
+    per-partition numpy bloom (Arrow batches, `np.bitwise_or.at` so
+    duplicate positions within a batch still set), OR the partial
+    blooms on the driver. Driver traffic is partitions × num_bits/8
+    bytes — `coalesce` a many-thousand-partition input before building
+    a large bloom. NULL keys are skipped (a NULL key joins nothing)."""
+    if num_bits % 8:
+        raise ValueError("num_bits must be a multiple of 8")
+    hashed = df.select(F.xxhash64(F.col(key_col)).alias("h")).filter(
+        F.col(key_col).isNotNull()
+    )
+
+    nb, nh = int(num_bits), int(num_hashes)
+
+    def to_bloom(batches):
+        bits = np.zeros(nb // 8, dtype=np.uint8)
+        import pyarrow as pa
+
+        for batch in batches:
+            h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+            for i in range(nh):
+                pos = _positions(h, i, nb)
+                np.bitwise_or.at(
+                    bits, (pos >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(
+                        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                    ),
+                )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([bits.tobytes()], type=pa.binary())], names=["bf"]
+        )
+
+    partials = hashed.mapInArrow(to_bloom, "bf binary").collect()
+    out = np.zeros(nb // 8, dtype=np.uint8)
+    for row in partials:
+        out |= np.frombuffer(row.bf, dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_prune(
+    df: DataFrame,
+    key_col: str,
+    bloom: bytes,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Keep rows whose key MIGHT be in the bloom's build set (never
+    drops a true member). The probe is an Arrow-batched numpy gather
+    over a broadcast bit array — runs before any shuffle, so a
+    selective bloom cuts the join exchange, not just the probe side's
+    post-shuffle work."""
+    bits_arr = np.frombuffer(bloom, dtype=np.uint8)
+    num_bits = len(bits_arr) * 8
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bits_arr)
+    nh = int(num_hashes)
+
+    @pandas_udf("boolean")
+    def might_contain(h: pd.Series) -> pd.Series:
+        bits = bc.value
+        hv = h.to_numpy(dtype=np.int64).astype(np.uint64)
+        ok = np.ones(len(hv), dtype=bool)
+        for i in range(nh):
+            pos = _positions(hv, i, num_bits)
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            ok &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return pd.Series(ok)
+
+    return df.filter(
+        F.col(key_col).isNotNull() & might_contain(F.xxhash64(F.col(key_col)))
+    )
+
+
+def save_bloom(spark: SparkSession, bloom: bytes, path: str, num_hashes: int = 5) -> None:
+    """Persist the artifact as a one-row parquet (bytes + probe count) —
+    readable by any later job, any engine with parquet binary support."""
+    spark.createDataFrame(
+        [(bytearray(bloom), num_hashes)], "bf binary, num_hashes int"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark: SparkSession, path: str) -> tuple[bytes, int]:
+    row = spark.read.parquet(path).collect()[0]
+    return bytes(row.bf), int(row.num_hashes)

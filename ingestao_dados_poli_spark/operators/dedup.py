@@ -56,6 +56,104 @@ def _pairs_in_group(ids_col: Column) -> Column:
     )
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-binding for column expression trees: evaluate ``bound`` once
+    and pass it to ``body`` as a lambda variable. ``transform`` binds
+    its lambda argument to the MATERIALIZED element value, so a
+    single-element array + transform + get(0) gives many cheap
+    references to one evaluation — Spark has no native let, and naive
+    reuse of a subexpression inside higher-order lambdas re-evaluates
+    it per invocation."""
+    return F.get(F.transform(F.array(bound), body), 0)
+
+
+def _bucket_pairs_capped(docs_col: Column, max_bucket_size: int) -> Column:
+    """array<struct<id_a,id_b>> pairs for one bucket, degrading
+    GRACEFULLY above ``max_bucket_size`` instead of dropping the bucket
+    (a dropped hot bucket is silent 100% recall loss exactly where
+    near-dups concentrate — boilerplate-heavy corpora).
+
+    - size ≤ cap: all pairs, identical to the uncapped behavior.
+    - size > cap: members are salted into ⌈size/cap⌉ sub-buckets by
+      ``xxhash64`` of the member struct (hash-uniform, deterministic —
+      ids are unique so identical-text members still spread), all pairs
+      WITHIN each sub-bucket, plus a chain of pairs stitching
+      consecutive sub-bucket anchors so the bucket stays one connected
+      component for downstream clustering. Pair count is ≤
+      size·cap/2 + ⌈size/cap⌉ — LINEAR in bucket size with slope
+      cap/2, vs the quadratic blow-up the cap exists to prevent.
+
+    What degradation costs, stated honestly: pairs ACROSS sub-buckets
+    (other than the anchor chain) are not emitted, so the per-pair
+    pigeonhole guarantee (identical signature ⟹ direct candidate
+    pair) weakens inside hot buckets to "connected via the sampled
+    pair graph". Every member still appears in ≥1 sub-bucket, so
+    per-member recall is non-zero — the property a dedup pipeline
+    needs. All emitted pairs carry exact in-row estimates, so
+    degradation can never create a false positive.
+    """
+    n = F.size(docs_col)
+    full = _pairs_in_group(F.array_sort(docs_col))
+    n_chunks = F.ceil(n / F.lit(max_bucket_size)).cast("int")
+
+    def _ordered(a: Column, b: Column) -> Column:
+        return F.when(
+            a < b, F.struct(a.alias("id_a"), b.alias("id_b"))
+        ).otherwise(F.struct(b.alias("id_a"), a.alias("id_b")))
+
+    # Each member is salted ONCE (xxhash64 of a signature-carrying
+    # struct is 100s of bytes — rehashing it per chunk would be
+    # O(size·chunks) hash work); `_let` materializes the salted array,
+    # the chunk list, and the anchor list exactly once each, because a
+    # plain subexpression referenced inside a higher-order lambda is
+    # RE-EVALUATED on every lambda invocation.
+    salted = F.transform(
+        docs_col,
+        lambda d: F.struct(
+            F.pmod(F.xxhash64(d), n_chunks).alias("_salt"), d.alias("d")
+        ),
+    )
+
+    def _with_anchors(intra: Column):
+        def inner(anchors: Column) -> Column:
+            stitch = F.filter(
+                F.transform(
+                    anchors,
+                    lambda a, i: F.when(
+                        i > 0, _ordered(F.get(anchors, i - 1), a)
+                    ),
+                ),
+                lambda p: p.isNotNull(),
+            )
+            return F.concat(intra, stitch)
+
+        return inner
+
+    def _with_chunks(chs: Column) -> Column:
+        intra = F.flatten(F.transform(chs, lambda ch: _pairs_in_group(ch)))
+        anchors = F.transform(chs, lambda ch: F.get(ch, 0))
+        return _let(anchors, _with_anchors(intra))
+
+    def _chunks_of(sal: Column) -> Column:
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda c: F.array_sort(
+                    F.transform(
+                        F.filter(sal, lambda s: s.getField("_salt") == c),
+                        lambda s: s.getField("d"),
+                    )
+                ),
+            ),
+            lambda ch: F.size(ch) >= 1,
+        )
+
+    degraded = _let(salted, lambda sal: _let(_chunks_of(sal), _with_chunks))
+    # Conditional branches evaluate lazily per row, so the degraded
+    # expression tree costs nothing on the ≤ cap fast path.
+    return F.when(n <= F.lit(max_bucket_size), full).otherwise(degraded)
+
+
 # ---------------------------------------------------------------- exact
 
 def fingerprint_exact(col: Column | str) -> Column:
@@ -270,8 +368,11 @@ def minhash_candidate_pairs(
     Pipeline: signature (scan-side) → explode bands (rows carry ONLY
     id + band + bucket, never the text) → shuffle on (band, bucket) →
     per-bucket self-join (id_a < id_b) → dedup pairs → estimate jaccard
-    from full signatures. ``max_bucket_size`` drops degenerate buckets
-    (e.g. empty/boilerplate docs) that would emit O(n²) pairs.
+    from full signatures. Buckets larger than ``max_bucket_size`` (e.g.
+    empty/boilerplate docs) degrade to salted sub-bucket samples plus
+    an anchor chain instead of emitting O(n²) pairs — see
+    ``_bucket_pairs_capped``; audit the size distribution with
+    ``minhash_bucket_stats``.
     """
     if num_hashes % num_bands:
         raise ValueError(
@@ -311,14 +412,73 @@ def minhash_candidate_pairs(
     return (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list("doc").alias("docs"))
-        .filter(F.size("docs").between(2, max_bucket_size))
-        .select(F.explode(_pairs_in_group(F.array_sort("docs"))).alias("p"))
+        .filter(F.size("docs") >= 2)
+        .select(
+            F.explode(_bucket_pairs_capped(F.col("docs"), max_bucket_size)).alias("p")
+        )
         .select(
             F.col("p.id_a._id").alias("id_a"),
             F.col("p.id_b._id").alias("id_b"),
             est.cast("double").alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    k: int = 5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Per-band LSH bucket-size audit — run this BEFORE (or alongside)
+    ``minhash_candidate_pairs`` to see how much of the corpus falls
+    into hot buckets and therefore gets SAMPLED pair recall instead of
+    exhaustive: one row per band with ``n_buckets``, ``n_pair_buckets``
+    (size ≥ 2), ``n_hot_buckets`` (size > cap, the degraded ones),
+    ``max_bucket`` and ``docs_in_hot``. A corpus where ``docs_in_hot``
+    is a meaningful fraction of rows needs boilerplate stripping or
+    exact dedup FIRST — degradation keeps the job bounded, the stats
+    make the recall trade visible instead of silent.
+
+    Cost: the same signature scan as the pair job plus one count-only
+    (band, bucket) aggregation — no signatures ride along and no pair
+    expansion, so the shuffle carries 8-byte counts.
+    """
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by num_bands={num_bands}"
+        )
+    rows_per_band = num_hashes // num_bands
+    sigs = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        _minhash_from_token_hashes_udf(num_hashes, k)(
+            _token_hashes(text_col)
+        ).alias("minhash"),
+    )
+    sizes = (
+        sigs.select(
+            F.explode(
+                minhash_bands("minhash", num_bands, rows_per_band)
+            ).alias("bb")
+        )
+        .groupBy(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    hot = F.col("sz") > max_bucket_size
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("sz") >= 2).cast("int")).alias("n_pair_buckets"),
+            F.sum(hot.cast("int")).alias("n_hot_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(F.when(hot, F.col("sz")).otherwise(0)).alias("docs_in_hot"),
+        )
+        .orderBy("band")
     )
 
 
@@ -357,6 +517,86 @@ def dedup_incremental_exact(
     )
 
 
+def fingerprint_store_read(spark, store_path: str) -> DataFrame | None:
+    """Union of every committed fingerprint delta under ``store_path``
+    (one multi-directory parquet scan — commit markers start with ``_``
+    so Spark's reader skips them), or None when nothing is published.
+    The store is DELTA-shaped: each ingest publishes only its batch's
+    new fingerprints (``dedup_ingest_batch``), so per-batch write cost
+    is |delta|, never the cumulative set — at 100 TB the cumulative
+    fingerprint table is itself hundreds of GB and rewriting it per
+    ingest would dominate the pipeline. Fold deltas periodically with
+    ``fingerprint_store_compact``.
+    """
+    from ingestao_dados_poli_spark.sources import versioned
+
+    versions = versioned.committed_versions(spark, store_path)
+    if not versions:
+        return None
+    return spark.read.parquet(
+        *[f"{store_path}/v={v}" for v in versions]
+    ).select("_fp")
+
+
+def dedup_ingest_batch(
+    spark,
+    batch: DataFrame,
+    store_path: str,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, int]:
+    """One ingest step of a growing corpus: dedup ``batch`` against the
+    versioned fingerprint store (exact, normalized), publish the
+    survivors' fingerprints as the store's next DELTA snapshot, and
+    return ``(survivors, published_version)``.
+
+    This is the maintained-fingerprint-table lifecycle
+    ``dedup_incremental_exact`` documents: batch N's dedup reads ONLY
+    the fingerprint store (16-byte keys) plus batch N itself — corpus
+    text bytes are never rescanned, so per-ingest cost is
+    |batch| + |fp store| regardless of corpus size. The publish
+    inherits the store's atomic-commit protocol: a crash mid-write
+    leaves an uncommitted (invisible) delta, and the batch can be
+    re-ingested idempotently — re-publishing fingerprints that are
+    already committed only costs duplicate keys, which every reader
+    path tolerates (``dedup_incremental_exact`` distincts the store,
+    ``compact`` distincts the union).
+
+    The returned ``survivors`` plan is lazy and will re-derive from
+    ``batch`` when the caller writes it; persist ``batch`` (or write
+    survivors first and re-read) if the source is expensive to rescan.
+    """
+    existing = fingerprint_store_read(spark, store_path)
+    if existing is None:
+        survivors = dedup_exact(batch, text_col, id_col)
+    else:
+        survivors = dedup_incremental_exact(
+            batch, existing, text_col, id_col, existing_is_fingerprints=True
+        )
+    from ingestao_dados_poli_spark.sources import versioned
+
+    delta = survivors.select(fingerprint_exact(text_col).alias("_fp")).distinct()
+    version = versioned.publish(spark, delta, store_path)
+    return survivors, version
+
+
+def fingerprint_store_compact(spark, store_path: str, keep: int = 1) -> int:
+    """Fold all committed fingerprint deltas into one snapshot and
+    vacuum the olds away (bounds the reader's union fan-in after many
+    ingests). Publishes the distinct union as the next version, then
+    keeps the newest ``keep`` committed versions. Returns the compacted
+    version number. Like ``vacuum``, not safe concurrently with an
+    in-flight ingest."""
+    from ingestao_dados_poli_spark.sources import versioned
+
+    fps = fingerprint_store_read(spark, store_path)
+    if fps is None:
+        raise FileNotFoundError(f"no committed fingerprints under {store_path}")
+    version = versioned.publish(spark, fps.distinct(), store_path)
+    versioned.vacuum(spark, store_path, keep=keep)
+    return version
+
+
 def minhash_pairs_between(
     left: DataFrame,
     right: DataFrame,
@@ -374,10 +614,12 @@ def minhash_pairs_between(
     corpus can't explode against itself).
 
     Same discipline as the self-join: signatures ride in-row into the
-    (band, bucket) groups — ONE shuffle, no join-back recompute —
-    and ``max_bucket_size`` caps degenerate buckets counting BOTH
-    sides. Pair expansion is in-row over each bucket's doc list,
-    filtered to cross-side pairs.
+    (band, bucket) groups — ONE shuffle, no join-back recompute — and
+    buckets larger than ``max_bucket_size`` (counting BOTH sides)
+    degrade to salted sub-bucket samples via ``_bucket_pairs_capped``
+    rather than being dropped. Pair expansion is in-row over each
+    bucket's doc list, filtered to cross-side pairs (anchor-chain
+    stitch pairs between same-side anchors are filtered out with them).
     """
     if num_hashes % num_bands:
         raise ValueError(
@@ -416,8 +658,10 @@ def minhash_pairs_between(
         .unionByName(banded(right, 1))
         .groupBy("band", "bucket")
         .agg(F.collect_list("doc").alias("docs"))
-        .filter(F.size("docs").between(2, max_bucket_size))
-        .select(F.explode(_pairs_in_group(F.array_sort("docs"))).alias("p"))
+        .filter(F.size("docs") >= 2)
+        .select(
+            F.explode(_bucket_pairs_capped(F.col("docs"), max_bucket_size)).alias("p")
+        )
         # sides sort first in the struct, so cross-side pairs always
         # have id_a from left (side 0) and id_b from right (side 1)
         .filter(F.col("p.id_a._side") != F.col("p.id_b._side"))
@@ -520,8 +764,11 @@ def simhash_pairs(
     ``num_chunks`` defaults to ``max_hamming + 1`` — the smallest value
     for which the pigeonhole recall guarantee actually covers the
     requested distance; an explicit smaller value silently misses pairs.
-    ``max_bucket_size`` drops degenerate buckets (e.g. many empty docs
-    all hashing to sig=0) before the quadratic in-row pair expansion.
+    Buckets larger than ``max_bucket_size`` (e.g. many empty docs all
+    hashing to sig=0) degrade to salted sub-bucket samples via
+    ``_bucket_pairs_capped`` instead of the quadratic in-row pair
+    expansion; every emitted pair is still exact-verified by the
+    in-row hamming check, so degradation cannot admit a false match.
     """
     if num_chunks is None:
         num_chunks = max_hamming + 1
@@ -561,8 +808,10 @@ def simhash_pairs(
     pairs = (
         chunks.groupBy("ci", "cv")
         .agg(F.collect_list(F.struct("_id", "sig")).alias("ids"))
-        .filter(F.size("ids").between(2, max_bucket_size))
-        .select(F.explode(_pairs_in_group(F.array_sort("ids"))).alias("p"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(_bucket_pairs_capped(F.col("ids"), max_bucket_size)).alias("p")
+        )
         .select(
             F.col("p.id_a._id").alias("id_a"),
             F.col("p.id_b._id").alias("id_b"),

@@ -219,6 +219,53 @@ def stratified_sample(
     return df.sampleBy(stratum_col, fractions=fractions, seed=seed)
 
 
+def _md5_threshold(fraction: float) -> str:
+    """Hex threshold for md5-prefix sampling. 8 hex chars = 32 bits of
+    the digest; 'g' sorts above every hex char, so fraction 1.0 keeps
+    all rows without a 9-character comparison edge case."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    t = int(round(fraction * 16**8))
+    return "g" if t >= 16**8 else format(t, "08x")
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Reproducible Bernoulli sampling by CONTENT, not RNG: a row
+    survives iff the first 8 hex chars of ``md5(key)`` sort below the
+    fraction's threshold. Unlike ``sample``/``sampleBy`` (engine RNG,
+    partitioning-sensitive), membership here is a pure function of the
+    key — stable across reruns, repartitions, engines (DuckDB/Trino
+    compute the identical md5), and INCREMENTAL ingest: a doc admitted
+    today is admitted in every future run, which is what makes a
+    training-data mix reproducible and auditable. One scan-side string
+    compare, no shuffle, no RNG state."""
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    return df.filter(h < F.lit(_md5_threshold(fraction)))
+
+
+def stratified_sample_deterministic(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fractions: dict,
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum ``deterministic_sample`` — the reproducible
+    data-mixing lever (keep 100% of rare high-quality sources, hash-thin
+    the crawl). Same contract as ``stratified_sample`` but membership is
+    a pure function of (stratum fraction, key bytes); strata absent from
+    ``fractions`` get ``default``. Scan-side only."""
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    thresh = None
+    for stratum, frac in fractions.items():
+        cond = F.col(stratum_col) == stratum
+        lit = F.lit(_md5_threshold(frac))
+        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+    default_lit = F.lit(_md5_threshold(default))
+    thresh = default_lit if thresh is None else thresh.otherwise(default_lit)
+    return df.filter(h < thresh)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -298,6 +298,88 @@ def write_report(report: dict[str, Any], path: str) -> None:
         json.dump(report, fh, ensure_ascii=False, indent=2)
 
 
+def render_report_markdown(report: dict[str, Any]) -> str:
+    """Human-readable data docs from a validation report — the engine's
+    counterpart to the GX data-docs build the reference runs and
+    publishes (etl/1-processing-banks.py:163-186, 196). Markdown rather
+    than GX's HTML site: one self-contained page per checkpoint run
+    that renders in any repo browser, diffs cleanly in review, and
+    needs no JS assets in the bucket.
+
+    Deterministic for a given report dict (no timestamps are invented
+    here — ``duration_s`` comes from the run), so golden-file tests can
+    pin the exact output."""
+    verdict = (
+        "CERTIFIED"
+        if report.get("certified")
+        else ("PASSED (inconclusive)" if report.get("success") else "FAILED")
+    )
+    lines = [
+        f"# Data quality report — `{report['suite']}`",
+        "",
+        f"**Verdict: {verdict}** · {report['row_count']:,} rows · "
+        f"{len(report['results'])} expectations · {report['duration_s']}s",
+        "",
+        "| # | expectation | status | detail |",
+        "|---|---|---|---|",
+    ]
+    for i, res in enumerate(report["results"], start=1):
+        if res.get("error"):
+            status, detail = "error", res["error"]
+        elif not res["success"]:
+            status = "fail"
+            detail = _result_detail(res)
+        elif res.get("inconclusive"):
+            status, detail = "inconclusive", _result_detail(res)
+        else:
+            status, detail = "pass", _result_detail(res)
+        rule = res["rule"].replace("|", "\\|")
+        lines.append(f"| {i} | `{rule}` | {status} | {detail} |")
+    lines += [
+        "",
+        "Gate on **CERTIFIED** for irreversible promotion (versioned "
+        "publish); *inconclusive* marks sketch-tolerant evidence only.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def _result_detail(res: dict[str, Any]) -> str:
+    """One terse cell per expectation result."""
+    obs = res.get("observed")
+    if isinstance(obs, dict):
+        bits = [f"{k}={v}" for k, v in obs.items()]
+        if res.get("approx"):
+            bits.append("approx")
+        return ", ".join(bits)
+    if obs is not None:
+        return f"observed={obs}"
+    n = res.get("unexpected_count", 0)
+    return "ok" if not n else f"{n} unexpected"
+
+
+def publish_report(spark, report: dict[str, Any], dir_path: str) -> None:
+    """Q8 end-to-end: write the JSON report AND its rendered markdown
+    data docs under ``dir_path`` (any Hadoop-visible URI — the same
+    publish surface the reference pushes GX docs to, via
+    ``sources.fs`` instead of dbutils). Files are overwritten, like the
+    reference's docs site rebuild."""
+    from ingestao_dados_poli_spark.sources import fs
+
+    fs.write_text(
+        spark,
+        f"{dir_path}/report.json",
+        json.dumps(report, ensure_ascii=False, indent=2) + "\n",
+        overwrite=True,
+    )
+    fs.write_text(
+        spark,
+        f"{dir_path}/report.md",
+        render_report_markdown(report),
+        overwrite=True,
+    )
+
+
 def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """One-scan column profile: (column, n_nulls, n_distinct, min_value,
     max_value) per requested column — the data-quality reconnaissance

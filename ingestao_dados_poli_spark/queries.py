@@ -1390,10 +1390,13 @@ Q49_MIX_FRACTIONS = {
 def q49_stratified_sample(
     spark: SparkSession, sf_dir: str, fractions: dict | None = None
 ) -> DataFrame:
-    """Per-source stratified sampling (rows-only: sampling RNG is
-    engine-specific, so no cross-engine oracle): keep all of one source,
-    thin the rest — the data-mixing primitive. ``fractions`` is an
-    explicit config dict; the plan-building path has NO driver collect."""
+    """Per-source stratified sampling via Spark's native ``sampleBy``
+    (rows-only: sampling RNG is engine-specific, so no cross-engine
+    oracle): keep all of one source, thin the rest — the data-mixing
+    primitive. ``fractions`` is an explicit config dict; the
+    plan-building path has NO driver collect. The REPRODUCIBLE variant
+    — membership by md5 hash threshold, identical across engines and
+    fully value-oracled — is q134_deterministic_mix."""
     docs = _t(spark, sf_dir, "documents")
     sampled = R.stratified_sample(docs, "source", fractions or Q49_MIX_FRACTIONS)
     return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
@@ -5352,5 +5355,182 @@ def q132_versioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pinned",
             "total_chars",
             F.lit(V.latest_version(spark, path)).cast("long").alias("live_version"),
+        )
+    )
+
+
+# ------- 86. multi-batch incremental dedup via the versioned fp store
+
+@q(
+    "q133_fp_store_lifecycle",
+    """
+    WITH dn AS (SELECT doc_id, text,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                FROM documents),
+    b1 AS (SELECT doc_id, fp FROM dn WHERE doc_id < 150),
+    b2 AS (SELECT doc_id, fp FROM dn WHERE doc_id >= 150 AND doc_id < 300
+           UNION ALL
+           SELECT doc_id + 10000 AS doc_id, fp FROM dn WHERE doc_id < 40),
+    b3 AS (SELECT doc_id, fp FROM dn WHERE doc_id >= 300 AND doc_id < 450
+           UNION ALL
+           SELECT doc_id + 20000 AS doc_id, fp FROM dn
+           WHERE doc_id >= 50 AND doc_id < 90
+           UNION ALL
+           SELECT doc_id + 30000 AS doc_id, fp FROM dn
+           WHERE doc_id >= 200 AND doc_id < 240),
+    seen AS (SELECT fp FROM b1 UNION SELECT fp FROM b2),
+    s3 AS (SELECT fp, min(doc_id) AS doc_id FROM b3 GROUP BY fp)
+    SELECT s3.doc_id, s3.fp
+    FROM s3 WHERE s3.fp NOT IN (SELECT fp FROM seen)
+    """,
+)
+def q133_fp_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three ingest batches deduped through the VERSIONED fingerprint
+    store (`operators/dedup.py` `dedup_ingest_batch` /
+    `fingerprint_store_compact`): batch 1 seeds the store, batch 2
+    (with planted cross-batch dups of batch 1) appends a delta, the
+    store is compacted to one snapshot, and batch 3 (with planted dups
+    of batches 1 AND 2) dedups against ONLY the compacted+delta
+    fingerprints — its plan never touches batch-1/2 text bytes, which
+    is the property that makes per-ingest cost |batch| + |fp set| at
+    100 TB. The oracle recomputes the same set algebra from raw text
+    in DuckDB, so a store that lost a fingerprint (survivor leaks
+    through) or invented one (survivor wrongly dropped) hash-fails.
+    Version lifecycle is asserted in-line: ingest, ingest, compact
+    (vacuum to 1), ingest must leave exactly committed versions
+    [3, 4]."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.operators.dedup import fingerprint_exact
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    b1 = docs.filter(did < 150)
+    b2 = docs.filter((did >= 150) & (did < 300)).unionByName(
+        docs.filter(did < 40).select((did + 10000).alias("doc_id"), "text")
+    )
+    b3 = (
+        docs.filter((did >= 300) & (did < 450))
+        .unionByName(
+            docs.filter((did >= 50) & (did < 90)).select(
+                (did + 20000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter((did >= 200) & (did < 240)).select(
+                (did + 30000).alias("doc_id"), "text"
+            )
+        )
+    )
+    store = f"/tmp/q133_fp_{_os.getpid()}"
+    _shutil.rmtree(store, ignore_errors=True)
+    DD.dedup_ingest_batch(spark, b1, store, "text", "doc_id")
+    DD.dedup_ingest_batch(spark, b2, store, "text", "doc_id")
+    DD.fingerprint_store_compact(spark, store, keep=1)
+    survivors, _ = DD.dedup_ingest_batch(spark, b3, store, "text", "doc_id")
+    got = V.committed_versions(spark, store)
+    if got != [3, 4]:
+        raise AssertionError(f"fp store lifecycle drifted: versions {got}")
+    return survivors.select("doc_id", fingerprint_exact("text").alias("fp"))
+
+
+# --------- 87. reproducible data mixing (hash-threshold sampling)
+
+@q(
+    "q134_deterministic_mix",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE source
+              WHEN 'src0' THEN 'g'
+              WHEN 'src1' THEN '80000000'
+              WHEN 'src2' THEN '40000000'
+              ELSE '1999999a'
+          END
+    GROUP BY source
+    """,
+)
+def q134_deterministic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-data mixing
+    (`operators/relational.py` `stratified_sample_deterministic`):
+    keep all of src0, half of src1, a quarter of src2, 10% of the rest,
+    with membership a pure function of md5(doc_id) — the same rows
+    survive on any engine, any partitioning, any rerun, which is what
+    makes a data mix auditable (q49 keeps the engine-RNG `sampleBy`
+    variant, rows-only by nature). FULLY value-oracled: DuckDB computes
+    the identical md5-prefix threshold test, so Spark and the oracle
+    must select the exact same doc_ids (id_sum pins membership, not
+    just counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = R.stratified_sample_deterministic(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default=0.1,
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+# ------- 88. cross-job bloom pruning (persisted runtime filter)
+
+@q(
+    "q135_bloom_pruned_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= DATE '1997-01-01'
+      AND o.o_orderdate <  DATE '1997-04-01'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q135_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-job runtime filtering (`operators/bloom.py`): build a
+    bloom over one quarter's order keys, PERSIST it (save + load — the
+    artifact round-trip an incremental pipeline does between jobs),
+    prune the lineitem scan with an Arrow-vectorized probe BEFORE the
+    join shuffle, then join and aggregate. The bloom admits ~selected
+    fraction + fpp of lineitem into the exchange instead of 100% — at
+    100 TB that is the difference between shuffling the whole fact
+    table and shuffling the quarter you need; Catalyst's own runtime
+    bloom can't be saved across jobs. Oracled against the PLAIN join:
+    no-false-negatives means pruning must not change a single group or
+    sum (false positives are absorbed by the join)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.operators import bloom as B
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    bf = B.build_key_bloom(orders, "o_orderkey", num_bits=1 << 21)
+    bpath = f"/tmp/q135_bloom_{_os.getpid()}"
+    _shutil.rmtree(bpath, ignore_errors=True)
+    B.save_bloom(spark, bf, bpath)
+    loaded, nh = B.load_bloom(spark, bpath)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    pruned = B.bloom_prune(li, "l_orderkey", loaded, nh)
+    return (
+        pruned.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            pruned.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
         )
     )

@@ -84,6 +84,14 @@ def latest_version(spark: SparkSession, path: str) -> int | None:
     return committed[-1] if committed else None
 
 
+def committed_versions(spark: SparkSession, path: str) -> list[int]:
+    """All committed versions, ascending. The public listing for
+    delta-style tables whose readers union every committed snapshot
+    (e.g. the incremental-dedup fingerprint store) rather than reading
+    only the latest."""
+    return _committed(spark, path)
+
+
 def _schema_fields(schema: StructType) -> dict[str, str]:
     """name → type map used for compatibility checks. Nullability and
     column ORDER are intentionally ignored: parquet reads are by-name,

@@ -130,3 +130,61 @@ def test_fk_violations_detects_orphans(spark):
     dup_parent = spark.createDataFrame([(1,), (1,), (2,)], "pk long")
     out2 = Q.fk_violations(child, dup_parent, {"ck": "pk"}).collect()[0]
     assert out2.n_child == 4 and out2.n_orphans == 2
+
+
+def test_render_report_markdown_golden(spark):
+    """Golden-file render: the data-docs page for a fixed report must be
+    byte-stable (duration pinned) so doc regressions show as diffs."""
+    df = _df(spark)
+    suite = (
+        Q.Suite("docs")
+        .add(Q.not_null("id"))
+        .add(Q.not_null("name"))
+        .add(Q.exists("missing_col"))
+        .add(Q.row_count_between(1, 10))
+    )
+    report = Q.validate(df, suite)
+    report["duration_s"] = 0.001  # pin the only run-varying field
+    md = Q.render_report_markdown(report)
+    assert md == (
+        "# Data quality report — `docs`\n"
+        "\n"
+        "**Verdict: FAILED** · 3 rows · 4 expectations · 0.001s\n"
+        "\n"
+        "| # | expectation | status | detail |\n"
+        "|---|---|---|---|\n"
+        "| 1 | `not_null id` | pass | ok |\n"
+        "| 2 | `not_null name` | fail | 1 unexpected |\n"
+        "| 3 | `exists missing_col` | fail | 1 unexpected |\n"
+        "| 4 | `row_count_between [1, 10]` | pass | observed=3 |\n"
+        "\n"
+        "Gate on **CERTIFIED** for irreversible promotion (versioned "
+        "publish); *inconclusive* marks sketch-tolerant evidence only.\n"
+    )
+
+
+def test_render_inconclusive_verdict(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    suite = Q.Suite("u").add(Q.unique("k"))
+    observed, finish = Q.observe_suite(df, suite)
+    observed.write.format("noop").mode("overwrite").save()
+    report = finish()
+    md = Q.render_report_markdown(report)
+    if report["certified"]:
+        assert "Verdict: CERTIFIED" in md
+    else:
+        assert "Verdict: PASSED (inconclusive)" in md
+        assert "inconclusive" in md.splitlines()[6]
+
+
+def test_publish_report_writes_json_and_md(spark, tmp_path):
+    df = _df(spark)
+    suite = Q.Suite("pub").add(Q.not_null("id"))
+    report = Q.validate(df, suite)
+    out = str(tmp_path / "docs")
+    Q.publish_report(spark, report, out)
+    roundtrip = json.loads((tmp_path / "docs" / "report.json").read_text())
+    assert roundtrip["suite"] == "pub" and roundtrip["certified"]
+    md = (tmp_path / "docs" / "report.md").read_text()
+    assert md.startswith("# Data quality report — `pub`")
+    assert "Verdict: CERTIFIED" in md

@@ -246,3 +246,48 @@ def test_contiguous_ids_total_order_no_global_window(spark):
     # table, so the raw data is never sorted through one task
     plan = R.contiguous_ids(df, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_deterministic_sample_edges_and_stability(spark):
+    """fraction 1.0 keeps every row, 0.0 none, and membership is a pure
+    function of the key: the survivor set is identical under
+    repartitioning (the property engine-RNG sample() lacks) and matches
+    a driver-side md5 recomputation exactly."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in range(400)], ["k"])
+    assert R.deterministic_sample(df, "k", 1.0).count() == 400
+    assert R.deterministic_sample(df, "k", 0.0).count() == 0
+
+    got = sorted(r.k for r in R.deterministic_sample(df, "k", 0.3).collect())
+    re_got = sorted(
+        r.k
+        for r in R.deterministic_sample(df.repartition(13), "k", 0.3).collect()
+    )
+    assert got == re_got
+    thresh = format(int(round(0.3 * 16**8)), "08x")
+    expect = [
+        i
+        for i in range(400)
+        if hashlib.md5(str(i).encode()).hexdigest()[:8] < thresh
+    ]
+    assert got == expect
+    # ~30% of 400 with 32-bit hash uniformity: generous tolerance
+    assert 80 <= len(got) <= 160
+
+
+def test_stratified_sample_deterministic_default(spark):
+    rows = [(i, "keep" if i % 2 else "thin") for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    out = R.stratified_sample_deterministic(
+        df, "s", "k", {"keep": 1.0}, default=0.0
+    ).collect()
+    assert sorted(r.k for r in out) == [i for i in range(200) if i % 2]
+
+    half = R.stratified_sample_deterministic(
+        df, "s", "k", {"keep": 1.0, "thin": 0.5}
+    )
+    kept = {r.k for r in half.collect()}
+    assert {i for i in range(200) if i % 2} <= kept
+    n_thin = len(kept) - 100
+    assert 25 <= n_thin <= 75

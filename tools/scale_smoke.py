@@ -52,6 +52,28 @@ def synth_docs(spark, n: int, dup_rate: float = 0.1, words_per_doc: int = 120):
     ).select("doc_id", F.array_join(words, " ").alias("text"))
 
 
+def synth_boiler_docs(spark, n: int, words_per_doc: int = 60):
+    """Boilerplate-heavy corpus: every third doc carries ONE identical
+    text, so each LSH band holds a single hot bucket of ~n/3 members —
+    the degenerate case the bucket cap exists for. Before graceful
+    degradation this produced ZERO pairs (bucket dropped); now it must
+    produce bounded, non-empty sampled pairs covering every member."""
+    boiler = " ".join(f"boiler{i}" for i in range(words_per_doc))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64(F.col("id"), i)) % 5000).cast("string"),
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(boiler))
+        .otherwise(F.array_join(words, " "))
+        .alias("text"),
+    )
+
+
 def synth_names(spark, n: int, n_blocks: int = 50):
     """Deterministic short entity names with a low-cardinality block
     column — the fuzzy-match worst case (big blocks), to prove the
@@ -187,6 +209,30 @@ def main() -> None:
             results[label]["boiler_hash_shuffle_mb"] = round((b1 - b0) / 1e6, 2)
             results[label]["boiler_str_shuffle_mb"] = round((b2 - b1) / 1e6, 2)
         docs.unpersist()
+        # hot-bucket degradation: one identical-text bucket of ~n/3
+        # members per band. Time must stay ~linear (sampled pairs are
+        # ≤ size·cap/2, not size²/2) and every boilerplate member must
+        # appear in ≥1 pair (recall 1.0 by the sub-bucket + anchor
+        # chain construction — a dropped bucket would read 0.0 here).
+        hotdocs = synth_boiler_docs(spark, n).cache()
+        hotdocs.count()
+        results[label]["minhash_hotbucket"] = time_op(
+            lambda: DD.minhash_candidate_pairs(
+                hotdocs, "text", "doc_id", num_hashes=32, num_bands=8
+            )
+        )
+        touched = (
+            DD.minhash_candidate_pairs(
+                hotdocs, "text", "doc_id", num_hashes=32, num_bands=8
+            )
+            .select(F.explode(F.array("id_a", "id_b")).alias("d"))
+            .filter(F.col("d") % 3 == 0)
+            .distinct()
+            .count()
+        )
+        n_boiler = (n + 2) // 3
+        results[label]["hot_member_recall"] = round(touched / n_boiler, 3)
+        hotdocs.unpersist()
         names = synth_names(spark, n).cache()
         names.count()
         results[label]["fuzzy"] = time_op(
@@ -234,7 +280,7 @@ def main() -> None:
     ratio_n = big / small
     scaling = {
         op: round(results["big"][op] / max(results["small"][op], 0.01), 1)
-        for op in ("exact", "minhash", "simhash", "jaccard", "boiler_hash", "boiler_str", "fuzzy", "embed_neardup", "interval_join")
+        for op in ("exact", "minhash", "minhash_hotbucket", "simhash", "jaccard", "boiler_hash", "boiler_str", "fuzzy", "embed_neardup", "interval_join")
     }
     payload = {"results": results, "size_ratio": ratio_n, "time_ratio": scaling}
     out = os.path.join(
