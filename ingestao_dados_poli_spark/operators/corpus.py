@@ -401,3 +401,95 @@ def boilerplate_ngrams(
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
     return exact.orderBy(F.col("doc_freq").desc(), F.col("ngram")).limit(top_k)
+
+
+def dedup_spans(
+    df: DataFrame,
+    *,
+    span_words: int = 13,
+    max_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_spans: bool = False,
+) -> DataFrame:
+    """Span-level exact-substring dedup with document REASSEMBLY — the
+    simplified form of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") that a
+    DataFrame engine can run at corpus scale: cut every document into
+    consecutive ``span_words``-word spans, count each span's distinct-
+    document frequency corpus-wide, DELETE every span occurring in more
+    than ``max_doc_freq`` documents, and stitch the survivors back into
+    per-document text. Unlike whole-doc dedup (operators/dedup.py) this
+    removes the duplicated PASSAGE (boilerplate header, license block,
+    templated footer) while keeping the unique remainder of every doc.
+
+    Returns (id_col, clean_text, n_spans, n_removed) — one row per
+    input document, ``clean_text = ''`` when everything was removed.
+
+    Scale shape (3 shuffles, all map-side combined, text never
+    collected):
+      1. span→doc-freq groupBy: per-partition partial agg means the
+         exchange carries each partition's DISTINCT spans once;
+      2. left_anti join of spans against the over-threshold span set —
+         that set is the DUPLICATED sliver of the corpus, so AQE
+         broadcasts it when small (the common case); a plain shuffled
+         anti-join when not;
+      3. reassembly groupBy(doc): collect_list of (idx, span) structs,
+         sorted IN-ROW by array_sort — never a window, never a global
+         sort.
+    ``hash_spans=True`` swaps the freq-count + anti-join keys for
+    ``xxhash64(span)`` so shuffles 1-2 carry 8-byte keys instead of
+    span text — the 100 TB setting; an xxhash64 collision there can
+    delete an innocent span (false positive ~n²/2⁶⁴ — negligible, and
+    dedup-safe: it only ever REMOVES extra text). Exact and hashed
+    paths are equivalence-tested in test_corpus.py; the oracled q137
+    uses the exact path (DuckDB computes no xxhash64).
+    """
+    if span_words < 1:
+        raise ValueError(f"span_words must be >= 1, got {span_words}")
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w")
+    )
+    n_spans = F.ceil(F.size("_w") / F.lit(span_words)).cast("long")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), (n_spans - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(F.col("_w"), i * span_words + 1, span_words), " "
+        ),
+    )
+    spans = toks.select(
+        "_id",
+        n_spans.alias("_n_spans"),
+        F.posexplode(spans_arr).alias("_idx", "_span"),
+    )
+    key = F.xxhash64("_span") if hash_spans else F.col("_span")
+    spans = spans.withColumn("_k", key)
+    dup_keys = (
+        spans.groupBy("_k")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_k")
+    )
+    kept = spans.join(dup_keys, "_k", "left_anti")
+    reassembled = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_span"))),
+                lambda s: s["_span"],
+            ),
+            " ",
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = toks.select("_id", n_spans.alias("_n_spans"))
+    return (
+        base.join(reassembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+            F.col("_n_spans").alias("n_spans"),
+            (F.col("_n_spans") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -5534,3 +5534,149 @@ def q135_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
         )
     )
+
+
+# --------------------- 78. bucketed co-located join (zero-exchange fact⋈fact)
+
+def q136_table_names() -> tuple[str, str, str]:
+    """(orders_table, lineitem_table, base_dir) — pid-scoped so parallel
+    test/driver processes never collide in the shared session catalog
+    or /tmp. Exposed so the plan test can rebuild the join on the
+    registered tables."""
+    import os as _os
+
+    pid = _os.getpid()
+    return (
+        f"q136_orders_b{pid}",
+        f"q136_lineitem_b{pid}",
+        f"/tmp/q136_bkt_{pid}",
+    )
+
+
+@q(
+    "q136_bucketed_join",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q136_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned fact⋈fact: write orders and lineitem as EXTERNAL
+    bucketed tables (`sources/writers.py:write_bucketed_table`), both
+    bucketed AND sorted by the join key with equal bucket counts, then
+    join + aggregate on that key. With bucketing the sort-merge join
+    needs NO Exchange and NO per-task Sort on either side — the
+    layout, not the engine, pays the shuffle once at write time; every
+    later join/agg ON THE BUCKET KEY rides it free (locked by
+    test_plans.test_q136_bucketed_join_zero_exchange: 0 exchanges, 0
+    sorts for a bucket-key join+agg under a disabled-broadcast conf).
+    The write repartitions to exactly num_buckets tasks on the bucket
+    key (same Murmur3 hash) so each bucket is ONE sorted file — the
+    precondition for Spark to also elide the merge-join Sort; multiple
+    files per bucket would re-sort at read. (Sort-elision additionally
+    requires `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+    — Spark keeps it off by default because proving one-file-per-bucket
+    means listing files at PLANNING time; exchange-elision is always
+    on. The right setting for a table maintained one-file-per-bucket,
+    the wrong one for ad-hoc bucketed dirs.) The final per-priority
+    rollup here still exchanges on ITS key — bucketing buys the join,
+    not unrelated group-bys. Oracled against
+    the PLAIN join on the raw parquet — the bucketed copy is lossless,
+    so results are identical by construction."""
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.sources.writers import write_bucketed_table
+
+    ord_t, li_t, base = q136_table_names()
+    # idempotent re-entry: drop catalog entries AND external files —
+    # saveAsTable(overwrite) alone would CTAS into a non-empty dir when
+    # a fresh session inherits a previous run's /tmp artifacts.
+    spark.sql(f"DROP TABLE IF EXISTS {ord_t}")
+    spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+    _shutil.rmtree(base, ignore_errors=True)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, "o_orderkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .repartition(8, "l_orderkey")
+    )
+    write_bucketed_table(
+        orders, ord_t, ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=f"{base}/orders",
+    )
+    write_bucketed_table(
+        li, li_t, ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=f"{base}/lineitem",
+    )
+    o = spark.table(ord_t)
+    l = spark.table(li_t)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+        )
+    )
+
+
+# ------------------- 79. span-level exact dedup with document reassembly
+
+@q(
+    "q137_span_dedup",
+    """
+    WITH nsp AS (
+        SELECT doc_id,
+               CAST(ceil(len(string_split(text, ' ')) / 3.0) AS BIGINT)
+                   AS n_spans,
+               string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+               array_to_string(
+                   list_slice(toks, (i - 1) * 3 + 1, (i - 1) * 3 + 3), ' '
+               ) AS span
+        FROM nsp, unnest(generate_series(1, n_spans)) AS g(i)
+    ),
+    dup AS (
+        SELECT span FROM spans GROUP BY span
+        HAVING count(DISTINCT doc_id) > 1
+    ),
+    kept AS (
+        SELECT s.doc_id, s.idx, s.span
+        FROM spans s ANTI JOIN dup d ON s.span = d.span
+    ),
+    re AS (
+        SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT n.doc_id, coalesce(re.clean_text, '') AS clean_text,
+           n.n_spans,
+           CAST(n.n_spans - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed
+    FROM nsp n LEFT JOIN re ON n.doc_id = re.doc_id
+    """,
+)
+def q137_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at span granularity
+    (`operators/corpus.py:dedup_spans`): every 3-word span occurring in
+    >1 document is deleted from ALL documents and the survivors are
+    stitched back in order — the passage-level cousin of whole-doc
+    dedup that strips shared boilerplate while keeping each doc's
+    unique remainder. 3 map-side-combined shuffles, duplicated-span set
+    anti-joined (AQE broadcasts it when small), reassembly via in-row
+    array_sort — no windows, no global sort, text never collected.
+    Fully value-oracled per document including the reassembled text."""
+    docs = _t(spark, sf_dir, "documents")
+    return CO.dedup_spans(docs, span_words=3, max_doc_freq=1)

@@ -148,11 +148,18 @@ def write_bucketed_table(
     num_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table: joins/aggs on ``bucket_cols`` skip the
-    shuffle entirely when both sides are bucketed the same way — the main
-    lever for repeated 100 TB fact-to-fact joins."""
+    """Bucketed table: joins/aggs on ``bucket_cols`` skip the shuffle
+    entirely when both sides are bucketed the same way — the main lever
+    for repeated 100 TB fact-to-fact joins. ``sort_cols`` additionally
+    pre-sorts each bucket file so sort-merge joins skip the sort too.
+    ``path`` makes it EXTERNAL (data at ``path``, only metadata in the
+    catalog) — the layout an object-store lakehouse uses; omitted, the
+    table is managed under the warehouse dir."""
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)

@@ -236,3 +236,50 @@ def test_boilerplate_ngrams_hash_plan_shape(spark):
         .toString()
     )
     assert "xxhash64" in plan
+
+
+def test_dedup_spans_removes_shared_spans_and_reassembles(spark):
+    df = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the span "x y z" (first 3-word chunk);
+            # each keeps its unique tail
+            (1, "x y z a b c"),
+            (2, "x y z d e f"),
+            # doc 3 entirely unique
+            (3, "g h i j"),
+            # doc 4 is ONLY the shared span -> empty after dedup
+            (4, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in CO.dedup_spans(df, span_words=3, max_doc_freq=1).collect()
+    }
+    assert out[1]["clean_text"] == "a b c"
+    assert out[1]["n_spans"] == 2 and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "d e f"
+    # short tail chunk ("j") survives as its own span
+    assert out[3]["clean_text"] == "g h i j"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == ""
+    assert out[4]["n_spans"] == 1 and out[4]["n_removed"] == 1
+
+
+def test_dedup_spans_hashed_matches_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = CO.dedup_spans(docs, span_words=3).orderBy("doc_id").collect()
+    hashed = (
+        CO.dedup_spans(docs, span_words=3, hash_spans=True)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert exact == hashed
+
+
+def test_dedup_spans_order_preserved_across_many_spans(spark):
+    # 30 single-word spans; ensure in-row array_sort restores order
+    words = " ".join(f"w{i:02d}" for i in range(30))
+    df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    out = CO.dedup_spans(df, span_words=1).collect()[0]
+    assert out["clean_text"] == words

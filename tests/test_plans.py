@@ -159,3 +159,37 @@ def test_plan_audit_artifact_clean():
         "q80_psi_drift",
     }
     assert set(s["queries_with_bnlj"]) <= allowed, s["queries_with_bnlj"]
+
+
+def test_q136_bucketed_join_zero_exchange(spark, sf_dir):
+    """The bucketed-layout contract: after q136 registers both external
+    bucketed tables, a sort-merge join + agg ON THE BUCKET KEY plans
+    with ZERO Exchange and ZERO Sort — the write-time layout replaced
+    both. Broadcast is disabled so the tiny test tables can't dodge the
+    assertion via BroadcastHashJoin."""
+    from ingestao_dados_poli_spark.queries import q136_table_names
+    from ingestao_dados_poli_spark.session import scoped_conf
+
+    # registers the pid-scoped bucketed tables as a side effect
+    Q.QUERIES["q136_bucketed_join"](spark, sf_dir).collect()
+    ord_t, li_t, _ = q136_table_names()
+    o = spark.table(ord_t)
+    l = spark.table(li_t)
+    # sort-elision needs the planner to LIST files and confirm one file
+    # per bucket — expensive at planning time, so Spark gates it behind
+    # this conf (default off). The exchange-elision needs no conf.
+    with scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"), \
+         scoped_conf(
+             spark, "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+         ):
+        joined = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey")
+            .count()
+        )
+        plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Sort " not in plan.replace("SortMergeJoin", "SMJ")
+    # and the scan is bucket-aware
+    assert "Bucketed: true" in plan
