@@ -5680,3 +5680,67 @@ def q137_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully value-oracled per document including the reassembled text."""
     docs = _t(spark, sf_dir, "documents")
     return CO.dedup_spans(docs, span_words=3, max_doc_freq=1)
+
+
+# -------------- 80. incremental aggregate maintenance (MV delta refresh)
+
+@q(
+    "q138_incremental_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS o_totalprice_min,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS o_totalprice_max,
+           CAST(round(sum(o_totalprice) / count(*), 4) AS DOUBLE)
+               AS o_totalprice_avg
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q138_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance (`operators/incremental.py`):
+    aggregate the pre-cutoff base ONCE into mergeable per-group state
+    (cnt/sum/min/max), publish it as a versioned snapshot, then refresh
+    with only the post-cutoff delta — merge cost is O(|delta| +
+    |state|), the base is NEVER rescanned (locked by
+    test_plans.test_q138_incremental_never_rescans_base: the refresh
+    plan's only orders scan carries the cutoff filter pushed down). The
+    refreshed state publishes as snapshot v=2 — atomic and
+    time-travelable like any table publish. Oracled against the
+    full-table aggregate: incremental fold must equal one-shot compute
+    exactly (counts/extrema) and to rounding (float sums: addition
+    order differs by construction — THE ulp-level caveat of algebraic
+    MV maintenance, surfaced here by rounding both engines to 2/4 dp).
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.operators import incremental as IC
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    base_path = f"/tmp/q138_mv_{_os.getpid()}"
+    _shutil.rmtree(base_path, ignore_errors=True)
+    cutoff = "1997-06-01"
+    keys, measures = ["o_orderpriority"], ["o_totalprice"]
+    orders = _t(spark, sf_dir, "orders")
+    base_state = IC.partial_aggregate(
+        orders.filter(F.col("o_orderdate") < cutoff), keys, measures
+    )
+    V.publish(spark, base_state, base_path)
+    delta_state = IC.partial_aggregate(
+        orders.filter(F.col("o_orderdate") >= cutoff), keys, measures
+    )
+    merged = IC.merge_aggregates(
+        V.read_latest(spark, base_path), delta_state, keys, measures
+    )
+    V.publish(spark, merged, base_path)
+    out = IC.finalize(V.read_latest(spark, base_path), measures, avg_scale=4)
+    return out.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.round("o_totalprice_sum", 2).alias("total"),
+        F.round("o_totalprice_min", 2).alias("o_totalprice_min"),
+        F.round("o_totalprice_max", 2).alias("o_totalprice_max"),
+        F.col("o_totalprice_avg"),
+    )

@@ -193,3 +193,34 @@ def test_q136_bucketed_join_zero_exchange(spark, sf_dir):
     assert "Sort " not in plan.replace("SortMergeJoin", "SMJ")
     # and the scan is bucket-aware
     assert "Bucketed: true" in plan
+
+
+def test_q138_incremental_never_rescans_base(spark, sf_dir):
+    """The MV-maintenance contract: a refresh reads the STATE snapshot
+    plus the delta slice only — the pre-cutoff base rows are never
+    rescanned. The refresh plan must contain exactly one orders scan,
+    and that scan must push the delta cutoff into the parquet reader."""
+    import os
+
+    from ingestao_dados_poli_spark.operators import incremental as IC
+    from ingestao_dados_poli_spark.sources import versioned as V
+    from pyspark.sql import functions as F
+
+    # publishes state v1 (base) and v2 (first refresh) as a side effect
+    Q.QUERIES["q138_incremental_agg"](spark, sf_dir).collect()
+    mv = f"/tmp/q138_mv_{os.getpid()}"
+    delta = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+    )
+    refresh = IC.merge_aggregates(
+        V.read_latest(spark, mv),
+        IC.partial_aggregate(delta, ["o_orderpriority"], ["o_totalprice"]),
+        ["o_orderpriority"],
+        ["o_totalprice"],
+    )
+    plan = _plan(refresh)
+    assert plan.count("orders.parquet") == 1
+    scan = plan.split("orders.parquet")[1]
+    assert "GreaterThanOrEqual(o_orderdate" in scan.split("ReadSchema")[0]
+    assert "q138_mv" in plan  # state snapshot is the other scan

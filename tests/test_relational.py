@@ -291,3 +291,52 @@ def test_stratified_sample_deterministic_default(spark):
     assert {i for i in range(200) if i % 2} <= kept
     n_thin = len(kept) - 100
     assert 25 <= n_thin <= 75
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    from ingestao_dados_poli_spark.operators import incremental as IC
+
+    rows = [("a", i, float(i * 10)) for i in range(20)] + [
+        ("b", i, float(100 - i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "x"])
+    keys, ms = ["k"], ["x"]
+    base = IC.partial_aggregate(df.filter("seq < 10"), keys, ms)
+    delta = IC.partial_aggregate(df.filter("seq >= 10"), keys, ms)
+    merged = {
+        r["k"]: r for r in IC.merge_aggregates(base, delta, keys, ms).collect()
+    }
+    full = {r["k"]: r for r in IC.partial_aggregate(df, keys, ms).collect()}
+    assert set(merged) == set(full)
+    for k in full:
+        assert merged[k]["state_cnt"] == full[k]["state_cnt"]
+        assert merged[k]["x_min"] == full[k]["x_min"]
+        assert merged[k]["x_max"] == full[k]["x_max"]
+        assert abs(merged[k]["x_sum"] - full[k]["x_sum"]) < 1e-9
+    # groups only in delta must appear (new key arrives mid-stream)
+    df2 = spark.createDataFrame([("c", 0, 7.0)], ["k", "seq", "x"])
+    with_new = IC.merge_aggregates(
+        base, IC.partial_aggregate(df2, keys, ms), keys, ms
+    ).collect()
+    assert {"a", "b", "c"} >= {r["k"] for r in with_new}
+    assert [r for r in with_new if r["k"] == "c"][0]["x_sum"] == 7.0
+
+
+def test_incremental_agg_state_schema_drift_raises(spark):
+    from ingestao_dados_poli_spark.operators import incremental as IC
+
+    df = spark.createDataFrame([("a", 1.0)], ["k", "x"])
+    good = IC.partial_aggregate(df, ["k"], ["x"])
+    bad = good.drop("x_max")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        IC.merge_aggregates(good, bad, ["k"], ["x"]).collect()
+
+
+def test_incremental_agg_finalize_avg(spark):
+    from ingestao_dados_poli_spark.operators import incremental as IC
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["k", "x"])
+    out = IC.finalize(IC.partial_aggregate(df, ["k"], ["x"]), ["x"]).collect()[0]
+    assert out["n"] == 2 and out["x_avg"] == 1.5
