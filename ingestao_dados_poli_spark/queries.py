@@ -5744,3 +5744,43 @@ def q138_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice_max", 2).alias("o_totalprice_max"),
         F.col("o_totalprice_avg"),
     )
+
+
+# --------------------- 81. k-anonymity / l-diversity privacy audit
+
+@q(
+    "q139_k_anonymity",
+    """
+    SELECT c_mktsegment, c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                AS BIGINT) AS l_div,
+           count(*) >= 10 AS satisfies_k
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def q139_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical re-identification audit (`operators/privacy.py`):
+    k-anonymity + l-diversity per quasi-identifier group over customer
+    (QI = segment x nation, sensitive = banded account balance). One
+    map-side-combined shuffle; the companion suppress_below_k drops
+    whole violating groups (k-anonymous by construction — proven in
+    test_privacy). Complements q53's literal PII scrub: scrubbing
+    removes identifiers, this measures the JOIN-attack surface of what
+    remains — the check a training-data release gate runs."""
+    from ingestao_dados_poli_spark.operators import privacy as PV
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "acct_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    rep = PV.k_anonymity_report(
+        cust, ["c_mktsegment", "c_nationkey"], k=10, sensitive_col="acct_band"
+    )
+    return rep.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.col("n").cast("long").alias("n"),
+        F.col("l_div").cast("long").alias("l_div"),
+        "satisfies_k",
+    )
