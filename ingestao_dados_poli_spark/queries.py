@@ -5784,3 +5784,105 @@ def q139_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_div").cast("long").alias("l_div"),
         "satisfies_k",
     )
+
+
+# ----------------------- 82. Python UDTF (lateral row generator)
+
+@q(
+    "q140_udtf_windows",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id, CAST(g.i AS BIGINT) AS win_idx,
+           array_to_string(
+               list_slice(toks, g.i * 3 + 1, g.i * 3 + 5), ' '
+           ) AS window_text,
+           5 AS n_words
+    FROM t, unnest(generate_series(0, CAST(floor((n - 5) / 3.0) AS BIGINT)))
+            AS g(i)
+    WHERE n >= 5
+    """,
+)
+def q140_udtf_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Python UDTF via SQL LATERAL
+    (`functions/udtfs.py:SlidingWindows`): overlapping 5-word windows
+    every 3 words over documents — the chunk-for-embedding primitive
+    where adjacent chunks share context. Exercises the engine's
+    row-generator extension point end-to-end (typed struct output,
+    Arrow transfer, LATERAL correlation) on a generator simple enough
+    for a full DuckDB value oracle; stateful parsers swap the eval
+    body, not the wiring. The UDTF is the contained slow path: one
+    Python worker pass over the doc partition, no shuffle at all."""
+    from ingestao_dados_poli_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("q140_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.win_idx, w.window_text, w.n_words
+        FROM q140_docs d, LATERAL sliding_windows(d.text, 5, 3) w
+        """
+    )
+
+
+# ------------- 83. disjunctive multi-side predicate join (TPC-H Q19 shape)
+
+@q(
+    "q141_disjunctive_join",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q141_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's optimizer stress: an OR-of-ANDs predicate that mixes
+    columns from BOTH join sides. Expressed declaratively — no manual
+    split into three unioned joins — because Catalyst's CNF conversion
+    derives the per-side implications itself: the part scan receives
+    In(p_brand, [12,23,34]) + the p_size bound, the lineitem scan the
+    l_quantity envelope [1,30], BEFORE the join (locked by
+    test_plans.test_q141_disjunction_pushes_both_sides). At 100 TB the
+    derived lineitem bound is the whole game: without it every line
+    row joins first and filters after. Dim side broadcasts; the resid-
+    ual disjunction evaluates post-join inside codegen. Brand#34 keeps
+    a deliberately-empty branch honest (exists in data domains, may
+    match zero rows at small SF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -224,3 +224,20 @@ def test_q138_incremental_never_rescans_base(spark, sf_dir):
     scan = plan.split("orders.parquet")[1]
     assert "GreaterThanOrEqual(o_orderdate" in scan.split("ReadSchema")[0]
     assert "q138_mv" in plan  # state snapshot is the other scan
+
+
+def test_q141_disjunction_pushes_both_sides(spark, sf_dir):
+    """Q19-shape contract: the cross-side OR-of-ANDs must yield
+    per-side derived predicates pushed into BOTH parquet scans before
+    the join — the lineitem quantity envelope is the scan-cost game at
+    scale."""
+    plan = _plan(Q.QUERIES["q141_disjunctive_join"](spark, sf_dir))
+    li_pushed = plan.split("lineitem.parquet")[1].split("PushedFilters:")[1]
+    li_pushed = li_pushed.splitlines()[0]
+    assert "GreaterThanOrEqual(l_quantity,1" in li_pushed and "Or(" in li_pushed
+    part_pushed = plan.split("part.parquet")[1].split("PushedFilters:")[1]
+    part_pushed = part_pushed.splitlines()[0]
+    assert "p_brand" in part_pushed and "GreaterThanOrEqual(p_size,1" in part_pushed
+    # residual disjunction evaluates as the join condition, no post-join
+    # Filter node re-reading both sides
+    assert "BroadcastHashJoin" in plan

@@ -103,3 +103,37 @@ def test_local_artifacts_cover_registry():
     b = json.loads(bpath.read_text())
     assert set(b["queries"]) == set(Q.QUERIES), "stale BENCH_local.json"
     assert b.get("errors", []) == [], b["errors"]
+
+
+def test_udtf_sliding_windows_edges(spark):
+    from ingestao_dados_poli_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b"), (3, None)], ["id", "text"]
+    )
+    df.createOrReplaceTempView("udtf_edge")
+    out = spark.sql(
+        """SELECT id, w.win_idx, w.window_text
+           FROM udtf_edge t, LATERAL sliding_windows(t.text, 3, 2) w"""
+    ).collect()
+    got = {(r["id"], r["win_idx"]): r["window_text"] for r in out}
+    # doc 1 (7 words, width 3, stride 2): starts 0,2,4 -> 3 full windows
+    assert got[(1, 0)] == "a b c"
+    assert got[(1, 1)] == "c d e"
+    assert got[(1, 2)] == "e f g"
+    # doc 2 shorter than width and doc 3 null: zero rows
+    assert {k[0] for k in got} == {1}
+
+
+def test_udtf_plan_is_shuffle_free(spark, sf_dir):
+    from ingestao_dados_poli_spark import queries as Q
+
+    plan = (
+        Q.QUERIES["q140_udtf_windows"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPythonUDTF" in plan or "PythonUDTF" in plan
