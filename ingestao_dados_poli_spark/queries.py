@@ -5886,3 +5886,75 @@ def q141_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# ---------------- 84. int8-quantized embedding top-k (compressed ANN)
+
+@q(
+    "q142_quantized_topk",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         qz AS (
+           SELECT vec_id,
+                  list_transform(
+                    v,
+                    x -> CASE
+                           WHEN list_max(list_transform(v, y -> abs(y))) = 0
+                           THEN 0
+                           ELSE CAST(floor(
+                             x / (list_max(list_transform(v, y -> abs(y)))
+                                  / 127.0) + 0.5) AS BIGINT)
+                         END) AS q
+           FROM base),
+         qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 3),
+         scored AS (
+           SELECT qs.query_id, c.vec_id,
+                  round(
+                    list_inner_product(c.q, qs.qq)
+                    / (sqrt(list_inner_product(c.q, c.q))
+                       * sqrt(list_inner_product(qs.qq, qs.qq))), 6
+                  ) AS qcos_sim
+           FROM qz c CROSS JOIN qs)
+    SELECT query_id, vec_id, CAST(qcos_sim AS DOUBLE) AS qcos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qcos_sim DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q142_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN (`functions/vectors.py:quantize_int8`):
+    symmetric per-vector int8 codes (4x smaller than float32 — 4x less
+    scan/shuffle/broadcast at 100 TB), cosine computed DIRECTLY on the
+    codes with exact long accumulation (the per-vector scale cancels in
+    the ratio, so no dequantization pass exists at all). Same
+    plan shape as the exact baseline q26: quantized queries broadcast,
+    corpus never shuffles, rank by 6-dp-rounded score + id tie-break.
+    Fully value-oracled — quantization uses floor-based round-half-up,
+    which DuckDB reproduces bit-for-bit; recall vs the exact baseline
+    is measured in test_similarity_multimodal."""
+    from ingestao_dados_poli_spark.functions.vectors import (
+        int8_cosine,
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(int8_cosine("q", "qq"), 6).alias("qcos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

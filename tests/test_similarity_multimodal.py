@@ -436,3 +436,70 @@ def test_topk_bruteforce_zero_vector_excluded(spark):
     got = [r.vec_id for r in SIM.topk_bruteforce(corpus, queries, k=2).collect()]
     assert 0 not in got
     assert set(got) == {1, 2}
+
+
+def test_int8_quantization_bounds_and_accuracy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ingestao_dados_poli_spark.functions.vectors import (
+        cosine,
+        int8_cosine,
+        quantize_int8,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("v", F.col("embedding").cast("array<double>"))
+        .limit(50)
+    )
+    a = emb.select(
+        "vec_id", "v", quantize_int8("v").alias("q")
+    )
+    # codes bounded and extremal: max |q| == 127 for any nonzero vector
+    stats = a.select(
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("mx")
+    ).collect()
+    assert all(r["mx"] == 127 for r in stats)
+    # quantized cosine tracks exact cosine within quantization noise
+    b = a.selectExpr("vec_id as vid2", "v as v2", "q as q2")
+    pairs = a.crossJoin(b).filter(F.col("vec_id") < F.col("vid2")).select(
+        cosine("v", "v2").alias("exact"),
+        int8_cosine("q", "q2").alias("approx"),
+    )
+    err = pairs.agg(
+        F.max(F.abs(F.col("exact") - F.col("approx"))).alias("e")
+    ).collect()[0]["e"]
+    assert err < 0.02
+
+
+def test_int8_cosine_zero_vector_is_null_not_error(spark):
+    from pyspark.sql import functions as F
+
+    from ingestao_dados_poli_spark.functions.vectors import (
+        int8_cosine,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0, 0.0], [1.0, 2.0, 2.0])], ["a", "b"]
+    )
+    out = df.select(
+        int8_cosine(quantize_int8("a"), quantize_int8("b")).alias("c")
+    ).collect()[0]
+    assert out["c"] is None
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    from ingestao_dados_poli_spark import queries as Q
+
+    exact = Q.QUERIES["q26_embedding_topk"](spark, sf_dir).collect()
+    quant = Q.QUERIES["q142_quantized_topk"](spark, sf_dir).collect()
+    by_q_exact: dict[int, set] = {}
+    by_q_quant: dict[int, set] = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in quant:
+        by_q_quant.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # int8 noise may swap near-ties at the tail; demand recall@5 >= 4/5
+    for qid, ids in by_q_exact.items():
+        assert len(ids & by_q_quant[qid]) >= 4, (qid, ids, by_q_quant[qid])
