@@ -5958,3 +5958,115 @@ def q142_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+# ------------- 85. file-level min/max stats skipping (manifest pruning)
+
+@q(
+    "q144_stats_pruned_scan",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-02-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q144_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-style data skipping (`sources/stats.py`): cluster
+    lineitem by ship date (repartitionByRange + sortWithinPartitions —
+    the write-time layout), harvest per-FILE min/max from parquet
+    footers via pyarrow (metadata-only, zero rows scanned), then answer
+    a one-month query by handing Spark ONLY the overlapping files —
+    the Delta/Iceberg pruning move that turns 20 000 scheduled scan
+    tasks into 20 at 100 TB; Spark's own row-group pruning then works
+    WITHIN the chosen files. File pruning is a superset guarantee, so
+    the exact row predicate still applies and the result is
+    value-identical to the full scan (the oracle). Pruning
+    effectiveness (files_read < files_total) is locked in
+    test_sources.test_stats_pruning_skips_files."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.sources import stats as ST
+
+    base = f"/tmp/q144_cluster_{_os.getpid()}"
+    clustered = base + "/lineitem"
+    if not _os.path.exists(clustered):
+        _shutil.rmtree(base, ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem")
+        (
+            li.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(clustered)
+        )
+    stats = ST.collect_file_stats(spark, clustered, ["l_shipdate"])
+    # footer stats stringify DATE as 'YYYY-MM-DD HH:MM:SS'; normalize
+    # the bounds to the same precision so ISO prefix-compare is exact
+    df, _read, _total = ST.pruned_read(
+        spark, stats, "l_shipdate",
+        "1997-01-01 00:00:00", "1997-01-31 23:59:59",
+    )
+    return (
+        df.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-02-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------- 86. order-insensitive table fingerprint (anti-entropy)
+
+@q(
+    "q143_table_fingerprint",
+    """
+    WITH h AS (
+      SELECT o_orderpriority,
+             CAST(('0x' || substr(md5(concat_ws(chr(31),
+                 coalesce(CAST(o_orderkey AS VARCHAR),
+                          chr(0) || 'null' || chr(0)),
+                 coalesce(o_orderpriority, chr(0) || 'null' || chr(0)),
+                 coalesce(CAST(o_orderdate AS VARCHAR),
+                          chr(0) || 'null' || chr(0)),
+                 coalesce(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+                               AS VARCHAR),
+                          chr(0) || 'null' || chr(0))
+             )), 1, 15)) AS BIGINT) AS hh
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(hh) AS xor_fp,
+           CAST(sum(CAST(hh AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+               AS sum_fp
+    FROM h GROUP BY o_orderpriority
+    """,
+)
+def q143_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy digest (`operators/audit.py`): per-priority
+    (count, bit_xor, modular-sum) fingerprints of orders — the
+    replica-verification exchange that compares 100 TB copies by
+    sending O(groups) hashes instead of rows, with xor catching any
+    single-row drift and the modular sum catching the duplicate-pair
+    cancellation xor misses. THE cross-engine subtlety is row
+    canonicalization: doubles are rounded + cast to DECIMAL before
+    hashing because double→string formatting is engine-specific —
+    exactly the discipline a real cross-system migration check needs,
+    and the oracle proves DuckDB derives the IDENTICAL 60-bit hashes
+    from the same canonical strings."""
+    from ingestao_dados_poli_spark.operators import audit as AU
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = [
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        F.col("o_orderdate"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)"),
+    ]
+    return AU.table_fingerprint(orders, cols, group_by=["o_orderpriority"])

@@ -245,3 +245,59 @@ def test_events_ts_normalizes_both_vintages(spark):
     assert got_ntz == want
     # already-normalized input passes through unchanged
     assert Q._events_ts(Q._events_ts(ntz)).schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_stats_collect_is_metadata_only_and_correct(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ingestao_dados_poli_spark.sources import stats as ST
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "li")
+    li.repartitionByRange(4, "l_shipdate").sortWithinPartitions(
+        "l_shipdate"
+    ).write.parquet(path)
+    st = ST.collect_file_stats(spark, path, ["l_shipdate"])
+    rows = st.collect()
+    assert len(rows) == 4  # one row per file for the one column
+    # footer stats must agree with a real scan's global min/max
+    true_mn, true_mx = li.agg(
+        F.min("l_shipdate"), F.max("l_shipdate")
+    ).collect()[0]
+    mins = [r["min_val"] for r in rows]
+    maxs = [r["max_val"] for r in rows]
+    assert min(mins).startswith(str(true_mn))
+    assert max(maxs).startswith(str(true_mx))
+    # row counts add up
+    assert sum(r["num_rows"] for r in rows) == li.count()
+
+
+def test_stats_pruning_skips_files(spark, sf_dir):
+    import os
+
+    from ingestao_dados_poli_spark import queries as Q
+    from ingestao_dados_poli_spark.sources import stats as ST
+
+    # q144 builds the clustered copy as a side effect
+    Q.QUERIES["q144_stats_pruned_scan"](spark, sf_dir).collect()
+    clustered = f"/tmp/q144_cluster_{os.getpid()}/lineitem"
+    stats = ST.collect_file_stats(spark, clustered, ["l_shipdate"])
+    files, total = ST.prune_files(
+        stats, "l_shipdate", "1997-01-01 00:00:00", "1997-01-31 23:59:59"
+    )
+    assert total == 8
+    # one month of ~83 spans at most 2 range files (3 with boundary luck)
+    assert 1 <= len(files) <= 3
+    # pruning keeps files whose stats are NULL (never drops unprovable)
+    from pyspark.sql import functions as F
+
+    crippled = stats.withColumn("min_val", F.lit(None).cast("string"))
+    kept_all, _ = ST.prune_files(
+        crippled, "l_shipdate", "2099-01-01", "2099-12-31"
+    )
+    assert len(kept_all) == 8
+    # an out-of-range window over real stats matches nothing -> raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ST.pruned_read(spark, stats, "l_shipdate", "2099-01-01", "2099-12-31")
