@@ -6070,3 +6070,62 @@ def q143_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).cast("decimal(18,2)"),
     ]
     return AU.table_fingerprint(orders, cols, group_by=["o_orderpriority"])
+
+
+# ------------- 87. correlated EXISTS / NOT EXISTS (TPC-H Q21 shape)
+
+@q(
+    "q145_sole_blame_supplier",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q145_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's join topology on the testdata schema: per returned
+    ('R') line, a correlated EXISTS (the order had OTHER suppliers) and
+    NOT EXISTS (none of the others was also 'R') — the sole-blame
+    supplier count. Declared as a left_semi + left_anti join pair with
+    a COMPOUND condition (equi on l_orderkey + non-equi suppkey guard):
+    Catalyst keeps both as hash/sort-merge joins keyed on the equi part
+    — never a BNLJ — and the 10-row supplier dim broadcasts. The anti
+    side pre-filters to 'R' lines before joining, so the heavy stream
+    is scanned once per exists-branch with the filter pushed to
+    parquet. Oracled against DuckDB's native correlated subqueries —
+    same semantics through a completely different decorrelation path."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    has_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_r = has_other.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_r.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
