@@ -6129,3 +6129,115 @@ def q145_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+# ---------------- 88. Z-order two-dimensional file skipping
+
+@q(
+    "q146_zorder_skipping",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 45
+    GROUP BY l_returnflag
+    """,
+)
+def q146_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional skipping: lineitem rewritten Z-order-clustered
+    on (ship-day, quantity) (`sources/writers.py:write_clustered` —
+    Morton interleave, ONE range shuffle), then a quantity-only query
+    reads through `sources/stats.py` footer pruning. 1-D range
+    clustering (q144) skips on ITS column only; the Z-layout keeps
+    both dimensions' footer ranges tight, so EITHER predicate prunes
+    files (both directions asserted in
+    test_sources.test_zorder_prunes_both_dimensions). File pruning
+    stays a superset guarantee — the exact predicate reapplies, and
+    the result is value-identical to a full scan (the oracle)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.sources import stats as ST
+    from ingestao_dados_poli_spark.sources.writers import write_clustered
+
+    base = f"/tmp/q146_z_{_os.getpid()}"
+    clustered = base + "/lineitem"
+    if not _os.path.exists(clustered):
+        _shutil.rmtree(base, ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem").withColumn(
+            "_days", F.datediff(F.col("l_shipdate"), F.lit("1995-01-01"))
+        )
+        write_clustered(li, clustered, ["_days", "l_quantity"], num_files=8)
+    stats = ST.collect_file_stats(spark, clustered, ["l_quantity"])
+    df, _read, _total = ST.pruned_read(
+        spark, stats, "l_quantity", "45", "50", numeric=True
+    )
+    return (
+        df.filter(F.col("l_quantity") >= 45)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------- 89. lakehouse OPTIMIZE, losslessness fingerprint-proven
+
+@q(
+    "q147_optimize_lossless",
+    """
+    WITH h AS (
+      SELECT o_orderpriority,
+             CAST(('0x' || substr(md5(concat_ws(chr(31),
+                 coalesce(CAST(o_orderkey AS VARCHAR),
+                          chr(0) || 'null' || chr(0)),
+                 coalesce(o_orderpriority, chr(0) || 'null' || chr(0)),
+                 coalesce(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+                               AS VARCHAR),
+                          chr(0) || 'null' || chr(0))
+             )), 1, 15)) AS BIGINT) AS hh
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(hh) AS xor_fp,
+           CAST(sum(CAST(hh AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+               AS sum_fp
+    FROM h GROUP BY o_orderpriority
+    """,
+)
+def q147_optimize_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance op end-to-end (`sources/writers.py:optimize_table`):
+    shatter orders into 64 tiny files (the streaming-sink reality),
+    OPTIMIZE into a compacted Z-clustered copy, and return the
+    per-priority anti-entropy digest (`operators/audit.py`) OF THE
+    OPTIMIZED COPY. The oracle computes the digest from the raw orders
+    table in DuckDB — equality proves the rewrite lost and invented
+    nothing, cross-engine, which is the invariant every compaction job
+    must ship with. File-count reduction is asserted in
+    test_sources.test_optimize_compacts_and_clusters."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.operators import audit as AU
+    from ingestao_dados_poli_spark.sources.writers import optimize_table
+
+    base = f"/tmp/q147_opt_{_os.getpid()}"
+    src, dst = base + "/src", base + "/opt"
+    if not _os.path.exists(dst):
+        _shutil.rmtree(base, ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        orders.repartition(64).write.mode("overwrite").parquet(src)
+        optimize_table(
+            spark, src, dst, ["o_orderkey"], target_file_bytes=1 << 20
+        )
+    opt = spark.read.parquet(dst)
+    cols = [
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)"),
+    ]
+    return AU.table_fingerprint(opt, cols, group_by=["o_orderpriority"])

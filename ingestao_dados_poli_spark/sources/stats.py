@@ -91,24 +91,34 @@ def collect_file_stats(
 
 
 def prune_files(
-    stats: DataFrame, col: str, lo: str, hi: str
+    stats: DataFrame,
+    col: str,
+    lo: str,
+    hi: str,
+    numeric: bool = False,
 ) -> tuple[list[str], int]:
-    """Files whose [min,max] range for ``col`` overlaps [lo, hi]
-    (string comparison — valid for ISO dates/timestamps and
-    zero-padded keys; numeric columns need a typed stats table).
-    Files with no stats for ``col`` are KEPT (pruning must never drop
-    a file it cannot prove empty). Returns (files_to_read,
-    total_files) — driver-side, manifest-scale.
+    """Files whose [min,max] range for ``col`` overlaps [lo, hi].
+    Default comparison is lexicographic — valid for ISO
+    dates/timestamps and zero-padded keys, where the caller must pass
+    bounds at the SAME textual precision the stats carry (e.g.
+    '1997-01-31 23:59:59' against 'YYYY-MM-DD HH:MM:SS' stats).
+    ``numeric=True`` re-casts both sides to float for number columns
+    (where '9.0' > '10.0' lexicographically). Files with no stats for
+    ``col`` are KEPT (pruning must never drop a file it cannot prove
+    empty). Returns (files_to_read, total_files) — driver-side,
+    manifest-scale.
     """
     rows = stats.filter(stats.col == col).select(
         "file", "min_val", "max_val"
     ).collect()
+    conv = float if numeric else str
+    lo_c, hi_c = conv(lo), conv(hi)
     keep = [
         r["file"]
         for r in rows
         if r["min_val"] is None
         or r["max_val"] is None
-        or (r["max_val"] >= lo and r["min_val"] <= hi)
+        or (conv(r["max_val"]) >= lo_c and conv(r["min_val"]) <= hi_c)
     ]
     return sorted(keep), len(rows)
 
@@ -119,11 +129,12 @@ def pruned_read(
     col: str,
     lo: str,
     hi: str,
+    numeric: bool = False,
 ) -> tuple[DataFrame, int, int]:
     """Read only the overlapping files. Returns (df, files_read,
     files_total). The caller still applies the row-level predicate —
     file pruning is a superset guarantee, not a filter."""
-    files, total = prune_files(stats, col, lo, hi)
+    files, total = prune_files(stats, col, lo, hi, numeric=numeric)
     if not files:
         raise ValueError(
             f"no file overlaps [{lo}, {hi}] on {col} — empty result; "

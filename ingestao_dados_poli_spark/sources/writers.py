@@ -163,3 +163,51 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def optimize_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    cluster_cols: list[str],
+    bits: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Lakehouse OPTIMIZE: rewrite a parquet directory compacted to
+    ~``target_file_bytes`` files AND Z-order-clustered on
+    ``cluster_cols`` in one pass — small-file compaction
+    (`compact_parquet_dir`) and clustering (`write_clustered`) are the
+    same shuffle, so doing them together halves the rewrite cost. The
+    result is the layout the scan-side levers need: big files amortize
+    open/footer overhead, clustering makes footer min/max stats tight
+    so `sources/stats.py` file pruning and row-group skipping bite.
+
+    OPTIMIZE must be LOSSLESS — same rows, any order. Verify with
+    `operators/audit.table_fingerprint` on src vs dst (q147 does, per
+    group, cross-engine). Returns {files_before, files_after, bytes}.
+
+    Rewrites to a NEW directory: at scale the swap is a table-pointer
+    commit (versioned.publish of dst), never an in-place mutation.
+    """
+    sizes = FS.file_sizes(spark, src_path, suffix=".parquet")
+    total = sum(s for _, s in sizes)
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if len(cluster_cols) == 1:
+        # one dimension: plain range clustering IS the optimal layout
+        # (tightest possible per-file min/max); Morton needs >= 2 dims
+        c = cluster_cols[0]
+        (
+            df.repartitionByRange(n, c)
+            .sortWithinPartitions(c)
+            .write.mode("overwrite")
+            .parquet(dst_path)
+        )
+    else:
+        write_clustered(df, dst_path, cluster_cols, bits=bits, num_files=n)
+    after = FS.file_sizes(spark, dst_path, suffix=".parquet")
+    return {
+        "files_before": len(sizes),
+        "files_after": len(after),
+        "bytes": total,
+    }

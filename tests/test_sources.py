@@ -301,3 +301,41 @@ def test_stats_pruning_skips_files(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         ST.pruned_read(spark, stats, "l_shipdate", "2099-01-01", "2099-12-31")
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir):
+    import os
+
+    from ingestao_dados_poli_spark import queries as Q
+    from ingestao_dados_poli_spark.sources import stats as ST
+
+    Q.QUERIES["q146_zorder_skipping"](spark, sf_dir).collect()
+    clustered = f"/tmp/q146_z_{os.getpid()}/lineitem"
+    stats = ST.collect_file_stats(
+        spark, clustered, ["l_quantity", "l_shipdate"]
+    )
+    q_files, q_total = ST.prune_files(
+        stats, "l_quantity", "45", "50", numeric=True
+    )
+    d_files, d_total = ST.prune_files(
+        stats, "l_shipdate", "1995-01-01 00:00:00", "1995-06-30 23:59:59"
+    )
+    assert q_total == 8 and d_total == 8
+    # the Z layout must let BOTH single-column predicates skip files —
+    # the property 1-D range clustering cannot provide
+    assert len(q_files) < 8, "quantity predicate pruned nothing"
+    assert len(d_files) < 8, "ship-date predicate pruned nothing"
+
+
+def test_optimize_compacts_and_clusters(spark, sf_dir):
+    import os
+
+    from ingestao_dados_poli_spark import queries as Q
+    from ingestao_dados_poli_spark.sources import fs as FS
+
+    Q.QUERIES["q147_optimize_lossless"](spark, sf_dir).collect()
+    base = f"/tmp/q147_opt_{os.getpid()}"
+    before = FS.file_sizes(spark, base + "/src", suffix=".parquet")
+    after = FS.file_sizes(spark, base + "/opt", suffix=".parquet")
+    assert len(before) == 64
+    assert len(after) < 8
