@@ -563,13 +563,44 @@ def ivf_topk(
     go to the lowest centroid index, equal cosine to the lowest
     corpus id. ``score_round`` rounds the final cosine (engine parity).
     """
-    import math
-
-    from ingestao_dados_poli_spark.functions.vectors import dot, norm
-
     assigned = nearest_centroid(
         corpus, centroids, vec_col=corpus_vec, score_round=score_round
     ).select(corpus_id, corpus_vec, "centroid_id")
+    return ivf_topk_assigned(
+        assigned,
+        queries,
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        query_id=query_id,
+        query_vec=query_vec,
+        score_round=score_round,
+    )
+
+
+def ivf_topk_assigned(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    score_round: int | None = None,
+) -> DataFrame:
+    """`ivf_topk` over a corpus whose ``centroid_id`` is ALREADY
+    materialized — the search path of a persisted index
+    (`ivf_index_ingest`/`ivf_index_read`): assignment cost was paid
+    once at ingest, and when the index is stored partitioned by
+    centroid_id the probe join prunes partitions instead of scanning
+    the corpus."""
+    import math
+
+    from ingestao_dados_poli_spark.functions.vectors import dot, norm
 
     # Per-query probe list: struct(-score, centroid_id) sorts ascending =
     # best-score-first with lowest-index tie-break; slice the top nprobe.
@@ -670,4 +701,89 @@ def l2_normalize_arrow(
 
     return df.select(id_col, vec_col).mapInArrow(
         batches, f"{id_col} long, norm double, unit array<double>"
+    )
+
+
+def ivf_index_ingest(
+    spark,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_round: int | None = None,
+) -> int:
+    """One ingest step of a persisted IVF index: assign the batch to
+    the FIXED codebook scan-side and publish (id, vector, centroid_id)
+    as the index's next DELTA snapshot, hive-partitioned by
+    centroid_id. Per-ingest cost is |batch| — existing index files are
+    never rewritten, and no re-clustering happens (the codebook is the
+    index's stable contract; re-train → new index path). Same
+    delta-store lifecycle as the dedup fingerprint store
+    (`operators/dedup.py:dedup_ingest_batch`), with the same atomic
+    commit + idempotent re-ingest semantics."""
+    from ingestao_dados_poli_spark.sources import versioned
+
+    assigned = nearest_centroid(
+        batch, centroids, vec_col=vec_col, score_round=score_round
+    ).select(id_col, vec_col, "centroid_id")
+    return versioned.publish(
+        spark, assigned, index_path, partition_by=["centroid_id"]
+    )
+
+
+def ivf_index_read(
+    spark,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Union of every committed index delta — the full assigned corpus.
+    One multi-directory parquet scan; filters on centroid_id prune the
+    hive partition dirs of every delta."""
+    from functools import reduce
+
+    from ingestao_dados_poli_spark.sources import versioned
+
+    versions = versioned.committed_versions(spark, index_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed index under {index_path}")
+    # one read PER delta, each with its own basePath: a single
+    # multi-path read would try to unify partition discovery across
+    # version roots (v=N and centroid_id both look like partitions)
+    # and refuse. Union of scans stays one stage — no shuffle.
+    deltas = [
+        spark.read.option("basePath", f"{index_path}/v={v}")
+        .parquet(f"{index_path}/v={v}")
+        .select(id_col, vec_col, "centroid_id")
+        for v in versions
+    ]
+    return reduce(lambda a, b: a.unionByName(b), deltas)
+
+
+def ivf_index_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 1,
+    score_round: int | None = None,
+    **name_cols,
+) -> DataFrame:
+    """Search the persisted index: read committed deltas, probe the
+    nprobe nearest partitions per query, score only inside them.
+    Results are IDENTICAL to searching a freshly-built index over the
+    same vectors — assignment is a pure function of (vector, codebook),
+    so batch boundaries can't change any centroid_id (pinned in
+    test_similarity_ivf)."""
+    assigned = ivf_index_read(
+        spark,
+        index_path,
+        id_col=name_cols.get("corpus_id", "vec_id"),
+        vec_col=name_cols.get("corpus_vec", "embedding"),
+    )
+    return ivf_topk_assigned(
+        assigned, queries, centroids, k=k, nprobe=nprobe,
+        score_round=score_round, **name_cols,
     )

@@ -6241,3 +6241,192 @@ def q147_optimize_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).cast("decimal(18,2)"),
     ]
     return AU.table_fingerprint(opt, cols, group_by=["o_orderpriority"])
+
+
+# ------------- 90. persisted IVF index lifecycle (ingest -> search)
+
+@q(
+    "q148_ivf_index_lifecycle",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id IN (7, 42)),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6)
+                      AS cos_sim
+           FROM embeddings c CROSS JOIN q)
+    SELECT query_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 6
+    """,
+)
+def q148_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index maintenance (`operators/similarity.py:
+    ivf_index_ingest/read/search`): the corpus arrives in TWO batches,
+    each assigned to the FIXED codebook scan-side and published as an
+    atomic delta snapshot hive-partitioned by centroid_id — per-ingest
+    cost is |batch|, no re-clustering, no index rewrite (the codebook
+    is the index's stable contract). Search unions the committed
+    deltas and probes partitions; run here with nprobe == nlist so the
+    whole lifecycle — two ingests, delta union, probe join, top-k
+    merge — degrades exactly to brute force and value-checks against
+    the exact-cosine oracle. Batching-invariance (index built in 2
+    batches == built in 1) is pinned in test_similarity_ivf."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.operators.similarity import (
+        ivf_index_ingest,
+        ivf_index_search,
+    )
+
+    idx = f"/tmp/q148_ivf_{_os.getpid()}/index"
+    _shutil.rmtree(f"/tmp/q148_ivf_{_os.getpid()}", ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    ivf_index_ingest(
+        spark, emb.filter(F.col("vec_id") < 250), _CENTROIDS, idx,
+        score_round=6,
+    )
+    ivf_index_ingest(
+        spark, emb.filter(F.col("vec_id") >= 250), _CENTROIDS, idx,
+        score_round=6,
+    )
+    queries = emb.filter(F.col("vec_id").isin(7, 42)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_index_search(
+        spark, idx, queries, _CENTROIDS,
+        k=6, nprobe=len(_CENTROIDS), score_round=6,
+    )
+
+
+# ------------- 91. SCD2 point-in-time resolution via as-of join
+
+@q(
+    "q149_scd2_pit_join",
+    """
+    WITH dim0 AS (
+        SELECT o_custkey, o_orderdate AS valid_from,
+               arg_max(o_orderstatus, o_orderkey) AS status
+        FROM orders WHERE o_custkey < 200
+        GROUP BY o_custkey, o_orderdate),
+    dim AS (
+        SELECT o_custkey, valid_from, status,
+               lead(valid_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY valid_from) AS valid_to
+        FROM dim0),
+    fact AS (
+        SELECT o.o_custkey, l.l_shipdate, l.l_quantity
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey < 200),
+    resolved AS (
+        SELECT f.l_quantity, d.status
+        FROM fact f LEFT JOIN dim d
+          ON f.o_custkey = d.o_custkey
+         AND f.l_shipdate >= d.valid_from
+         AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to))
+    SELECT coalesce(status, 'none') AS status,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM resolved GROUP BY coalesce(status, 'none')
+    """,
+)
+def q149_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension resolution — the READ side of SCD2
+    (q69 is the build side): each shipment line resolves the customer
+    status version valid at its ship date. Expressed as
+    `relational.asof_join` (union + per-key window carry-forward, ONE
+    shuffle on the key) instead of the textbook BETWEEN range join the
+    oracle uses — the formulation that survives 100 TB, where a
+    version-interval join would shuffle fact rows against every
+    candidate version (and degrade to BNLJ without an equi bound).
+    Gap-free SCD2 intervals (valid_to = next valid_from) make backward
+    as-of and interval containment provably identical — which is
+    exactly what the cross-formulation oracle certifies."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    dim = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max_by("o_orderstatus", "o_orderkey").alias("status"))
+        .withColumnRenamed("o_orderdate", "valid_from")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    fact = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("o_custkey", "l_shipdate", "l_quantity")
+    resolved = R.asof_join(
+        fact,
+        dim,
+        key="o_custkey",
+        left_ts="l_shipdate",
+        right_ts="valid_from",
+        right_cols=["status"],
+        slim=True,
+    )
+    return (
+        resolved.groupBy(
+            F.coalesce(F.col("asof_status"), F.lit("none")).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+        )
+    )
+
+
+# ------------- 92. intentional schema evolution: pinned vs live reads
+
+@q(
+    "q150_schema_evolution",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_v1,
+           CAST(count(*) AS BIGINT) AS n_docs_live,
+           CAST(round(avg(n_chars / 100.0), 2) AS DOUBLE) AS avg_quality
+    FROM documents GROUP BY source
+    """,
+)
+def q150_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evolution contract of `sources/versioned.py`: v=1 publishes
+    documents' slim schema, v=2 adds a quality column — refused by the
+    drift gate until the caller states intent (allow_schema_change=
+    True), after which the NEW schema becomes the contract. A pinned
+    v=1 read still serves exactly the old columns (reproducibility for
+    the training run that shipped against it) while read_latest serves
+    the evolved schema; both reads must carry identical row
+    populations, which is what the per-source oracle certifies
+    (n_docs_v1 from the pinned read == n_docs_live from the live read
+    == the source table). The column-level assertions (pinned read has
+    no quality column; unstated drift still raises) live in
+    test_versioned."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    base = f"/tmp/q150_evo_{_os.getpid()}"
+    _shutil.rmtree(base, ignore_errors=True)
+    path = base + "/docs"
+    docs = _t(spark, sf_dir, "documents")
+    slim = docs.select("doc_id", "source", "n_chars")
+    V.publish(spark, slim, path)
+    evolved = slim.withColumn(
+        "quality", F.round(F.col("n_chars") / 100.0, 6)
+    )
+    V.publish(spark, evolved, path, allow_schema_change=True)
+    pinned = V.read_version(spark, path, 1)
+    live = V.read_latest(spark, path)
+    a = pinned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_v1")
+    )
+    b = live.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_live"),
+        F.round(F.avg("quality"), 2).alias("avg_quality"),
+    )
+    return a.join(b, "source")

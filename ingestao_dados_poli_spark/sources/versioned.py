@@ -121,6 +121,7 @@ def publish(
     df: DataFrame,
     path: str,
     allow_schema_change: bool = False,
+    partition_by: list[str] | None = None,
     **writer_options: str,
 ) -> int:
     """Write ``df`` as the next snapshot version and commit it with an
@@ -159,6 +160,11 @@ def publish(
     n = (existing[-1] if existing else 0) + 1
     vdir = f"{path}/v={n}"
     writer = df.write.mode("error")
+    if partition_by:
+        # hive-layout snapshot: readers of this version partition-prune
+        # (schema contract unaffected — parquet reads are by-name and
+        # the partition columns reappear on read)
+        writer = writer.partitionBy(*partition_by)
     for k, v in writer_options.items():
         writer = writer.option(k, v)
     writer.parquet(vdir)

@@ -149,3 +149,34 @@ def test_publish_gate_with_quality(spark, tmp_path):
     if report["certified"]:  # pragma: no cover - the red path is the test
         V.publish(spark, candidate, path)
     assert V.latest_version(spark, path) == 1
+
+
+def test_schema_evolution_pinned_vs_live_columns(spark, sf_dir, tmp_path):
+    """Evolution contract around q150: pinned v=1 keeps the old column
+    set; the live read serves the evolved one; drift without intent
+    still raises AFTER an intentional evolution (the NEW schema is the
+    contract now)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = str(tmp_path / "evo")
+    V.publish(spark, docs, path)
+    V.publish(
+        spark,
+        docs.withColumn("quality", F.lit(1.0)),
+        path,
+        allow_schema_change=True,
+    )
+    assert "quality" not in V.read_version(spark, path, 1).columns
+    assert "quality" in V.read_latest(spark, path).columns
+    # the evolved schema is now the contract: both the OLD shape and a
+    # fresh drift are refused without intent
+    with _pytest.raises(V.SchemaDriftError):
+        V.publish(spark, docs, path)
+    with _pytest.raises(V.SchemaDriftError):
+        V.publish(spark, docs.withColumn("other", F.lit(1)), path)
