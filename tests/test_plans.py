@@ -153,6 +153,7 @@ def test_plan_audit_artifact_clean():
         "q108_funnel",
         "q126_dormant_rich_customers",
         "q132_versioned_publish",  # 1-row agg x 1-row agg crossJoin
+        "q142_quantized_topk",  # same broadcast-query-set shape as q26
         "q26_embedding_topk",
         "q48_range_join",
         "q66_tfidf_top_terms",

@@ -190,6 +190,12 @@ def main() -> None:
             "jaccard": time_op(
                 lambda: DD.jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.5)
             ),
+            # span dedup reassembles EVERY doc, so cost is scan + 3
+            # map-side-combined shuffles — must scale ~linearly like
+            # whole-doc exact dedup, not with the duplicated-span count
+            "span_dedup": time_op(
+                lambda: CO.dedup_spans(docs, span_words=5)
+            ),
         }
         # hash-keyed vs string-keyed boilerplate detection, timing AND
         # shuffle bytes. Measured result (the reason hash_key is NOT
@@ -280,7 +286,7 @@ def main() -> None:
     ratio_n = big / small
     scaling = {
         op: round(results["big"][op] / max(results["small"][op], 0.01), 1)
-        for op in ("exact", "minhash", "minhash_hotbucket", "simhash", "jaccard", "boiler_hash", "boiler_str", "fuzzy", "embed_neardup", "interval_join")
+        for op in ("exact", "span_dedup", "minhash", "minhash_hotbucket", "simhash", "jaccard", "boiler_hash", "boiler_str", "fuzzy", "embed_neardup", "interval_join")
     }
     payload = {"results": results, "size_ratio": ratio_n, "time_ratio": scaling}
     out = os.path.join(
