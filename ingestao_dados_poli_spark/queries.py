@@ -6430,3 +6430,307 @@ def q150_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 2).alias("avg_quality"),
     )
     return a.join(b, "source")
+
+
+# ------------- 93. dynamic partition overwrite (surgical backfill)
+
+@q(
+    "q151_dynamic_partition_overwrite",
+    """
+    WITH t AS (SELECT CAST(min(ts) AS DATE) AS d FROM events),
+    adj AS (SELECT event_type,
+                   CASE WHEN CAST(ts AS DATE) = (SELECT d FROM t)
+                        THEN round(value * 2, 2) ELSE value END AS v
+            FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(v), 2) AS DOUBLE) AS sum_value
+    FROM adj GROUP BY event_type
+    """,
+)
+def q151_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The surgical-backfill primitive
+    (`sources/writers.py:overwrite_partitions_dynamic`): events land
+    day-partitioned, one day turns out wrong, the corrected day is
+    rewritten with partitionOverwriteMode=dynamic — ONLY that
+    partition's files change; every other day's files are untouched
+    (mtime-pinned in test_sources). Spark's default static overwrite
+    would truncate the whole table first — at 100 TB that is the
+    difference between rewriting one day and 3 649. The oracle
+    recomputes the expected post-correction table from the source:
+    doubled values on the corrected day, originals elsewhere. The
+    1-row min-day collect is driver-side CONFIG derivation (which day
+    to fix), not data movement."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.sources.writers import (
+        overwrite_partitions_dynamic,
+    )
+
+    base = f"/tmp/q151_dpo_{_os.getpid()}"
+    path = base + "/events"
+    _shutil.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    ev.write.partitionBy("day").parquet(path)
+    target = ev.agg(F.min("day")).collect()[0][0]
+    corrected = ev.filter(F.col("day") == F.lit(target)).withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    )
+    overwrite_partitions_dynamic(corrected, path, ["day"])
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ------------- 94. streaming native session windows (q104's stream twin)
+
+@q(
+    "q152_streaming_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+    SELECT user_id,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q152_streaming_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Built-in session_window run through the ACTUAL streaming engine
+    (readStream → availableNow → memory sink) — the streaming twin of
+    batch q104, completing the engine's sessionize matrix: lag+cumsum
+    SQL (q20), custom applyInPandasWithState (q46-family), batch
+    session_window (q104), and now MERGING session windows with
+    watermark state eviction on a real stream. Bounded single-batch
+    source + complete mode means the watermark drops nothing, so the
+    streaming result must hash-equal the batch oracle — the
+    batch/stream parity contract, again."""
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        session_window_counts,
+        state_partitions,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(_events_ts)
+    )
+    agg = session_window_counts(src, gap="30 minutes", watermark="10 minutes")
+    name = f"q152_sink_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="q152_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# ------------- 95. keep-best-duplicate dedup (quality-ranked survivor)
+
+@q(
+    "q153_dedup_keep_best",
+    """
+    WITH fp AS (
+        SELECT doc_id, source, n_chars,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY f ORDER BY source ASC, doc_id ASC) AS rn
+        FROM fp)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked WHERE rn = 1 GROUP BY source
+    """,
+)
+def q153_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup survivor selection: exact-duplicate groups
+    (normalized-text md5) keep the copy from the PREFERRED source
+    (lowest source id here; in production, a source-priority ranking —
+    the RefinedWeb 'keep the highest-quality duplicate' policy) rather
+    than an arbitrary or min-id row. One shuffle on the fingerprint
+    (`relational.dedup_keep_first` with an explicit priority order);
+    per-source survivor counts are the mixing-relevant output."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.withColumn(
+        "f",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ),
+    )
+    kept = R.dedup_keep_first(
+        fp, ["f"], [F.col("source").asc(), F.col("doc_id").asc()]
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+# ------------- 96. streaming materialized-view maintenance
+
+@q(
+    "q154_streaming_mv",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total,
+           CAST(round(min(value), 2) AS DOUBLE) AS value_min,
+           CAST(round(max(value), 2) AS DOUBLE) AS value_max
+    FROM events GROUP BY event_type
+    """,
+)
+def q154_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregate-state maintenance: the changelog streams in
+    4 real micro-batches (maxFilesPerTrigger=1) and foreachBatch folds
+    each batch's PARTIAL aggregate into a running state table via
+    `operators/incremental.py:merge_aggregates` — the aggregate twin
+    of q91's row-level streaming MERGE. Per batch the work is
+    O(|batch| + |state|); event history is NEVER re-aggregated, which
+    is the only viable shape for a 100 TB running dashboard. The final
+    state must equal the one-shot batch aggregate REGARDLESS of how
+    rows were batched (count/sum/min/max are associative+commutative)
+    — exactly what the oracle hash-checks."""
+    import tempfile
+
+    from ingestao_dados_poli_spark.operators import incremental as IC
+    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
+
+    keys, measures = ["event_type"], ["value"]
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q154_")
+    shard_dir = f"{work}/shards"
+    ev.repartition(4).write.mode("overwrite").parquet(shard_dir)
+
+    state: list[DataFrame] = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = IC.partial_aggregate(batch_df, keys, measures)
+        merged = (
+            IC.merge_aggregates(state[-1], delta, keys, measures)
+            if state
+            else delta
+        )
+        out = f"{work}/state_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        state.append(batch_df.sparkSession.read.parquet(out))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(shard_dir)
+    )
+    with state_partitions(spark, 8):
+        q_ = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    final = IC.finalize(state[-1], measures)
+    return final.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("value_sum", 2).alias("total"),
+        F.round("value_min", 2).alias("value_min"),
+        F.round("value_max", 2).alias("value_max"),
+    )
+
+
+# ------------- 97. cross-table reconciliation report
+
+@q(
+    "q155_order_reconciliation",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS li_net,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey),
+    classed AS (
+        SELECT o.o_orderkey,
+               CASE
+                 WHEN li.l_orderkey IS NULL THEN 'no_lines'
+                 WHEN abs(o.o_totalprice - li.li_net) <= 0.01 * o.o_totalprice
+                      THEN 'reconciled'
+                 ELSE 'mismatch'
+               END AS status
+        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_orders
+    FROM classed GROUP BY status
+    """,
+)
+def q155_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation — the referential CONTENT
+    check beyond q105's key-existence FK check: every order's header
+    total against the sum of its lines' net amounts, classified
+    reconciled / mismatch / no_lines with a relative tolerance. One
+    map-side-combined pre-aggregation of the fact side, then a join at
+    ORDER grain (never line grain) — the pre-agg-before-join ordering
+    that keeps the join input |orders|, not |lineitem|, at 100 TB. The
+    report is the per-status count a close-of-books gate consumes
+    (whatever the synthetic data's actual reconciliation rate, the
+    CLASSIFICATION is deterministic — that is what the oracle checks).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    li_net = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("li_net")
+    )
+    classed = orders.join(
+        li_net, orders.o_orderkey == li_net.l_orderkey, "left"
+    ).select(
+        F.when(F.col("l_orderkey").isNull(), "no_lines")
+        .when(
+            F.abs(F.col("o_totalprice") - F.col("li_net"))
+            <= 0.01 * F.col("o_totalprice"),
+            "reconciled",
+        )
+        .otherwise("mismatch")
+        .alias("status")
+    )
+    return classed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )

@@ -211,3 +211,29 @@ def optimize_table(
         "files_after": len(after),
         "bytes": total,
     }
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Partition-scoped overwrite (lakehouse 'replaceWhere'-light):
+    with partitionOverwriteMode=dynamic, an overwrite write replaces
+    ONLY the hive partitions present in ``df`` — untouched partitions'
+    files are never rewritten or deleted. The correction/backfill
+    primitive at 100 TB: re-deriving one bad day must not cost (or
+    risk) the other 3 649 days. Static mode (Spark's default) would
+    truncate the WHOLE table first — the conf is scoped to this write.
+    """
+    from ingestao_dados_poli_spark.session import scoped_conf
+
+    spark = df.sparkSession
+    with scoped_conf(
+        spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    ):
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )

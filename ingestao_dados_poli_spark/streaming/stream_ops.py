@@ -440,3 +440,34 @@ def running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization via the BUILT-IN merging session_window
+    (the declarative sibling of `sessionize`'s applyInPandasWithState):
+    dynamic-gap windows merge as events arrive, the watermark closes a
+    session once event time passes its end + gap, and closed sessions'
+    state is evicted — bounded state on an unbounded stream. Works
+    identically on batch DataFrames (q104) and streams (q152): the
+    batch/stream parity Structured Streaming promises."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -339,3 +339,26 @@ def test_optimize_compacts_and_clusters(spark, sf_dir):
     after = FS.file_sizes(spark, base + "/opt", suffix=".parquet")
     assert len(before) == 64
     assert len(after) < 8
+
+
+def test_dynamic_overwrite_touches_only_target_partition(spark, sf_dir):
+    import os
+    import glob
+
+    from ingestao_dados_poli_spark import queries as Q
+
+    Q.QUERIES["q151_dynamic_partition_overwrite"](spark, sf_dir).collect()
+    base = f"/tmp/q151_dpo_{os.getpid()}/events"
+    days = sorted(d for d in os.listdir(base) if d.startswith("day="))
+    assert len(days) > 2
+    target, others = days[0], days[1:]
+    t_new = max(
+        os.path.getmtime(p) for p in glob.glob(f"{base}/{target}/*.parquet")
+    )
+    o_old = max(
+        os.path.getmtime(p)
+        for d in others
+        for p in glob.glob(f"{base}/{d}/*.parquet")
+    )
+    # the corrected day was rewritten strictly after the untouched days
+    assert t_new > o_old
