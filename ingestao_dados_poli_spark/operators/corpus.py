@@ -493,3 +493,50 @@ def dedup_spans(
             .alias("n_removed"),
         )
     )
+
+
+def build_inverted_index(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Term -> document posting table: one row per DISTINCT (term, doc)
+    — the secondary-index structure that answers keyword lookups
+    without a corpus scan. In-row word dedup (array_distinct) before
+    the explode keeps the posting build's shuffle at distinct-pairs
+    size. At 100 TB the index is WRITTEN partitioned/bucketed by a
+    term hash so a lookup prunes to the probed terms' partitions; the
+    build is one scan + one map-side-combined shuffle, and the index
+    is incrementally maintainable exactly like the fingerprint store
+    (append per-batch postings as delta snapshots)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("term"),
+    )
+
+
+def lookup_all_terms(
+    index: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """AND-semantics keyword lookup over a posting table: documents
+    containing EVERY probe term. The probe list is a literal filter
+    (scan-side, partition-pruning when the index is term-partitioned);
+    the having-count trick turns k-way posting intersection into ONE
+    group-by — no k-1 chained joins, no skew from a hot term's long
+    posting list dominating a join side."""
+    if not terms:
+        raise ValueError("lookup_all_terms needs at least one term")
+    probe = [t for t in set(terms)]
+    hits = index.filter(F.col("term").isin(probe))
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(probe))
+        .select(id_col)
+    )

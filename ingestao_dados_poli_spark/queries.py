@@ -6734,3 +6734,283 @@ def q155_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classed.groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
+
+
+# ------------- 98. multi-format federation union (parquet + csv + jsonl)
+
+@q(
+    "q156_multi_format_union",
+    """
+    WITH h AS (
+      SELECT source, n_chars,
+             CAST(('0x' || substr(md5(concat_ws(chr(31),
+                 CAST(doc_id AS VARCHAR), text)), 1, 15)) AS BIGINT) AS hh
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(hh) AS text_fp
+    FROM h GROUP BY source
+    """,
+)
+def q156_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format federation: the same logical table arrives as parquet,
+    pipe-CSV, and JSONL shards (the landing reality the reference's
+    three CSV dialects hint at, 0a:26-52); each shard reads through
+    its typed reader (`sources/readers.py`), schema-aligns, unions,
+    and aggregates. Losslessness across serialization round-trips is
+    the point: the per-source digest includes an order-insensitive
+    (doc_id, text) fingerprint (`operators/audit.py`), so a CSV
+    quoting bug or JSON escaping difference flips the hash — the
+    oracle computes the digest from the parquet original."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.functions.cleaning import align_union
+    from ingestao_dados_poli_spark.operators import audit as AU
+    from ingestao_dados_poli_spark.sources.readers import read_csv, read_json
+
+    base = f"/tmp/q156_fmt_{_os.getpid()}"
+    docs = _t(spark, sf_dir, "documents")
+    if not _os.path.exists(base):
+        _shutil.rmtree(base, ignore_errors=True)
+        docs.filter(F.col("doc_id") % 3 == 1).write.option(
+            "header", "true"
+        ).option("sep", "|").mode("overwrite").csv(base + "/csv")
+        docs.filter(F.col("doc_id") % 3 == 2).write.mode("overwrite").json(
+            base + "/jsonl"
+        )
+    part0 = docs.filter(F.col("doc_id") % 3 == 0)
+    part1 = read_csv(
+        spark, base + "/csv", schema=docs.schema, sep="|"
+    ).drop("_corrupt_record")
+    part2 = read_json(spark, base + "/jsonl", schema=docs.schema).drop(
+        "_corrupt_record"
+    )
+    u = align_union([part0, part1, part2])
+    return (
+        u.withColumn("_h", AU.row_fingerprint(["doc_id", "text"]))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("bit_xor(_h)").alias("text_fp"),
+        )
+    )
+
+
+# ------------- 99. inverted index build + AND-semantics lookup
+
+@q(
+    "q157_inverted_index",
+    """
+    WITH posting AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    hits AS (
+        SELECT doc_id FROM posting WHERE term IN ('spark', 'join')
+        GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN hits USING (doc_id)
+    """,
+)
+def q157_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index keyword search
+    (`operators/corpus.py:build_inverted_index` / `lookup_all_terms`):
+    a distinct (term, doc) posting table answers 'docs containing ALL
+    of [spark, join]' via scan-side term filter + ONE having-count
+    group-by — no k-way posting joins, no skew from a hot term's long
+    posting list on a join side, no corpus text touched at query time.
+    At 100 TB the index lives term-hash-partitioned on disk (build =
+    one scan + one map-side-combined shuffle) and maintains
+    incrementally like the fingerprint store."""
+    from ingestao_dados_poli_spark.operators.corpus import (
+        build_inverted_index,
+        lookup_all_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs)
+    hits = lookup_all_terms(index, ["spark", "join"])
+    return hits.join(docs.select("doc_id", "source"), "doc_id")
+
+
+# ------------- 100. tokenize to vocabulary ids
+
+@q(
+    "q158_tokenize_ids",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+    vocab AS (
+        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS id
+        FROM tok GROUP BY w
+        ORDER BY count(*) DESC, w ASC LIMIT 10),
+    mapped AS (
+        SELECT t.doc_id, coalesce(v.id, 0) AS id
+        FROM tok t LEFT JOIN vocab v ON t.w = v.w)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           CAST(sum(id) AS BIGINT) AS ids_checksum
+    FROM mapped GROUP BY doc_id
+    """,
+)
+def q158_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize-to-ids step between corpus prep and sequence
+    packing: build a frequency-ranked vocabulary (top-10 here so the
+    unknown path is exercised; production vocabs just raise the
+    limit), broadcast it, and map every token to its id with unknowns
+    at 0. Two shuffles total — the vocab count and the per-doc
+    rollup; the token->id join is a broadcast of the (tiny by
+    definition) vocab, so the corpus never shuffles for the mapping.
+    Output is per-doc (n_tokens, n_unk, ids_checksum) — the checksum
+    form keeps the oracle order-insensitive."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("id", F.row_number().over(w_rank))
+        .filter(F.col("id") <= 10)
+        .select("w", "id")
+    )
+    mapped = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    )
+    return mapped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unk"),
+        F.sum("id").cast("long").alias("ids_checksum"),
+    )
+
+
+# ------------- 101. cogroup applyInPandas reconciliation
+
+@q(
+    "q159_cogroup_recon",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS li_net
+        FROM lineitem GROUP BY l_orderkey),
+    classed AS (
+        SELECT o.o_totalprice,
+               CASE
+                 WHEN li.l_orderkey IS NULL THEN 'no_lines'
+                 WHEN abs(o.o_totalprice - li.li_net) <= 0.01 * o.o_totalprice
+                      THEN 'reconciled'
+                 ELSE 'mismatch'
+               END AS status
+        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS header_total
+    FROM classed GROUP BY status
+    """,
+)
+def q159_cogroup_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUP extension point (`groupBy().cogroup().applyInPandas`)
+    — two tables grouped by the same key land in ONE Python worker call
+    as aligned pandas frames. Probed here with the q155 reconciliation
+    semantics so the declarative twin oracles it: grouping is by a
+    64-way key BUCKET, not by order (one worker call per bucket with
+    vectorized pandas inside — per-entity cogroup at 150k groups would
+    drown in per-group overhead), which is the shape any custom
+    two-sided merge logic should copy. Use the built-in join/agg path
+    (q155) when SQL can express the logic; cogroup is for when it
+    can't (bitemporal merges, per-key model scoring against reference
+    curves)."""
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 64).alias("b"),
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("li_net")
+        )
+        .select("l_orderkey", "li_net", (F.col("l_orderkey") % 64).alias("b"))
+    )
+
+    def recon(key, o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
+        m = o_pdf.merge(
+            l_pdf, how="left", left_on="o_orderkey", right_on="l_orderkey"
+        )
+        no_lines = m["l_orderkey"].isna()
+        ok = (m["o_totalprice"] - m["li_net"]).abs() <= 0.01 * m["o_totalprice"]
+        status = pd.Series("mismatch", index=m.index)
+        status[ok.fillna(False)] = "reconciled"
+        status[no_lines] = "no_lines"
+        out = pd.DataFrame(
+            {"status": status, "o_totalprice": m["o_totalprice"]}
+        )
+        return (
+            out.groupby("status", as_index=False)
+            .agg(n_orders=("status", "size"), header_total=("o_totalprice", "sum"))
+        )
+
+    partial = (
+        orders.groupBy("b")
+        .cogroup(li.groupBy("b"))
+        .applyInPandas(
+            recon, "status string, n_orders long, header_total double"
+        )
+    )
+    return partial.groupBy("status").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.round(F.sum("header_total"), 2).alias("header_total"),
+    )
+
+
+# ------------- 102. GDPR erasure on the versioned store
+
+@q(
+    "q160_gdpr_erasure",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id NOT IN (1, 2, 3)
+    GROUP BY event_type
+    """,
+)
+def q160_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the versioned store
+    (`sources/versioned.py:erase_rows`): events publish as v=1, users
+    {1,2,3} are erased into v=2 with one filtered rewrite, and the
+    LIVE read immediately and atomically stops serving them — which is
+    what the oracle checks (live agg == source minus the erased
+    users). The deliberate tension: pinned v=1 STILL serves the rows
+    (reproducibility) until `vacuum` retires it — erasure is only
+    complete after retention-policy vacuum, and test_versioned pins
+    exactly that sequence (pinned-still-there, then vacuum, then
+    pinned-read raises)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    base = f"/tmp/q160_gdpr_{_os.getpid()}"
+    path = base + "/events"
+    _shutil.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    V.publish(spark, ev, path)
+    V.erase_rows(spark, path, F.col("user_id").isin(1, 2, 3))
+    live = V.read_latest(spark, path)
+    return live.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )

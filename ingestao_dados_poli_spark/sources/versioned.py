@@ -213,3 +213,23 @@ def vacuum(spark: SparkSession, path: str, keep: int = 2) -> list[int]:
     for v in victims:
         fs.rm(spark, f"{path}/v={v}")
     return victims
+
+
+def erase_rows(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> int:
+    """Compliance erasure (GDPR/CCPA right-to-be-forgotten) on a
+    versioned table: publish a new snapshot WITHOUT the rows matching
+    ``predicate`` (a Column). The live read no longer serves them
+    immediately and atomically; prior snapshots still do — pinned
+    reproducibility and erasure pull in opposite directions, so
+    completing the erasure REQUIRES `vacuum(keep=...)` down to
+    post-erasure versions (and the caller's retention policy decides
+    when). Returns the new version. Cost is one filtered rewrite of
+    the live snapshot — at 100 TB, partition/cluster the table by the
+    erasure key so the rewrite prunes to affected files (cf.
+    sources/stats.py)."""
+    live = read_latest(spark, path)
+    return publish(spark, live.filter(~predicate), path)

@@ -180,3 +180,28 @@ def test_schema_evolution_pinned_vs_live_columns(spark, sf_dir, tmp_path):
         V.publish(spark, docs, path)
     with _pytest.raises(V.SchemaDriftError):
         V.publish(spark, docs.withColumn("other", F.lit(1)), path)
+
+
+def test_erasure_completes_only_after_vacuum(spark, sf_dir, tmp_path):
+    """The reproducibility/erasure tension, pinned: after erase_rows
+    the LIVE read is clean but the pinned prior snapshot still serves
+    the erased rows; vacuum retires it and only then is the data
+    gone."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    path = str(tmp_path / "gdpr")
+    V.publish(spark, ev, path)
+    V.erase_rows(spark, path, F.col("user_id") == 0)
+    assert V.read_latest(spark, path).filter("user_id = 0").count() == 0
+    # pinned v1 still has them — erasure NOT yet complete
+    assert V.read_version(spark, path, 1).filter("user_id = 0").count() > 0
+    V.vacuum(spark, path, keep=1)
+    with _pytest.raises(FileNotFoundError):
+        V.read_version(spark, path, 1)
+    assert V.read_latest(spark, path).filter("user_id = 0").count() == 0
