@@ -7014,3 +7014,114 @@ def q160_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# ------------- 103. analytic-window completeness (rank family + frames)
+
+@q(
+    "q161_window_suite",
+    """
+    WITH w AS (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               round(percent_rank() OVER win, 6) AS pct_rank,
+               round(cume_dist() OVER win, 6) AS cume,
+               nth_value(c_custkey, 3) OVER (
+                   win ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS third_richest,
+               first_value(c_acctbal) OVER (
+                   win ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS top_bal
+        FROM customer
+        WINDOW win AS (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey ASC))
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(avg(pct_rank), 6) AS DOUBLE) AS avg_pct_rank,
+           CAST(round(avg(cume), 6) AS DOUBLE) AS avg_cume,
+           CAST(max(third_richest) AS BIGINT) AS third_richest,
+           CAST(round(max(top_bal), 2) AS DOUBLE) AS top_bal
+    FROM w GROUP BY c_mktsegment
+    """,
+)
+def q161_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window surface in one oracled pass:
+    percent_rank / cume_dist (relative standing — the feature-scaling
+    primitives), nth_value and first_value over an explicit
+    full-partition frame (default frames END AT CURRENT ROW — the
+    classic silent-wrong-answer; the explicit frame is the point).
+    One shuffle on the partition key, tie-broken ordering so engines
+    agree on every rank. Rolled up per segment to keep the oracle
+    surface dense."""
+    cust = _t(spark, sf_dir, "customer")
+    win = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    full = win.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = cust.select(
+        "c_mktsegment",
+        F.round(F.percent_rank().over(win), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(win), 6).alias("cume"),
+        F.nth_value("c_custkey", 3).over(full).alias("third_richest"),
+        F.first_value("c_acctbal").over(full).alias("top_bal"),
+    )
+    return w.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("pct_rank"), 6).alias("avg_pct_rank"),
+        F.round(F.avg("cume"), 6).alias("avg_cume"),
+        F.max("third_richest").cast("long").alias("third_richest"),
+        F.round(F.max("top_bal"), 2).alias("top_bal"),
+    )
+
+
+# ------------- 104. outer generators (empty/null rows must survive)
+
+@q(
+    "q162_outer_generators",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN []
+                    WHEN o_orderkey % 3 = 1 THEN NULL
+                    ELSE [o_orderkey % 7, o_orderkey % 5] END AS xs
+        FROM orders WHERE o_orderkey < 3000),
+    ex AS (
+        SELECT o_orderkey, u.x AS x
+        FROM base LEFT JOIN LATERAL unnest(xs) AS u(x) ON TRUE)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(x) AS BIGINT) AS n_elems,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(coalesce(x, -1)) AS BIGINT) AS checksum
+    FROM ex
+    """,
+)
+def q162_outer_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics, pinned: rows whose array is EMPTY or
+    NULL survive the explode as a single null-element row — plain
+    explode silently DROPS them, the classic row-loss bug when a fact
+    table's optional list column feeds a flatten (an LLM pipeline's
+    doc->chunks explode loses every empty doc the same way). The
+    oracle mirrors it with DuckDB's LEFT JOIN LATERAL unnest. Summary
+    counts prove: n_orders == all source rows (nothing lost),
+    n_rows > n_elems (the null-preserved rows), checksum pins element
+    values."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    base = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.array().cast("array<bigint>"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit(None).cast("array<bigint>"))
+        .otherwise(
+            F.array(F.col("o_orderkey") % 7, F.col("o_orderkey") % 5)
+        )
+        .alias("xs"),
+    )
+    ex = base.select(
+        "o_orderkey", F.explode_outer("xs").alias("x")
+    )
+    return ex.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("x").cast("long").alias("n_elems"),
+        F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
+        F.sum(F.coalesce(F.col("x"), F.lit(-1))).cast("long").alias("checksum"),
+    )
