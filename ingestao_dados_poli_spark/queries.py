@@ -7125,3 +7125,85 @@ def q162_outer_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
         F.sum(F.coalesce(F.col("x"), F.lit(-1))).cast("long").alias("checksum"),
     )
+
+
+# ------------- 105. triangle counting (co-supply graph)
+
+@q(
+    "q163_triangle_count",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS lo,
+               greatest(a.l_suppkey, b.l_suppkey) AS hi
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey < b.l_suppkey),
+    tri AS (
+        SELECT 1
+        FROM pairs ab
+        JOIN pairs bc ON ab.hi = bc.lo
+        JOIN pairs ac ON ac.lo = ab.lo AND ac.hi = bc.hi)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri
+    """,
+)
+def q163_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics #3 (after components and PageRank): triangles
+    in the co-supply graph (suppliers sharing an order), via
+    `operators/graph.py:triangle_count` — canonical a<b<c orientation
+    so each triangle matches exactly once and wedge fan-out is bounded
+    by ORIENTED degrees (the Suri-Vassilvitskii trick that stops hub
+    vertices exploding the intermediate at scale). Edge derivation is
+    itself a bounded self-join: per-order supplier pairs with the
+    lo<hi filter inside the join condition. Value-oracled against
+    DuckDB's three-way join formulation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return G.triangle_count(edges)
+
+
+# ------------- 106. join strategy hints (the engine's control surface)
+
+@q(
+    "q164_join_hints",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q164_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control surface: the same fact-fact join forced
+    through SHUFFLE_HASH instead of the planner's default sort-merge.
+    Shuffled-hash skips both sort passes — the right call when one
+    side comfortably builds an in-memory hash table per partition and
+    spilling risk is low (sort-merge remains the robust default; AQE
+    can also make this switch at runtime from observed sizes). The
+    hint changes the PHYSICAL plan only (ShuffledHashJoin, asserted in
+    test_plans) — results are oracle-identical to the unhinted join by
+    definition."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = li.join(
+        orders.hint("shuffle_hash"),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+    )

@@ -109,3 +109,21 @@ def test_pagerank_integer_hand_computed(spark):
     out3 = G.pagerank_integer(edges, iterations=3, start_mass=1000)
     total = sum(r.mass for r in out3.collect())
     assert 3000 - 9 <= total <= 3000
+
+
+def test_triangle_count_known_graphs(spark):
+    from ingestao_dados_poli_spark.operators import graph as G
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return G.triangle_count(df).collect()[0]["n_triangles"]
+
+    # a single triangle, listed with duplicates and reversed edges
+    assert tri([(1, 2), (2, 3), (3, 1), (2, 1), (1, 2)]) == 1
+    # K4 has 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tri(k4) == 4
+    # a path has none
+    assert tri([(1, 2), (2, 3), (3, 4)]) == 0
+    # self-loops are ignored
+    assert tri([(1, 1), (1, 2), (2, 3), (3, 1)]) == 1

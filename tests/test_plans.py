@@ -242,3 +242,9 @@ def test_q141_disjunction_pushes_both_sides(spark, sf_dir):
     # residual disjunction evaluates as the join condition, no post-join
     # Filter node re-reading both sides
     assert "BroadcastHashJoin" in plan
+
+
+def test_q164_hint_forces_shuffled_hash_join(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q164_join_hints"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
