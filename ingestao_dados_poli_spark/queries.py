@@ -7207,3 +7207,132 @@ def q164_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
     )
+
+
+# ------------- 107. EXISTS-gated priority count (TPC-H Q4 shape)
+
+@q(
+    "q165_priority_count",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q165_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape: orders in a quarter having at least one line
+    shipped after the order date, counted per priority. The correlated
+    EXISTS with a cross-table comparison becomes a left_semi join with
+    compound condition (equi on orderkey + the l_shipdate >
+    o_orderdate residual) — semi join means the fact side's multiple
+    matching lines can't double-count an order, and the quarter filter
+    pushes into the orders scan before the join."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    gated = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return gated.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+# ------------- 108. returned-revenue customer ranking (TPC-H Q10 shape)
+
+@q(
+    "q166_returned_revenue_topk",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1997-01-01'
+      AND o.o_orderdate < DATE '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q166_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in a quarter
+    — 4-table join with the date filter pushed to orders, the 'R' flag
+    pushed to lineitem, nation broadcast, and the final top-20 via
+    TakeOrderedAndProject (rounded-revenue + custkey tie-break so
+    float noise can't flip rank 20 across engines)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+# ------------- 109. conditional revenue share (TPC-H Q14 shape)
+
+@q(
+    "q167_promo_share",
+    """
+    SELECT CAST(round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS DOUBLE)
+               AS promo_share_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= DATE '1997-03-01'
+      AND l.l_shipdate < DATE '1997-04-01'
+    GROUP BY ALL
+    """,
+)
+def q167_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month — the
+    conditional-aggregate ratio computed in a SINGLE pass (sum(CASE)
+    over the same scan, never two filtered subqueries joined back),
+    with the month filter pushed to the lineitem scan and part
+    broadcast. The ratio divides unrounded sums and rounds once at the
+    end — rounding the numerator and denominator separately is the
+    classic cross-engine parity bug."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").like("PROMO%"), net).otherwise(0.0))
+            / F.sum(net),
+            4,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
