@@ -7133,10 +7133,11 @@ def q162_outer_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q163_triangle_count",
     """
     WITH pairs AS (
-        SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS lo,
+        SELECT least(a.l_suppkey, b.l_suppkey) AS lo,
                greatest(a.l_suppkey, b.l_suppkey) AS hi
         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        WHERE a.l_suppkey < b.l_suppkey),
+        WHERE a.l_suppkey < b.l_suppkey
+        GROUP BY lo, hi HAVING count(*) >= 5),
     tri AS (
         SELECT 1
         FROM pairs ab
@@ -7147,14 +7148,19 @@ def q162_outer_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q163_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics #3 (after components and PageRank): triangles
-    in the co-supply graph (suppliers sharing an order), via
-    `operators/graph.py:triangle_count` — canonical a<b<c orientation
-    so each triangle matches exactly once and wedge fan-out is bounded
-    by ORIENTED degrees (the Suri-Vassilvitskii trick that stops hub
-    vertices exploding the intermediate at scale). Edge derivation is
-    itself a bounded self-join: per-order supplier pairs with the
-    lo<hi filter inside the join condition. Value-oracled against
-    DuckDB's three-way join formulation."""
+    in the FREQUENT-co-supply graph (supplier pairs sharing >= 5
+    orders), via `operators/graph.py:triangle_count` — canonical a<b<c
+    orientation so each triangle matches exactly once and wedge
+    fan-out is bounded by ORIENTED degrees (the Suri-Vassilvitskii
+    trick that stops hub vertices exploding the intermediate at
+    scale). The weight threshold is the OTHER density lever: raw
+    co-occurrence on this data is a near-complete graph (453k edges
+    over 1k suppliers at sf0.1 — 160M wedges, measured 26s), while
+    strong ties keep ~50k edges and ~2M wedges; thresholding before
+    triangle enumeration is exactly what production co-occurrence
+    analyses (market-basket, co-citation) do, because triangles in a
+    near-clique carry no signal anyway. Value-oracled against DuckDB's
+    three-way join formulation."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -7164,11 +7170,13 @@ def q163_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.l_suppkey").alias("src"),
             F.col("b.l_suppkey").alias("dst"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("src", "dst")
     )
     return G.triangle_count(edges)
 
