@@ -7344,3 +7344,170 @@ def q167_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_share_pct"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
     )
+
+
+# ------------- 110. declarative pipeline end-to-end (zone hop as data)
+
+@q(
+    "q168_pipeline_end_to_end",
+    """
+    WITH silver AS (
+        SELECT doc_id, source,
+               len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                   ' ')) AS n_tokens
+        FROM documents WHERE n_chars >= 50)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM silver GROUP BY source
+    """,
+)
+def q168_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative zone hop (`plans/pipeline.py`) run END TO END
+    inside the oracle gate: Source(parquet) → transforms (length gate,
+    whitespace normalize, token count) → quality suite validated on
+    the SAME cached plan → Sink(parquet) → read the written zone back
+    and aggregate. What the oracle certifies is the whole hop —
+    config-described steps compile to one Catalyst plan, the suite
+    passes, and the SINK's bytes (not the in-memory frame) carry
+    exactly the transformed population. The reference's notebook hop
+    (etl/1:44-186) as six lines of configuration."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.plans.pipeline import (
+        Pipeline,
+        Sink,
+        Source,
+    )
+    from ingestao_dados_poli_spark.quality import Suite, not_null
+
+    base = f"/tmp/q168_pipe_{_os.getpid()}"
+    _shutil.rmtree(base, ignore_errors=True)
+    out = base + "/silver"
+
+    def gate(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("n_chars") >= 50)
+
+    def tokenize(df: DataFrame) -> DataFrame:
+        norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+        return df.select(
+            "doc_id", "source",
+            F.size(F.split(norm, " ")).alias("n_tokens"),
+        )
+
+    pipe = Pipeline(
+        name="docs_silver",
+        source=Source(path=f"{sf_dir}/documents.parquet"),
+        transforms=[gate, tokenize],
+        suite=Suite("docs_silver", [not_null("doc_id"), not_null("n_tokens")]),
+        sink=Sink(path=out, target_file_partitions=4),
+    )
+    report = pipe.run(spark)
+    assert report["validation"]["success"], report
+    silver = spark.read.parquet(out)
+    return silver.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+# ------------- 111. calendar-hierarchy rollup with grouping_id
+
+@q(
+    "q169_time_hierarchy_rollup",
+    """
+    SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+           coalesce(CAST(quarter(o_orderdate) AS VARCHAR), 'ALL') AS qtr,
+           CAST(GROUPING(year(o_orderdate)) * 2
+                + GROUPING(quarter(o_orderdate)) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+    """,
+)
+def q169_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy rollup (year → quarter → grand total) with
+    grouping_id disambiguation: a NULL produced by the rollup's
+    subtotal levels is NOT a NULL in the data — GROUPING()/grouping_id
+    is the only correct discriminator, surfaced here as the gid column
+    and used to label subtotal rows 'ALL'. One Expand + one shuffle —
+    the rollup never rescans per level."""
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    qtr = F.quarter("o_orderdate")
+    return (
+        orders.rollup(yr.alias("y"), qtr.alias("q"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("y").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce(F.col("q").cast("string"), F.lit("ALL")).alias("qtr"),
+            "gid", "n_orders", "total",
+        )
+    )
+
+
+# ------------- 112. array set algebra on aggregated sets
+
+@q(
+    "q170_array_set_ops",
+    """
+    WITH h1 AS (
+        SELECT o_custkey, list_sort(list_distinct(list(o_orderpriority)))
+                   AS p1
+        FROM orders WHERE o_orderdate < DATE '1997-01-01'
+        GROUP BY o_custkey),
+    h2 AS (
+        SELECT o_custkey, list_sort(list_distinct(list(o_orderpriority)))
+                   AS p2
+        FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        GROUP BY o_custkey),
+    j AS (
+        SELECT coalesce(h1.o_custkey, h2.o_custkey) AS o_custkey,
+               coalesce(p1, []) AS p1, coalesce(p2, []) AS p2
+        FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(len(list_intersect(p1, p2))) AS BIGINT) AS common,
+           CAST(sum(len(list_filter(p1, x -> NOT list_contains(p2, x))))
+                AS BIGINT) AS dropped,
+           CAST(sum(len(list_filter(p2, x -> NOT list_contains(p1, x))))
+                AS BIGINT) AS gained
+    FROM j
+    """,
+)
+def q170_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over AGGREGATED sets: each customer's distinct
+    order-priority set before/after a date split, then intersect /
+    except in-row to measure behavior change (common, dropped, gained
+    priorities). collect_set builds the sets in the grouped agg (one
+    shuffle per period), the set ops run in-row with no further
+    shuffle, and the full-outer join on the hash-uniform key aligns
+    the two periods. The per-customer set-valued state stays bounded
+    by the domain (5 priorities), the property that makes
+    collect_set-based profiles safe at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    before = (
+        orders.filter(F.col("o_orderdate") < "1997-01-01")
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_set("o_orderpriority")).alias("p1"))
+    )
+    after = (
+        orders.filter(F.col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_set("o_orderpriority")).alias("p2"))
+    )
+    j = before.join(after, "o_custkey", "full_outer").select(
+        F.coalesce(F.col("p1"), F.array().cast("array<string>")).alias("p1"),
+        F.coalesce(F.col("p2"), F.array().cast("array<string>")).alias("p2"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.size(F.array_intersect("p1", "p2"))).cast("long").alias("common"),
+        F.sum(F.size(F.array_except("p1", "p2"))).cast("long").alias("dropped"),
+        F.sum(F.size(F.array_except("p2", "p1"))).cast("long").alias("gained"),
+    )
