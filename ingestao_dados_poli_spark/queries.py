@@ -7511,3 +7511,159 @@ def q170_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.array_except("p1", "p2"))).cast("long").alias("dropped"),
         F.sum(F.size(F.array_except("p2", "p1"))).cast("long").alias("gained"),
     )
+
+
+# ------------- 113. Python DataSource in the gate (pushdown-pruned read)
+
+@q(
+    "q171_python_datasource",
+    """
+    SELECT 'src_' || CAST(i % 5 AS VARCHAR) AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(i) AS BIGINT) AS id_sum
+    FROM range(1000, 3000) t(i)
+    GROUP BY 1
+    """,
+)
+def q171_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource (`sources/pyds.py`) inside the
+    oracle gate: a doc_id range predicate is PUSHED into the source
+    (pushFilters shrinks the generation interval, pruning whole
+    partitions before a single row exists), and the id/source algebra
+    of what survives is value-checked against DuckDB's range() — the
+    cross-engine proof that pushdown-pruned reads are consistent with
+    the full read. The custom-connector contract (partition planning,
+    Arrow batches, filter pushdown) exercised where the driver can see
+    it, not just in pytest."""
+    from ingestao_dados_poli_spark.sources.pyds import SynthDocsDataSource
+
+    # planning (where pushFilters runs) happens at the caller's collect,
+    # after this function returns — so the conf must outlive this frame
+    # (same precedent as the nanosAsLong reader flag in _t). Scope-safe:
+    # it only affects Python DataSource scans, which opt in per-reader.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(SynthDocsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    docs = (
+        spark.read.format("synthdocs")
+        .option("rows", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    pruned = docs.filter(
+        (F.col("doc_id") >= 1000) & (F.col("doc_id") < 3000)
+    )
+    return pruned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+# ------------- 114. equi-depth histogram (quantile-bounded profiling)
+
+@q(
+    "q172_equidepth_histogram",
+    """
+    WITH b AS (
+        SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS b1,
+               round(quantile_cont(o_totalprice, 0.50), 2) AS b2,
+               round(quantile_cont(o_totalprice, 0.75), 2) AS b3
+        FROM orders)
+    SELECT CAST(sum(CASE WHEN o_totalprice <= b1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS q1_n,
+           CAST(sum(CASE WHEN o_totalprice > b1 AND o_totalprice <= b2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS q2_n,
+           CAST(sum(CASE WHEN o_totalprice > b2 AND o_totalprice <= b3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS q3_n,
+           CAST(sum(CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS q4_n,
+           CAST(max(b1) AS DOUBLE) AS b1,
+           CAST(max(b2) AS DOUBLE) AS b2,
+           CAST(max(b3) AS DOUBLE) AS b3
+    FROM orders, b
+    """,
+)
+def q172_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bounded) histogram — the profiling shape
+    optimizers and drift monitors want when fixed-width bins (q56)
+    would dump 90% of a skewed column into one bucket. Exact quartile
+    boundaries in one aggregate pass, broadcast back as a 1-row
+    literal, bucket membership as sum(CASE) in a second pass — two
+    passes total, no per-row window. Boundaries are rounded to the
+    data's own 2-decimal grain in BOTH engines before classification,
+    making the bucket edges ulp-insensitive (linear-interpolation
+    quantiles are engine-deterministic but not bit-promised). The
+    100 TB variant swaps percentile for percentile_approx and accepts
+    the documented rank error (q64's trade, same shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("b1"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("b2"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("b3"),
+    )
+    j = orders.crossJoin(F.broadcast(b))
+    v = F.col("o_totalprice")
+    return j.agg(
+        F.sum(F.when(v <= F.col("b1"), 1).otherwise(0)).cast("long").alias("q1_n"),
+        F.sum(F.when((v > F.col("b1")) & (v <= F.col("b2")), 1).otherwise(0))
+        .cast("long")
+        .alias("q2_n"),
+        F.sum(F.when((v > F.col("b2")) & (v <= F.col("b3")), 1).otherwise(0))
+        .cast("long")
+        .alias("q3_n"),
+        F.sum(F.when(v > F.col("b3"), 1).otherwise(0)).cast("long").alias("q4_n"),
+        F.max("b1").alias("b1"),
+        F.max("b2").alias("b2"),
+        F.max("b3").alias("b3"),
+    )
+
+
+# ------------- 115. per-group winsorization (outlier capping)
+
+@q(
+    "q173_winsorize",
+    """
+    WITH caps AS (
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.05), 2) AS lo,
+               round(quantile_cont(o_totalprice, 0.95), 2) AS hi
+        FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o.o_totalprice < c.lo
+                         OR o.o_totalprice > c.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped,
+           CAST(round(sum(least(greatest(o.o_totalprice, c.lo), c.hi)), 2)
+                AS DOUBLE) AS winsorized_sum
+    FROM orders o JOIN caps c ON o.o_orderpriority = c.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q173_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — the robust-statistics data-cleaning
+    primitive (cap each group's values at its own p05/p95 instead of
+    deleting outliers): per-group caps in ONE grouped percentile pass,
+    broadcast join back (group count is small by definition), clamp
+    in-row with least/greatest. Caps round to the data's 2-decimal
+    grain in both engines (same ulp-insensitivity argument as q172).
+    Never a per-row window over the full table — the caps table is the
+    only state that moves."""
+    orders = _t(spark, sf_dir, "orders")
+    caps = orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.05)), 2).alias("lo"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("hi"),
+    )
+    j = orders.join(F.broadcast(caps), "o_orderpriority")
+    v = F.col("o_totalprice")
+    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when((v < F.col("lo")) | (v > F.col("hi")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_capped"),
+        F.round(F.sum(clamped), 2).alias("winsorized_sum"),
+    )
