@@ -7667,3 +7667,85 @@ def q173_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_capped"),
         F.round(F.sum(clamped), 2).alias("winsorized_sum"),
     )
+
+
+# ------------- 116. observe() in-flight metrics (monitoring surface)
+
+@q(
+    "q174_observed_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total,
+           CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_large
+    FROM orders
+    """,
+)
+def q174_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production monitoring surface: `Observation`/`df.observe`
+    attaches named aggregate metrics to a flowing query — they are
+    computed DURING the main action's single pass (an accumulator-style
+    side channel, visible to listeners), not by a second scan the way
+    a metrics afterthought usually costs. Here the observed metrics ARE
+    the result under test: the query's real work is a throwaway write
+    to a noop-style count, the metrics come back through the
+    observation, and the oracle recomputes them declaratively —
+    proving the side channel reports exactly what a dedicated
+    aggregation would. The 1-row createDataFrame is metric publication
+    (config-sized), not data movement."""
+    from pyspark.sql import Observation
+
+    orders = _t(spark, sf_dir, "orders")
+    obs = Observation("q174")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).alias(
+            "n_large"
+        ),
+    )
+    # the main action: one pass; metrics ride it
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), float(m["total"]), int(m["n_large"]))],
+        "n_rows long, total double, n_large long",
+    )
+
+
+# ------------- 117. exact DECIMAL money arithmetic (no rounding anywhere)
+
+@q(
+    "q175_decimal_exact",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)))
+                AS VARCHAR) AS total_exact
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q175_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic done right: cast prices to DECIMAL(18,2) at the
+    scan and sum in decimal — the result is EXACT, so the oracle
+    compares it with NO rounding anywhere (every float-summing query
+    in this registry needs a round(...) guard; this one, stringified
+    to dodge engine decimal-width metadata, matches to the last cent
+    by construction). The 100 TB relevance: decimal aggregation is
+    whole-stage-codegen'd 128-bit integer math — order-independent,
+    re-partition-independent, audit-grade — which float money columns
+    can never be. Sums are widened to DECIMAL(38,2) explicitly so both
+    engines overflow-check the same bound."""
+    orders = _t(spark, sf_dir, "orders")
+    dec = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    return dec.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("p").cast("decimal(38,2)"))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .alias("total_exact"),
+    )
