@@ -7749,3 +7749,140 @@ def q175_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("total_exact"),
     )
+
+
+# ------------- 118. change-data-feed between committed snapshots
+
+@q(
+    "q176_snapshot_cdf",
+    """
+    WITH v1 AS (
+        SELECT doc_id, source, n_chars FROM documents),
+    v2 AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, 'src_new' AS source,
+               doc_id AS n_chars
+        FROM documents WHERE doc_id < 10),
+    d AS (
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.source = v2.source AND v1.n_chars = v2.n_chars
+                         THEN 'unchanged'
+                    ELSE 'changed' END AS change_type
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY change_type
+    """,
+)
+def q176_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between VERSIONED snapshots: publish documents
+    as v=1, apply a deterministic edit wave (delete every 7th doc,
+    bump every 10th's n_chars, append 10 new docs), publish v=2, then
+    derive the CDF with `relational.table_diff` over `read_version(1)`
+    vs `read_version(2)` — added/removed/changed/unchanged per key
+    from ONE full-outer join on the snapshot bytes (struct-collapsed
+    compare, no per-column join fanout). This is the Delta
+    'change data feed' read pattern built from plain committed
+    snapshots: downstream incremental consumers pull the classified
+    delta instead of re-reading either version in full. The oracle
+    recomputes the same classification from the source table's
+    algebra."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    base = f"/tmp/q176_cdf_{_os.getpid()}"
+    path = base + "/docs"
+    _shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    V.publish(spark, docs, path)
+    edited = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "n_chars",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.col("n_chars") + 1000
+            ).otherwise(F.col("n_chars")),
+        )
+    )
+    appended = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.lit("src_new").alias("source"),
+            F.col("doc_id").cast("long").alias("n_chars"),
+        )
+    )
+    V.publish(spark, edited.unionByName(appended), path)
+    v1 = V.read_version(spark, path, 1)
+    v2 = V.read_version(spark, path, 2)
+    cdf = R.table_diff(v1, v2, keys=["doc_id"])
+    return cdf.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# ------------- 119. rank vs row_number tie semantics
+
+@q(
+    "q177_rank_tie_semantics",
+    """
+    WITH r AS (
+        SELECT c_mktsegment, c_custkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY floor(c_acctbal / 1000) DESC,
+                                           c_custkey ASC) AS rn
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY floor(c_acctbal / 1000) DESC))
+    SELECT c_mktsegment,
+           CAST(sum(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS topk_with_ties,
+           CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS topk_exact,
+           CAST(max(drnk) AS BIGINT) AS n_distinct_bands
+    FROM r GROUP BY c_mktsegment
+    """,
+)
+def q177_rank_tie_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number disambiguated on REAL ties
+    (banded balances): 'top 3 WITH ties' (rank — returns more than 3
+    when band boundaries tie), 'exactly 3' (row_number with an
+    explicit tie-break — the only deterministic choice), and distinct
+    tie-group count (dense_rank's max). Choosing the wrong one is the
+    classic leaderboard bug; all three share ONE window shuffle. The
+    deliberately tie-heavy ordering makes the engines' agreement on
+    every count the proof that tie semantics match exactly."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    w_ties = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("bal_band").desc()
+    )
+    w_exact = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("bal_band").desc(), F.col("c_custkey").asc()
+    )
+    r = cust.select(
+        "c_mktsegment",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.row_number().over(w_exact).alias("rn"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.col("rnk") <= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("topk_with_ties"),
+        F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("topk_exact"),
+        F.max("drnk").cast("long").alias("n_distinct_bands"),
+    )
