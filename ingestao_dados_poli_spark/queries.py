@@ -7886,3 +7886,89 @@ def q177_rank_tie_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("topk_exact"),
         F.max("drnk").cast("long").alias("n_distinct_bands"),
     )
+
+
+# ------------- 120. nested document model (two-level HOF processing)
+
+@q(
+    "q178_nested_model",
+    """
+    WITH per_order AS (
+        SELECT o.o_custkey, o.o_orderkey,
+               count(*) AS n_lines,
+               sum(CAST(l.l_quantity AS BIGINT)) AS order_qty,
+               round(sum(l.l_extendedprice), 2) AS order_value
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey < 100
+        GROUP BY o.o_custkey, o.o_orderkey)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(order_qty) AS BIGINT) AS total_qty,
+           CAST(round(max(order_value), 2) AS DOUBLE) AS max_order_value
+    FROM per_order GROUP BY o_custkey
+    """,
+)
+def q178_nested_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-model shape: customer -> array<order> ->
+    array<line> built with two grouped collect_lists, then EVERY
+    metric computed by higher-order functions walking the nested value
+    IN-ROW — size, two-level aggregate lambdas, transform + array_max
+    — with no explode and no re-shuffle after assembly. This is how a
+    serving/feature store consumes nested payloads: assembling costs
+    two shuffles once, every downstream metric is then shuffle-free.
+    The oracle computes the same metrics from the FLAT relational
+    form — nesting and flat algebra must agree exactly, which is the
+    document model's consistency contract. (Per-entity state is
+    bounded: a customer's own orders/lines — the collect_list safety
+    rule this registry applies everywhere.)"""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    li = _t(spark, sf_dir, "lineitem")
+    lines = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_quantity").cast("long").alias("qty"),
+                    F.col("l_extendedprice").alias("price"),
+                )
+            ).alias("lines")
+        )
+    )
+    nested = lines.groupBy("o_custkey").agg(
+        F.collect_list(
+            F.struct(F.col("o_orderkey").alias("okey"), F.col("lines"))
+        ).alias("orders")
+    )
+    o = F.col("orders")
+    n_lines = F.aggregate(
+        o, F.lit(0).cast("long"), lambda acc, x: acc + F.size(x["lines"])
+    )
+    total_qty = F.aggregate(
+        o,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.aggregate(
+            x["lines"], F.lit(0).cast("long"), lambda a2, ln: a2 + ln["qty"]
+        ),
+    )
+    order_vals = F.transform(
+        o,
+        lambda x: F.round(
+            F.aggregate(
+                x["lines"], F.lit(0.0), lambda a2, ln: a2 + ln["price"]
+            ),
+            2,
+        ),
+    )
+    return nested.select(
+        "o_custkey",
+        F.size(o).cast("long").alias("n_orders"),
+        n_lines.alias("n_lines"),
+        total_qty.alias("total_qty"),
+        F.round(F.array_max(order_vals), 2).alias("max_order_value"),
+    )
