@@ -7972,3 +7972,174 @@ def q178_nested_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_qty.alias("total_qty"),
         F.round(F.array_max(order_vals), 2).alias("max_order_value"),
     )
+
+
+# ------------- 121. grouped-aggregate pandas UDAF (custom aggregate)
+
+@q(
+    "q179_grouped_agg_udaf",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC,
+                                           o_orderkey ASC) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+    SELECT o_orderpriority,
+           CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS trimmed_mean,
+           CAST(count(*) AS BIGINT) AS n_used
+    FROM ranked
+    WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+    GROUP BY o_orderpriority
+    """,
+)
+def q179_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-aggregate extension point: a GROUPED_AGG pandas UDF
+    (vectorized UDAF — whole group arrives as one numpy-backed Series,
+    one Python call per group, Arrow transfer) computing a 10%-trimmed
+    mean, the robust-statistics aggregate SQL lacks. Count-based
+    trimming (drop floor(n*0.1) rows from each sorted end) makes the
+    semantics exactly reproducible in SQL — which is what the oracle
+    does with a rank-window formulation. Same contract as avg: usable
+    in groupBy here; the 100 TB note is that a grouped-agg UDF has no
+    partial aggregation — the full group shuffles to one task, so keep
+    groups bounded (5 here) or decompose into algebraic pieces
+    (operators/incremental.py) when they aren't."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: queries.py's `from __future__ import
+    # annotations` stringifies hints, so pandas_udf can't infer
+    # GROUPED_AGG from a signature here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        x = np.sort(v.to_numpy(dtype=np.float64))
+        k = int(len(x) // 10)
+        kept = x[k : len(x) - k] if len(x) > 2 * k else x
+        return float(kept.mean())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_n(v):
+        n = len(v)
+        return int(n - 2 * (n // 10))
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(trimmed_mean("o_totalprice"), 2).alias("trimmed_mean"),
+        trimmed_n("o_totalprice").alias("n_used"),
+    )
+
+
+# ------------- 122. SQL-registered vectorized UDF (Python kernel via SQL)
+
+@q(
+    "q180_sql_registered_udf",
+    """
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q180_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python kernels behind the SQL front door: a VECTORIZED
+    (Arrow-batched) pandas UDF registered with spark.udf.register and
+    called from plain SQL text — the shape that lets SQL-only users
+    reach Python logic without ever seeing a DataFrame API, at
+    pandas-batch speed rather than row-at-a-time (the registry's
+    standing rule: no scalar Python UDFs in hot paths; registration
+    changes the CALLER, not the execution model). The kernel is
+    deliberately SQL-replicable (whitespace token count) so the oracle
+    proves the registered path computes exactly what the declarative
+    twin does."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def ws_tokens(texts):
+        return texts.str.split(" ").str.len().astype("int64")
+
+    spark.udf.register("ws_tokens", ws_tokens)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("q180_docs")
+    return spark.sql(
+        """
+        SELECT source,
+               CAST(sum(ws_tokens(text)) AS BIGINT) AS total_tokens,
+               count(*) AS n_docs
+        FROM q180_docs GROUP BY source
+        """
+    )
+
+
+# ------------- 123. partitioned + bucketed layout (both levers at once)
+
+@q(
+    "q181_partitioned_bucketed",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q181_partitioned_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both layout levers on ONE table: orders written hive-PARTITIONED
+    by priority AND bucketed+sorted by orderkey
+    (`writers.write_bucketed_table` with partition_by via the writer's
+    native combination). A priority-filtered join then (a) partition-
+    prunes to 1/5 of the directories BEFORE listing files and (b)
+    joins bucket-aligned against the bucketed lineitem copy —
+    PartitionFilters and zero-Exchange bucketing in the same plan
+    (locked by test_plans.test_q181_partition_prune_plus_bucket_join).
+    This is the canonical 100 TB fact-table layout: partition by the
+    coarse filter dimension, bucket by the join key; neither lever
+    alone gives both prunes. Oracled against the plain join on raw
+    parquet."""
+    import os as _os
+    import shutil as _shutil
+
+    pid = _os.getpid()
+    ord_t, li_t = f"q181_orders_{pid}", f"q181_lineitem_{pid}"
+    base = f"/tmp/q181_pb_{pid}"
+    spark.sql(f"DROP TABLE IF EXISTS {ord_t}")
+    spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+    _shutil.rmtree(base, ignore_errors=True)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, "o_orderkey")
+    )
+    (
+        orders.write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/orders")
+        .format("parquet")
+        .saveAsTable(ord_t)
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .repartition(8, "l_orderkey")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/lineitem")
+        .format("parquet")
+        .saveAsTable(li_t)
+    )
+    o = spark.table(ord_t).filter(F.col("o_orderpriority") == "1-URGENT")
+    l = spark.table(li_t)
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+    )

@@ -249,3 +249,30 @@ def test_q164_hint_forces_shuffled_hash_join(spark, sf_dir):
     plan = _plan(Q.QUERIES["q164_join_hints"](spark, sf_dir))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q181_partition_prune_plus_bucket_join(spark, sf_dir):
+    """Both layout levers visible in ONE plan: the priority filter
+    prunes hive partitions (PartitionFilters on the orders scan) AND
+    the orderkey join is bucket-aligned (no Exchange under disabled
+    broadcast)."""
+    import os
+
+    from ingestao_dados_poli_spark.session import scoped_conf
+    from pyspark.sql import functions as F
+
+    Q.QUERIES["q181_partitioned_bucketed"](spark, sf_dir).collect()
+    pid = os.getpid()
+    o = spark.table(f"q181_orders_{pid}").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    l = spark.table(f"q181_lineitem_{pid}")
+    with scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("l_orderkey").count()
+        plan = _plan(j)
+    ord_scan = plan.split(f"q181_orders_{pid}")[1]
+    pf = ord_scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "o_orderpriority" in pf and "1-URGENT" in pf
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert plan.count("Bucketed: true") == 2
