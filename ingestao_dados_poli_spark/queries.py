@@ -8143,3 +8143,164 @@ def q181_partitioned_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
     )
+
+
+# ------------- 124. streaming as-of enrichment (event-time reference data)
+
+@q(
+    "q182_streaming_asof_enrich",
+    """
+    WITH ref AS (
+        SELECT o_custkey AS user_id, o_orderdate AS eff_date, o_totalprice
+        FROM orders
+        WHERE o_custkey < 500 AND o_orderkey % 3 = 0),
+    dedup_ref AS (
+        SELECT user_id, eff_date, max(o_totalprice) AS ref_price
+        FROM ref GROUP BY user_id, eff_date),
+    enriched AS (
+        SELECT e.user_id, e.value,
+               (SELECT r.ref_price FROM dedup_ref r
+                WHERE r.user_id = e.user_id
+                  AND r.eff_date <= CAST(e.ts AS DATE)
+                ORDER BY r.eff_date DESC LIMIT 1) AS asof_price
+        FROM events e WHERE e.user_id < 500)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(asof_price) AS BIGINT) AS n_enriched,
+           CAST(round(sum(coalesce(asof_price, 0)), 2) AS DOUBLE)
+               AS enriched_total
+    FROM enriched
+    """,
+)
+def q182_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time reference enrichment on a REAL stream: each
+    micro-batch as-of joins its events against a slowly-changing
+    reference table (latest version effective AT the event's time —
+    not the current version, which back-dated events must not see).
+    Correct under any batching because the as-of lookup is a pure
+    per-row function of (key, ts, static reference) — foreachBatch
+    applies `relational.asof_join` per batch and the union over 4 real
+    micro-batches must equal the one-shot batch as-of, which is what
+    the oracle (a correlated LIMIT 1 subquery — DuckDB's decorrelated
+    formulation of the same lookup) certifies. The streaming shape a
+    price/fx/config enrichment job runs forever."""
+    import tempfile
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 500)
+    orders = _t(spark, sf_dir, "orders")
+    ref = (
+        orders.filter((F.col("o_custkey") < 500) & (F.col("o_orderkey") % 3 == 0))
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("eff_date"),
+        )
+        .agg(F.max("o_totalprice").alias("ref_price"))
+    )
+    work = tempfile.mkdtemp(prefix="q182_")
+    shard_dir = f"{work}/shards"
+    ev.repartition(4).write.mode("overwrite").parquet(shard_dir)
+    outs: list[str] = []
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn("ev_date", F.col("ts").cast("date"))
+        joined = R.asof_join(
+            b,
+            ref,
+            key="user_id",
+            left_ts="ev_date",
+            right_ts="eff_date",
+            right_cols=["ref_price"],
+            slim=True,
+        )
+        out = f"{work}/out_b{batch_id}"
+        joined.select("user_id", "value", "asof_ref_price").write.mode(
+            "overwrite"
+        ).parquet(out)
+        outs.append(out)
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(shard_dir)
+    )
+    with state_partitions(spark, 8):
+        q_ = (
+            src.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    res = spark.read.parquet(*outs)
+    return res.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("asof_ref_price").cast("long").alias("n_enriched"),
+        F.round(F.sum(F.coalesce(F.col("asof_ref_price"), F.lit(0.0))), 2).alias(
+            "enriched_total"
+        ),
+    )
+
+
+# ------------- 125. out-of-order arrival observability
+
+@q(
+    "q183_out_of_order_stats",
+    """
+    WITH seq AS (
+        SELECT user_id, ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS high_water
+        FROM events),
+    lateness AS (
+        SELECT user_id,
+               CASE WHEN ts < high_water
+                    THEN CAST(date_diff('second', ts, high_water) AS BIGINT)
+                    ELSE 0 END AS late_s
+        FROM seq)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(max(late_s) AS BIGINT) AS max_late_s,
+           CAST(round(avg(late_s), 2) AS DOUBLE) AS avg_late_s
+    FROM lateness
+    """,
+)
+def q183_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark SIZING observability: per user, replay events in
+    arrival order (event_id) and measure each event's lateness behind
+    the running event-time high-water mark — the distribution that
+    tells you what `withWatermark` delay actually covers your data
+    (max_late_s too big → rows silently drop, cf. the late-drop test;
+    too generous → state lingers). One per-key window over arrival
+    order, no self-join; the running-max frame is the batch replica of
+    exactly what the streaming engine's watermark tracker computes."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.max("ts").over(w).alias("high_water"),
+    )
+    late = seq.select(
+        F.when(
+            F.col("ts") < F.col("high_water"),
+            (F.unix_timestamp("high_water") - F.unix_timestamp("ts")).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("late_s")
+    )
+    return late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+        F.round(F.avg("late_s"), 2).alias("avg_late_s"),
+    )
