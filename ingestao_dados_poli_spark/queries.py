@@ -8304,3 +8304,142 @@ def q183_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("late_s").cast("long").alias("max_late_s"),
         F.round(F.avg("late_s"), 2).alias("avg_late_s"),
     )
+
+
+# ------------- 126. mergeSchema evolution read (heterogeneous parquet)
+
+@q(
+    "q184_mergeschema_read",
+    """
+    WITH old_part AS (
+        SELECT doc_id, source, n_chars, NULL AS quality
+        FROM documents WHERE doc_id % 2 = 0),
+    new_part AS (
+        SELECT doc_id, source, n_chars,
+               round(n_chars / 100.0, 4) AS quality
+        FROM documents WHERE doc_id % 2 = 1),
+    unioned AS (
+        SELECT * FROM old_part UNION ALL SELECT * FROM new_part)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(quality) AS BIGINT) AS n_with_quality,
+           CAST(round(avg(quality), 4) AS DOUBLE) AS avg_quality
+    FROM unioned GROUP BY source
+    """,
+)
+def q184_mergeschema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-file schema evolution at READ time: half the table
+    was written before the `quality` column existed, half after, in the
+    SAME directory — `mergeSchema=true` unifies the footers into the
+    superset schema and null-fills the old files' missing column,
+    exactly the migration-window reality of a table whose writer
+    evolved mid-stream. (Default reads take ONE file's schema — the
+    silent column-loss trap; merge costs a footer pass over files, so
+    lakehouse tables record the contract in the commit log instead —
+    q150's versioned approach. Both belong in the engine.) The oracle
+    rebuilds the same union with an explicit NULL column."""
+    import os as _os
+    import shutil as _shutil
+
+    base = f"/tmp/q184_ms_{_os.getpid()}"
+    path = base + "/docs"
+    if not _os.path.exists(path):
+        _shutil.rmtree(base, ignore_errors=True)
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(path)
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "quality", F.round(F.col("n_chars") / 100.0, 4)
+        ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("quality").cast("long").alias("n_with_quality"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+# ------------- 127. quality-history trend over versioned report snapshots
+
+@q(
+    "q185_quality_trend",
+    """
+    WITH v1 AS (
+        SELECT count(*) FILTER (WHERE lang IS NULL) AS null_lang,
+               count(*) FILTER (WHERE n_chars < 30) AS short_docs,
+               count(*) AS row_count
+        FROM documents),
+    v2 AS (
+        SELECT count(*) FILTER (WHERE doc_id % 5 = 0 OR lang IS NULL)
+                   AS null_lang,
+               count(*) FILTER (WHERE n_chars < 30) AS short_docs,
+               count(*) AS row_count
+        FROM documents)
+    SELECT 'null_lang' AS metric,
+           CAST(v1.null_lang AS BIGINT) AS v1_violations,
+           CAST(v2.null_lang AS BIGINT) AS v2_violations,
+           CAST(v2.null_lang - v1.null_lang AS BIGINT) AS delta
+    FROM v1, v2
+    UNION ALL
+    SELECT 'short_docs',
+           CAST(v1.short_docs AS BIGINT),
+           CAST(v2.short_docs AS BIGINT),
+           CAST(v2.short_docs - v1.short_docs AS BIGINT)
+    FROM v1, v2
+    """,
+)
+def q185_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality HISTORY, not just a point-in-time report: run the suite
+    against two data versions (v2 simulates an upstream regression —
+    every 5th doc loses its lang tag), persist each GX-shaped report
+    as a snapshot of a versioned quality-history table, then read the
+    history back and emit the per-metric violation TREND — the
+    time-series a data-SLO dashboard alerts on, derived entirely from
+    committed report snapshots (one tiny config-sized DataFrame per
+    run, never a rescan of the data). Oracled against direct
+    recomputation of both versions' violation counts."""
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark import quality as Q_
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    base = f"/tmp/q185_qh_{_os.getpid()}"
+    hist = base + "/quality_history"
+    _shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    degraded = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("lang")),
+    )
+    suite = Q_.Suite(
+        "docs_slo",
+        [Q_.not_null("lang"), Q_.between("n_chars", 30, float("inf"))],
+    )
+    metric_names = ["null_lang", "short_docs"]
+    for ver, frame in ((1, docs), (2, degraded)):
+        report = Q_.validate(frame, suite)
+        rows = [
+            (ver, metric_names[i], int(res.get("unexpected_count", 0)))
+            for i, res in enumerate(report["results"])
+        ]
+        snap = spark.createDataFrame(
+            rows, "run long, metric string, violations long"
+        )
+        V.publish(spark, snap, hist)
+    history = V.read_version(spark, hist, 1).unionByName(
+        V.read_version(spark, hist, 2)
+    )
+    pivoted = (
+        history.groupBy("metric")
+        .pivot("run", [1, 2])
+        .agg(F.first("violations"))
+        .select(
+            "metric",
+            F.col("1").cast("long").alias("v1_violations"),
+            F.col("2").cast("long").alias("v2_violations"),
+            (F.col("2") - F.col("1")).cast("long").alias("delta"),
+        )
+    )
+    return pivoted
