@@ -8443,3 +8443,108 @@ def q185_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pivoted
+
+
+# ------------- 128. per-source phrase profile (grouped bigram top-k)
+
+@q(
+    "q186_source_top_bigrams",
+    """
+    WITH toks AS (
+        SELECT source, doc_id, string_split(text, ' ') AS ws
+        FROM documents),
+    bg AS (
+        SELECT source,
+               ws[i] || ' ' || ws[i + 1] AS bigram
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) AS g(i)),
+    counted AS (
+        SELECT source, bigram, count(*) AS n
+        FROM bg GROUP BY source, bigram),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY n DESC, bigram ASC) AS rn
+        FROM counted)
+    SELECT source, bigram, CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q186_source_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source phrase profiling: top-3 bigrams per source — the
+    per-domain signature a corpus-mixing report shows next to the
+    GLOBAL vocabulary (q71). In-row bigram expansion via
+    transform(sequence) — no posexplode+lead self-alignment — then one
+    map-side-combined (source, bigram) count shuffle and a window over
+    the already-aggregated counts (window input is |distinct bigrams|,
+    never |tokens|). Exact lexicographic tie-break, same as DuckDB's."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+        ),
+    )
+    counted = (
+        docs.select("source", F.explode(bigrams).alias("bigram"))
+        .groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("bigram").asc()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "bigram", F.col("n").cast("long").alias("n"))
+    )
+
+
+# ------------- 129. monthly median trend per priority (grouped quantiles)
+
+@q(
+    "q187_monthly_median_trend",
+    """
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+               AS month,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+                AS DOUBLE) AS median_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def q187_monthly_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust central-tendency trend: monthly MEDIAN order value per
+    priority (medians don't chase the heavy tail averages do — the
+    metric a pricing dashboard actually wants). A plain grouped exact
+    percentile — one map-side-combined shuffle on (month, priority),
+    NO window — with the year filter pushed to the scan. Computed over
+    INTEGER CENTS: an even-count median interpolates to k or exactly
+    k.5, both binary-exact doubles, so the engines match with NO
+    rounding guard (rounding a 2-dp-valued midpoint is the one place
+    round(x, 2) itself is ulp-unstable — found by this query's first
+    oracle run). The 100 TB swap is percentile_approx (q64's
+    documented trade)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate")
+            .cast("date")
+            .cast("string")
+            .alias("month"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.percentile(
+                F.round(F.col("o_totalprice") * 100).cast("long"), F.lit(0.5)
+            )
+            .cast("double")
+            .alias("median_cents"),
+        )
+    )
