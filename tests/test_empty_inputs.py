@@ -98,3 +98,56 @@ def test_corpus_graph_misc_empty(spark):
     assert heavy_hitters(
         spark.createDataFrame([], "k long"), ["k"], k=5
     ).count() == 0
+
+
+def test_round4_operators_empty(spark):
+    """Round-4 operator families on empty input: correct empty-with-
+    schema results, no crashes."""
+    from ingestao_dados_poli_spark.operators import audit as AU
+    from ingestao_dados_poli_spark.operators import incremental as IC
+    from ingestao_dados_poli_spark.operators import privacy as PV
+
+    docs = _empty_docs(spark)
+    # span dedup: no docs -> no rows, schema intact
+    out = CO.dedup_spans(docs, span_words=3)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "clean_text", "n_spans", "n_removed"]
+    # inverted index + lookup on empty corpus
+    idx = CO.build_inverted_index(docs)
+    assert idx.count() == 0
+    assert CO.lookup_all_terms(idx, ["spark"]).count() == 0
+    # incremental agg: empty base merged with empty delta
+    empty_kv = spark.createDataFrame([], "k string, v double")
+    st = IC.partial_aggregate(empty_kv, ["k"], ["v"])
+    assert st.count() == 0
+    assert IC.merge_aggregates(st, st, ["k"], ["v"]).count() == 0
+    assert IC.finalize(st, ["v"]).count() == 0
+    # privacy: empty table is vacuously k-anonymous, suppression no-ops
+    rep = PV.k_anonymity_report(empty_kv, ["k"], k=5)
+    assert rep.count() == 0
+    assert PV.suppress_below_k(empty_kv, ["k"], k=5).count() == 0
+    # fingerprints: empty group-by yields zero digest rows; global
+    # digest yields one row with n_rows=0
+    assert AU.table_fingerprint(empty_kv, ["k", "v"], ["k"]).count() == 0
+    g = AU.table_fingerprint(empty_kv, ["k", "v"]).collect()[0]
+    assert g["n_rows"] == 0
+    # diff of two empty digests: no divergent groups
+    a = AU.table_fingerprint(empty_kv, ["k", "v"], ["k"])
+    assert AU.fingerprint_diff(a, a, ["k"]).count() == 0
+    # triangle count on an empty edge list is zero, not an error
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert G.triangle_count(edges).collect()[0]["n_triangles"] == 0
+
+
+def test_stats_pruning_empty_dir_and_missing_column(spark, tmp_path):
+    from ingestao_dados_poli_spark.sources import stats as ST
+
+    # a parquet dir with rows but stats requested for a MISSING column:
+    # no stats rows -> prune keeps nothing to decide over
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    st = ST.collect_file_stats(spark, p, ["no_such_col"])
+    rows = st.collect()
+    # stats rows exist per file but with NULL min/max -> always kept
+    files, total = ST.prune_files(st, "no_such_col", "0", "1")
+    assert len(files) == total == len(rows)
