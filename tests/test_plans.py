@@ -276,3 +276,45 @@ def test_q181_partition_prune_plus_bucket_join(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert plan.count("Bucketed: true") == 2
+
+
+def test_q166_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q166_returned_revenue_topk"](spark, sf_dir))
+    # top-20 never becomes a full global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # nation is broadcast as promised
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q178_nested_metrics_have_no_explode(spark, sf_dir):
+    """The document-model claim: after assembly, metrics walk the
+    nested arrays in-row — the plan contains NO row generator at all
+    (an explode-based rewrite would show Generate)."""
+    plan = _plan(Q.QUERIES["q178_nested_model"](spark, sf_dir))
+    assert "Generate" not in plan
+
+
+def test_q158_vocab_mapping_is_broadcast(spark, sf_dir):
+    """The token->id join must broadcast the (tiny) vocab; a shuffled
+    join here would re-shuffle the whole token stream."""
+    plan = _plan(Q.QUERIES["q158_tokenize_ids"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q187_grouped_median_single_shuffle_no_window(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q187_monthly_median_trend"](spark, sf_dir))
+    # plain grouped percentile: one hash exchange, never a Window
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    # the year filter reaches the scan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_q137_span_dedup_no_cartesian_or_generate_explosion(spark, sf_dir):
+    plan = _plan(Q.QUERIES["q137_span_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # spans expand in-row from ONE posexplode; reassembly is array_sort,
+    # not a second generator pass
+    assert plan.count("Generate") <= 2
