@@ -8548,3 +8548,123 @@ def q187_monthly_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("median_cents"),
         )
     )
+
+
+# ------------- 130. event-transition analysis (product funnel edges)
+
+@q(
+    "q188_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events),
+    transitions AS (
+        SELECT event_type AS from_type, next_type AS to_type
+        FROM seq
+        WHERE next_type IS NOT NULL
+          AND next_ts - ts <= INTERVAL 30 MINUTE)
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM transitions GROUP BY from_type, to_type
+    ORDER BY n DESC, from_type, to_type LIMIT 15
+    """,
+)
+def q188_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-graph edges: consecutive event-type transitions per
+    user within a 30-minute gap (the same gap bound the sessionizers
+    use), counted into the top-15 transition matrix a product-analytics
+    funnel is built from. One window shuffle on user_id produces every
+    adjacent pair via lead() — never a self-join of events on
+    'next event after mine' (an inequality join that degrades
+    quadratically in per-user event count). Top-15 by count with full
+    tie-break so rank boundaries are engine-stable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    trans = seq.filter(
+        F.col("next_type").isNotNull()
+        & (
+            F.col("next_ts").cast("long") - F.col("ts").cast("long")
+            <= 30 * 60
+        )
+    )
+    return (
+        trans.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "from_type", "to_type")
+        .limit(15)
+    )
+
+
+# ------------- 131. dormancy / resurrection cohort (monthly set algebra)
+
+@q(
+    "q189_resurrected_users",
+    """
+    WITH weekly AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        FROM events),
+    w1 AS (SELECT user_id FROM weekly
+           WHERE w = TIMESTAMP '2024-01-01 00:00:00'),
+    w2 AS (SELECT user_id FROM weekly
+           WHERE w = TIMESTAMP '2024-01-08 00:00:00'),
+    w3 AS (SELECT user_id FROM weekly
+           WHERE w = TIMESTAMP '2024-01-15 00:00:00')
+    SELECT CAST((SELECT count(*) FROM w1) AS BIGINT) AS w1_active,
+           CAST((SELECT count(*) FROM w1
+                 WHERE user_id NOT IN (SELECT user_id FROM w2)) AS BIGINT)
+               AS churned_w2,
+           CAST((SELECT count(*) FROM w1
+                 WHERE user_id NOT IN (SELECT user_id FROM w2)
+                   AND user_id IN (SELECT user_id FROM w3)) AS BIGINT)
+               AS resurrected_w3
+    """,
+)
+def q189_resurrected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy/resurrection cohort: of week 1's active users, how
+    many skipped week 2 entirely and came back in week 3 — the churn
+    signal a retention team watches beyond simple cohort retention
+    (q107). ONE distinct (user, week) pre-aggregation feeds every
+    week set; membership algebra is then semi/anti joins on the
+    deduplicated sets (never EXISTS probes against raw events — the
+    weekly distinct is what bounds the join inputs at 100 TB). The
+    oracle expresses the same algebra with correlated IN/NOT IN. The
+    three tiny count aggregates crossJoin into one row (1-row sides —
+    the allowlisted scalar-broadcast shape)."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+
+    def week(ts: str) -> DataFrame:
+        return weekly.filter(F.col("w") == ts).select("user_id")
+
+    w1, w2, w3 = (
+        week("2024-01-01"),
+        week("2024-01-08"),
+        week("2024-01-15"),
+    )
+    churned = w1.join(w2, "user_id", "left_anti")
+    resurrected = churned.join(w3, "user_id", "left_semi")
+    return (
+        w1.agg(F.count(F.lit(1)).cast("long").alias("w1_active"))
+        .crossJoin(
+            churned.agg(F.count(F.lit(1)).cast("long").alias("churned_w2"))
+        )
+        .crossJoin(
+            resurrected.agg(
+                F.count(F.lit(1)).cast("long").alias("resurrected_w3")
+            )
+        )
+    )
