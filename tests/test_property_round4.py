@@ -152,3 +152,93 @@ def test_int8_cosine_scale_invariant(spark, vec, scale):
     ).collect()[0]
     assert out["c1"] is not None and out["c2"] is not None
     assert math.isclose(out["c1"], out["c2"], abs_tol=2e-2)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 100)),
+        min_size=0,
+        max_size=30,
+    ),
+    buckets=st.integers(1, 8),
+)
+@BATCH_SETTINGS
+def test_salted_join_equals_plain_join(spark, rows, buckets):
+    """Salting must never change an inner equi-join's multiset result —
+    only its physical key distribution."""
+    from ingestao_dados_poli_spark.operators import relational as R
+
+    left = spark.createDataFrame(
+        [(k, v) for k, v in rows] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(5)], "k int, w int"
+    )
+    plain = sorted(
+        tuple(r) for r in left.join(right, "k").select("k", "v", "w").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in R.salted_join(left, right, "k", salt_buckets=buckets)
+        .select("k", "v", "w")
+        .collect()
+    )
+    assert plain == salted
+
+
+@given(
+    keys=st.lists(st.text("abcde", min_size=1, max_size=6), min_size=1, max_size=40),
+    frac_pct=st.integers(0, 100),
+)
+@BATCH_SETTINGS
+def test_deterministic_sample_is_stable_and_monotone(spark, keys, frac_pct):
+    """md5-threshold sampling: membership is a pure function of the key
+    (same rows on rerun and under repartition), and a LARGER fraction's
+    sample is a superset of a smaller one — the property that makes
+    incremental mixing auditable."""
+    from ingestao_dados_poli_spark.operators import relational as R
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    frac = frac_pct / 100.0
+    a = {r["k"] for r in R.deterministic_sample(df, "k", frac).collect()}
+    b = {
+        r["k"]
+        for r in R.deterministic_sample(df.repartition(5), "k", frac).collect()
+    }
+    assert a == b
+    if frac_pct <= 90:
+        bigger = {
+            r["k"]
+            for r in R.deterministic_sample(df, "k", min(1.0, frac + 0.1)).collect()
+        }
+        assert a <= bigger
+    full = {r["k"] for r in R.deterministic_sample(df, "k", 1.0).collect()}
+    assert full == set(keys)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["p", "q", "r"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+)
+@BATCH_SETTINGS
+def test_dedup_spans_never_invents_text(spark, docs):
+    """Span dedup output is always a SUBSEQUENCE property: every
+    surviving span appears in the original doc at its original
+    position — the operator deletes, it never reorders or invents."""
+    from ingestao_dados_poli_spark.operators import corpus as CO
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in CO.dedup_spans(df, span_words=2).collect()}
+    for i, text in rows:
+        clean = out[i]["clean_text"]
+        # clean words must be a subsequence of the original words
+        orig = text.split(" ") if text else []
+        kept = clean.split(" ") if clean else []
+        it = iter(orig)
+        assert all(w in it for w in kept), (text, clean)
+        assert out[i]["n_removed"] >= 0
+        assert out[i]["n_spans"] >= out[i]["n_removed"]
