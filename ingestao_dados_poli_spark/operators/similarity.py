@@ -787,3 +787,21 @@ def ivf_index_search(
         assigned, queries, centroids, k=k, nprobe=nprobe,
         score_round=score_round, **name_cols,
     )
+
+
+def ivf_index_compact(spark, index_path: str, keep: int = 1) -> int:
+    """Fold all committed index deltas into one snapshot (still
+    hive-partitioned by centroid_id) and vacuum the olds away — bounds
+    the reader's union fan-in after many ingests, exactly like
+    `dedup.fingerprint_store_compact` does for the fingerprint store.
+    Duplicate ids across deltas (idempotent re-ingests) collapse to
+    one row. Returns the compacted version. Not safe concurrently
+    with an in-flight ingest."""
+    from ingestao_dados_poli_spark.sources import versioned
+
+    full = ivf_index_read(spark, index_path).dropDuplicates(["vec_id"])
+    version = versioned.publish(
+        spark, full, index_path, partition_by=["centroid_id"]
+    )
+    versioned.vacuum(spark, index_path, keep=keep)
+    return version

@@ -38,3 +38,52 @@ def test_ivf_index_batching_invariance_and_layout(spark, sf_dir, tmp_path):
     ra = ivf_index_search(spark, two, q, _CENTROIDS, k=4, nprobe=2, score_round=6)
     rb = ivf_index_search(spark, one, q, _CENTROIDS, k=4, nprobe=2, score_round=6)
     assert sorted(ra.collect()) == sorted(rb.collect())
+
+
+def test_ivf_index_compact_bounds_fanin_and_preserves_search(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ingestao_dados_poli_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_index_ingest,
+        ivf_index_read,
+        ivf_index_search,
+    )
+    from ingestao_dados_poli_spark.queries import _CENTROIDS
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .filter(F.col("vec_id") < 90)
+    )
+    idx = str(tmp_path / "idx")
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        ivf_index_ingest(
+            spark,
+            emb.filter(f"vec_id >= {lo} and vec_id < {hi}"),
+            _CENTROIDS,
+            idx,
+            score_round=6,
+        )
+    # idempotent re-ingest of batch 2 creates duplicate ids
+    ivf_index_ingest(
+        spark, emb.filter("vec_id >= 30 and vec_id < 60"), _CENTROIDS, idx,
+        score_round=6,
+    )
+    q = emb.filter("vec_id = 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    before = sorted(
+        ivf_index_search(spark, idx, q, _CENTROIDS, k=4,
+                         nprobe=len(_CENTROIDS), score_round=6).collect()
+    )
+    ivf_index_compact(spark, idx)
+    # one committed version remains; rows are deduplicated
+    assert V.committed_versions(spark, idx.__str__()) == [5]
+    assert ivf_index_read(spark, idx).count() == 90
+    after = sorted(
+        ivf_index_search(spark, idx, q, _CENTROIDS, k=4,
+                         nprobe=len(_CENTROIDS), score_round=6).collect()
+    )
+    assert before == after
