@@ -196,6 +196,11 @@ def main() -> None:
             "span_dedup": time_op(
                 lambda: CO.dedup_spans(docs, span_words=5)
             ),
+            # posting build is one scan + one map-side-combined shuffle
+            # of distinct (term, doc) pairs — linear in corpus size
+            "inverted_index": time_op(
+                lambda: CO.build_inverted_index(docs)
+            ),
         }
         # hash-keyed vs string-keyed boilerplate detection, timing AND
         # shuffle bytes. Measured result (the reason hash_key is NOT
@@ -286,7 +291,7 @@ def main() -> None:
     ratio_n = big / small
     scaling = {
         op: round(results["big"][op] / max(results["small"][op], 0.01), 1)
-        for op in ("exact", "span_dedup", "minhash", "minhash_hotbucket", "simhash", "jaccard", "boiler_hash", "boiler_str", "fuzzy", "embed_neardup", "interval_join")
+        for op in ("exact", "span_dedup", "inverted_index", "minhash", "minhash_hotbucket", "simhash", "jaccard", "boiler_hash", "boiler_str", "fuzzy", "embed_neardup", "interval_join")
     }
     payload = {"results": results, "size_ratio": ratio_n, "time_ratio": scaling}
     out = os.path.join(
