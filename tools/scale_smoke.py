@@ -146,6 +146,11 @@ def shuffle_write_bytes(spark) -> int:
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
     big = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    # 12 operator families x 2 sizes in ONE session accumulate enough
+    # listener/UI state that the default 16g driver heap OOMs near the
+    # end (observed at the ~190th stage); default up unless the caller
+    # already chose a size.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
