@@ -137,3 +137,28 @@ def test_udtf_plan_is_shuffle_free(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPythonUDTF" in plan or "PythonUDTF" in plan
+
+
+def test_every_oracle_sql_parses_in_duckdb():
+    """Static gate on the 186 oracle strings: each must at least PARSE
+    against empty replicas of the registered views (catches a typo'd
+    column/table or non-DuckDB syntax without waiting for the full
+    oracle run). Uses EXPLAIN — no data needed, no Spark session."""
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE TABLE {name} AS "
+            f"SELECT * FROM '/root/testdata/sf0.001/{name}.parquet' LIMIT 0"
+        )
+    bad = {}
+    for qname, sql in Q.ORACLES.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001 - collecting diagnostics
+            bad[qname] = str(exc).splitlines()[0]
+    assert not bad, bad
