@@ -10,7 +10,9 @@ in Arrow-batched numpy kernels — Spark's higher-order array folds are
 interpreted per element (~60 µs/fold), which at 32-64 folds per row
 dwarfs the math. Candidate pairs are generated IN-ROW from bucket
 groups (collect_list → pair expansion → explode), so each algorithm
-pays only its inherent shuffles.
+pays only its inherent shuffles — and the groups themselves are
+SALTED BY KEY above the bucket cap (`salted_bucket_pairs`), so no
+aggregation buffer ever holds a whole hot bucket.
 
 Scale notes (how each behaves at 100 TB):
 - exact: one shuffle on a 128-bit fingerprint; skew-free by construction
@@ -29,6 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ingestao_dados_poli_spark.functions.text import normalize_text, shingles
 from ingestao_dados_poli_spark.partitioning import fan_out
@@ -152,6 +155,95 @@ def _bucket_pairs_capped(docs_col: Column, max_bucket_size: int) -> Column:
     # Conditional branches evaluate lazily per row, so the degraded
     # expression tree costs nothing on the ≤ cap fast path.
     return F.when(n <= F.lit(max_bucket_size), full).otherwise(degraded)
+
+
+def salted_bucket_pairs(
+    banded: DataFrame,
+    group_keys: list[str],
+    doc_col: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Candidate pairs from a banded/bucketed frame as one column ``p``
+    (struct<id_a, id_b> of ``doc_col``'s struct type), with DISTRIBUTED
+    graceful degradation for hot buckets — the salt lives in the GROUP
+    KEY, so no whole bucket ever sits in one aggregation buffer.
+
+    Why not groupBy(bucket).collect_list + in-row sub-bucketing
+    (`_bucket_pairs_capped` alone, the previous design): collect_list's
+    aggregation buffer does not spill, so ONE boilerplate mega-bucket
+    (10⁸ members at 100 TB) is an executor OOM before any cap runs, and
+    the in-row chunk scan is O(size²/cap) work on a single task —
+    measured 14.2× time at 10× input in the scale smoke vs ≤3.1× for
+    every other operator.
+
+    The distributed plan, one pass over ``banded``:
+    1. a count window over ``group_keys`` annotates each row with its
+       bucket size (WindowExec's buffer spills, unlike the agg buffer);
+    2. hot rows (size > cap) get ``salt = pmod(xxhash64(doc),
+       ceil(size/cap))`` — the same member→sub-bucket assignment the
+       in-row degradation used — cold rows get salt 0;
+    3. ``groupBy(*group_keys, salt)``: each salted sub-bucket is its
+       OWN aggregation group on its own task with an expected ~cap
+       members, and grouping on a superset of the window's partition
+       keys reuses its exchange (hash-partitioning on a prefix already
+       clusters the finer key);
+    4. pairs expand in-row per sub-bucket; `_bucket_pairs_capped`
+       stays as a second-layer guard for the hash tail above cap;
+    5. connectivity: each hot sub-bucket's min doc is its anchor, and
+       a lag window over (bucket, salt-ascending) — tiny, hot groups
+       only — chains consecutive anchors so every bucket remains ONE
+       connected component for downstream clustering.
+
+    Same pair set as the former in-row degradation (same salt function,
+    same per-chunk exhaustive expansion, same min-anchors chained in
+    salt order) except that an over-cap hash tail inside a sub-bucket
+    now degrades a second time instead of expanding exhaustively —
+    strictly fewer pairs, still connected, still no false positives
+    (every emitted pair is estimate- or verify-checked downstream).
+    Degradation recall trade is unchanged — see `_bucket_pairs_capped`.
+    """
+    w = Window.partitionBy(*group_keys)
+    n_chunks = F.ceil(F.col("_bsz") / F.lit(max_bucket_size)).cast("int")
+    annotated = banded.withColumn(
+        "_bsz", F.count(F.lit(1)).over(w)
+    ).withColumn(
+        "_salt",
+        F.when(F.col("_bsz") <= F.lit(max_bucket_size), F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col(doc_col)), n_chunks).cast("int")
+        ),
+    )
+    grouped = annotated.groupBy(*group_keys, "_salt").agg(
+        F.collect_list(doc_col).alias("_docs"),
+        F.min(doc_col).alias("_anchor"),
+    )
+    # The stitch pair rides IN-ROW (concat'd onto the sub-bucket's own
+    # pair array) instead of a separate anchors branch union'd back:
+    # a union would make Spark evaluate the whole banded subtree —
+    # including the signature UDF scan — once per branch (no common-
+    # subplan sharing across union sides), doubling the dominant cost.
+    # `_prev` is non-null only when the same bucket spans ≥2 salt
+    # groups, which happens exactly for hot buckets.
+    aw = Window.partitionBy(*group_keys).orderBy("_salt")
+    lagged = grouped.withColumn("_prev", F.lag("_anchor").over(aw))
+    stitch_pair = F.when(
+        F.col("_prev") < F.col("_anchor"),
+        F.struct(F.col("_prev").alias("id_a"), F.col("_anchor").alias("id_b")),
+    ).otherwise(
+        F.struct(F.col("_anchor").alias("id_a"), F.col("_prev").alias("id_b"))
+    )
+    stitch = F.filter(
+        F.array(F.when(F.col("_prev").isNotNull(), stitch_pair)),
+        lambda x: x.isNotNull(),
+    )
+    # Size-1 groups produce an empty intra array naturally, and explode
+    # drops empty-array rows, so no pre-filter is needed.
+    return lagged.select(
+        F.explode(
+            F.concat(
+                _bucket_pairs_capped(F.col("_docs"), max_bucket_size), stitch
+            )
+        ).alias("p")
+    )
 
 
 # ---------------------------------------------------------------- exact
@@ -370,8 +462,9 @@ def minhash_candidate_pairs(
     per-bucket self-join (id_a < id_b) → dedup pairs → estimate jaccard
     from full signatures. Buckets larger than ``max_bucket_size`` (e.g.
     empty/boilerplate docs) degrade to salted sub-bucket samples plus
-    an anchor chain instead of emitting O(n²) pairs — see
-    ``_bucket_pairs_capped``; audit the size distribution with
+    an anchor chain instead of emitting O(n²) pairs — the salt lives in
+    the GROUP KEY so no task ever buffers a whole hot bucket, see
+    ``salted_bucket_pairs``; audit the size distribution with
     ``minhash_bucket_stats``.
     """
     if num_hashes % num_bands:
@@ -410,12 +503,7 @@ def minhash_candidate_pairs(
         lambda acc, v: acc + v,
     ) / F.lit(num_hashes)
     return (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list("doc").alias("docs"))
-        .filter(F.size("docs") >= 2)
-        .select(
-            F.explode(_bucket_pairs_capped(F.col("docs"), max_bucket_size)).alias("p")
-        )
+        salted_bucket_pairs(banded, ["band", "bucket"], "doc", max_bucket_size)
         .select(
             F.col("p.id_a._id").alias("id_a"),
             F.col("p.id_b._id").alias("id_b"),
@@ -616,8 +704,8 @@ def minhash_pairs_between(
     Same discipline as the self-join: signatures ride in-row into the
     (band, bucket) groups — ONE shuffle, no join-back recompute — and
     buckets larger than ``max_bucket_size`` (counting BOTH sides)
-    degrade to salted sub-bucket samples via ``_bucket_pairs_capped``
-    rather than being dropped. Pair expansion is in-row over each
+    degrade to key-salted sub-bucket samples via
+    ``salted_bucket_pairs`` rather than being dropped. Pair expansion is in-row over each
     bucket's doc list, filtered to cross-side pairs (anchor-chain
     stitch pairs between same-side anchors are filtered out with them).
     """
@@ -654,13 +742,11 @@ def minhash_pairs_between(
         lambda acc, v: acc + v,
     ) / F.lit(num_hashes)
     pairs = (
-        banded(left, 0)
-        .unionByName(banded(right, 1))
-        .groupBy("band", "bucket")
-        .agg(F.collect_list("doc").alias("docs"))
-        .filter(F.size("docs") >= 2)
-        .select(
-            F.explode(_bucket_pairs_capped(F.col("docs"), max_bucket_size)).alias("p")
+        salted_bucket_pairs(
+            banded(left, 0).unionByName(banded(right, 1)),
+            ["band", "bucket"],
+            "doc",
+            max_bucket_size,
         )
         # sides sort first in the struct, so cross-side pairs always
         # have id_a from left (side 0) and id_b from right (side 1)
@@ -765,8 +851,8 @@ def simhash_pairs(
     for which the pigeonhole recall guarantee actually covers the
     requested distance; an explicit smaller value silently misses pairs.
     Buckets larger than ``max_bucket_size`` (e.g. many empty docs all
-    hashing to sig=0) degrade to salted sub-bucket samples via
-    ``_bucket_pairs_capped`` instead of the quadratic in-row pair
+    hashing to sig=0) degrade to key-salted sub-bucket samples via
+    ``salted_bucket_pairs`` instead of the quadratic in-row pair
     expansion; every emitted pair is still exact-verified by the
     in-row hamming check, so degradation cannot admit a false match.
     """
@@ -806,11 +892,11 @@ def simhash_pairs(
     # One shuffle: group (id, sig) per chunk bucket, expand pairs in-row
     # (sorted by struct → id_a < id_b), verify hamming inside the row.
     pairs = (
-        chunks.groupBy("ci", "cv")
-        .agg(F.collect_list(F.struct("_id", "sig")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(
-            F.explode(_bucket_pairs_capped(F.col("ids"), max_bucket_size)).alias("p")
+        salted_bucket_pairs(
+            chunks.select(F.struct("_id", "sig").alias("doc"), "ci", "cv"),
+            ["ci", "cv"],
+            "doc",
+            max_bucket_size,
         )
         .select(
             F.col("p.id_a._id").alias("id_a"),
@@ -850,12 +936,21 @@ def jaccard_pairs(
     ).withColumn("n_sh", F.size("sh"))
 
     postings = docs.select("_id", "n_sh", F.explode("sh").alias("shingle"))
-    # One shuffle builds the postings; the array-size filter IS the
-    # stop-shingle cap (no window sort); pairs expand in-row.
+    # The stop-shingle cap is applied BEFORE the postings aggregation:
+    # a count window over the shingle annotates each posting row with
+    # its posting length (WindowExec's buffer spills; collect_list's
+    # does not), hot postings are filtered out, and only then does
+    # collect_list build — so the buffer never materializes a stop
+    # shingle's posting. Output is identical to filtering the collected
+    # array's size (those postings were dropped either way); grouping
+    # on the window's own partition key reuses its exchange.
+    plen = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     inter = (
-        postings.groupBy("shingle")
+        postings.withColumn("_plen", plen)
+        .filter(F.col("_plen") <= max_posting_len)
+        .groupBy("shingle")
         .agg(F.collect_list(F.struct("_id", "n_sh")).alias("ids"))
-        .filter(F.size("ids").between(2, max_posting_len))
+        .filter(F.size("ids") >= 2)
         .select(F.explode(_pairs_in_group(F.array_sort("ids"))).alias("p"))
         .groupBy(
             F.col("p.id_a._id").alias("id_a"),

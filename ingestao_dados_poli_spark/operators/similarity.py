@@ -27,7 +27,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ingestao_dados_poli_spark.functions.vectors import cosine
-from ingestao_dados_poli_spark.operators.dedup import _pairs_in_group
+from ingestao_dados_poli_spark.operators.dedup import (
+    _pairs_in_group,
+    salted_bucket_pairs,
+)
 from ingestao_dados_poli_spark.partitioning import fan_out
 
 
@@ -352,13 +355,17 @@ def embedding_near_dup_pairs(
     near-duplicate detection. LSH self-collision candidates + exact
     verify; never materializes the full pair product.
 
-    Candidates come from the same capped bucket-group pattern as
-    ``dedup.minhash_candidate_pairs`` (groupBy (table, sig) →
-    collect_list → in-row pair expansion), NOT a sig×sig self-join: one
-    map-side-combined shuffle, and ``max_bucket_size`` drops degenerate
-    signature buckets (e.g. a mass of zero/near-zero vectors all hashing
-    to sig 0) that would otherwise emit O(n²) pairs. Cost is therefore
-    bounded by buckets × cap² regardless of the signature distribution.
+    Candidates come from the same salted bucket-group pattern as
+    ``dedup.minhash_candidate_pairs`` (``dedup.salted_bucket_pairs``:
+    count window → salt in the group key → per-sub-bucket in-row pair
+    expansion → anchor-chain stitch), NOT a sig×sig self-join: one
+    shuffle, no whole-bucket aggregation buffer, and a degenerate
+    signature bucket (e.g. a mass of zero/near-zero vectors all hashing
+    to sig 0) degrades to linear sampled-but-connected pairs instead of
+    emitting O(n²) — or (pre-round-5) being dropped outright, a silent
+    recall hole exactly where embedding near-dups concentrate. Every
+    emitted pair is exact-cosine-verified against ``threshold``, so
+    degradation can never admit a false positive.
 
     ``num_planes=0, num_tables=1`` with ``max_bucket_size`` above the
     input size is the DEGENERATE-EXACT mode (recall 1.0: one bucket
@@ -394,11 +401,12 @@ def embedding_near_dup_pairs(
             ).alias("ts"),
         ).select("_id", "_v", "ts.tbl", "ts.sig")
     cands = (
-        sigs.select(F.struct("_id", "_v").alias("doc"), "tbl", "sig")
-        .groupBy("tbl", "sig")
-        .agg(F.collect_list("doc").alias("docs"))
-        .filter(F.size("docs").between(2, max_bucket_size))
-        .select(F.explode(_pairs_in_group(F.array_sort("docs"))).alias("p"))
+        salted_bucket_pairs(
+            sigs.select(F.struct("_id", "_v").alias("doc"), "tbl", "sig"),
+            ["tbl", "sig"],
+            "doc",
+            max_bucket_size,
+        )
         .select(
             F.col("p.id_a._id").alias("id_a"),
             F.col("p.id_b._id").alias("id_b"),

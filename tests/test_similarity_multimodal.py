@@ -148,9 +148,11 @@ def test_embedding_near_dup(spark):
 
 def test_embedding_near_dup_degenerate_bucket_capped(spark):
     # A corpus of N identical vectors lands in ONE signature bucket per
-    # table; the cap must bound emitted pairs at ≤ cap·(cap-1)/2, never
-    # N·(N-1)/2. With max_bucket_size below N the bucket is dropped
-    # entirely (same contract as dedup.minhash_candidate_pairs).
+    # table; the hot bucket must degrade to SAMPLED pairs — non-empty
+    # (a drop would be silent 100% recall loss exactly where embedding
+    # near-dups concentrate), well below the N·(N-1)/2 all-pairs count,
+    # and spanning all N vectors in ONE connected component (same
+    # contract as dedup.minhash_candidate_pairs).
     n = 40
     df = spark.createDataFrame(
         [(i, [1.0, 0.0, 0.0]) for i in range(n)], ["vec_id", "embedding"]
@@ -159,7 +161,18 @@ def test_embedding_near_dup_degenerate_bucket_capped(spark):
     pairs = SIM.embedding_near_dup_pairs(
         df, threshold=0.0, num_planes=4, num_tables=2, max_bucket_size=cap
     ).collect()
-    assert len(pairs) <= cap * (cap - 1) // 2
+    assert 0 < len(pairs) < n * (n - 1) // 2
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(r.id_a)] = find(r.id_b)
+    assert len({find(i) for i in range(n)}) == 1
     # with the cap above N the full pair set comes back
     full = SIM.embedding_near_dup_pairs(
         df, threshold=0.0, num_planes=4, num_tables=2, max_bucket_size=n
