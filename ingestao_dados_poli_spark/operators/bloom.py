@@ -139,12 +139,19 @@ def save_bloom(spark: SparkSession, bloom: bytes, path: str, num_hashes: int = 5
     (measured 5.9s -> 0.02s on a 256 KiB bloom). Local/NFS paths;
     object-store deployments stream the same bytes through their blob
     API instead."""
+    import glob
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics, preserved from the Spark-writer era: a path
+    # previously written by mode('overwrite') holds part-*-uuid files
+    # that this fixed-name write would NOT replace, and load_bloom's
+    # one-row read would then return an arbitrary survivor
+    for stale in glob.glob(os.path.join(path, "*.parquet")):
+        os.remove(stale)
     table = pa.table(
         {
             "bf": pa.array([bloom], type=pa.binary()),

@@ -447,8 +447,14 @@ def dedup_spans(
     """
     if span_words < 1:
         raise ValueError(f"span_words must be >= 1, got {span_words}")
+    # NULL text canonicalizes to '' BEFORE the split: split(NULL) is
+    # NULL, size(NULL) is -1, and sequence(0, n_spans-1) would then be
+    # the DESCENDING [0, -1] — two phantom NULL-span rows per null doc
+    # and a negative n_removed in the report. '' follows the normal
+    # single-empty-span path instead.
     toks = df.select(
-        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w")
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_w"),
     )
     n_spans = F.ceil(F.size("_w") / F.lit(span_words)).cast("long")
     spans_arr = F.transform(

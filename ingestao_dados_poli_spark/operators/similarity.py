@@ -746,9 +746,16 @@ def ivf_index_read(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Union of every committed index delta — the full assigned corpus.
-    One multi-directory parquet scan; filters on centroid_id prune the
-    hive partition dirs of every delta."""
+    """Union of the committed index deltas since the last compaction —
+    the full assigned corpus. One multi-directory parquet scan; filters
+    on centroid_id prune the hive partition dirs of every delta.
+
+    A compaction publishes the WHOLE folded index as one snapshot whose
+    commit marker carries ``base: true`` (`ivf_index_compact`); deltas
+    before the newest base are superseded, so the union starts there —
+    unioning them too would duplicate every pre-compaction row whenever
+    ``vacuum(keep>1)`` retains them, and duplicate ids would fill top-k
+    slots twice."""
     from functools import reduce
 
     from ingestao_dados_poli_spark.sources import versioned
@@ -756,6 +763,13 @@ def ivf_index_read(
     versions = versioned.committed_versions(spark, index_path)
     if not versions:
         raise FileNotFoundError(f"no committed index under {index_path}")
+    bases = [
+        v
+        for v in versions
+        if versioned.snapshot_marker(spark, index_path, v).get("base")
+    ]
+    if bases:
+        versions = [v for v in versions if v >= bases[-1]]
     # one read PER delta, each with its own basePath: a single
     # multi-path read would try to unify partition discovery across
     # version roots (v=N and centroid_id both look like partitions)
@@ -797,19 +811,36 @@ def ivf_index_search(
     )
 
 
-def ivf_index_compact(spark, index_path: str, keep: int = 1) -> int:
+def ivf_index_compact(
+    spark,
+    index_path: str,
+    keep: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
     """Fold all committed index deltas into one snapshot (still
     hive-partitioned by centroid_id) and vacuum the olds away — bounds
     the reader's union fan-in after many ingests, exactly like
     `dedup.fingerprint_store_compact` does for the fingerprint store.
     Duplicate ids across deltas (idempotent re-ingests) collapse to
     one row. Returns the compacted version. Not safe concurrently
-    with an in-flight ingest."""
+    with an in-flight ingest.
+
+    The compacted snapshot commits with ``base: true`` in its marker;
+    `ivf_index_read` unions only deltas from the newest base onward, so
+    ``keep > 1`` (retaining superseded deltas for pinned reads) no
+    longer duplicates pre-compaction rows in the live index."""
     from ingestao_dados_poli_spark.sources import versioned
 
-    full = ivf_index_read(spark, index_path).dropDuplicates(["vec_id"])
+    full = ivf_index_read(
+        spark, index_path, id_col=id_col, vec_col=vec_col
+    ).dropDuplicates([id_col])
     version = versioned.publish(
-        spark, full, index_path, partition_by=["centroid_id"]
+        spark,
+        full,
+        index_path,
+        partition_by=["centroid_id"],
+        marker_extra={"base": True},
     )
     versioned.vacuum(spark, index_path, keep=keep)
     return version

@@ -42,6 +42,7 @@ import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ingestao_dados_poli_spark.sources import fs
@@ -116,12 +117,49 @@ def snapshot_schema(spark: SparkSession, path: str, version: int) -> StructType 
         return None
 
 
+def snapshot_marker(spark: SparkSession, path: str, version: int) -> dict:
+    """The full commit-marker payload of a committed version ({} for
+    legacy one-line markers). Carries the schema/layout contract plus
+    any ``marker_extra`` the publisher recorded (e.g. a compaction's
+    ``base`` flag)."""
+    marker = f"{path}/v={version}/{_MARKER}"
+    if not fs.exists(spark, marker):
+        raise FileNotFoundError(
+            f"version {version} under {path} is absent or uncommitted"
+        )
+    try:
+        payload = json.loads(fs.read_text(spark, marker))
+        return payload if isinstance(payload, dict) else {}
+    except ValueError:
+        return {}
+
+
+def snapshot_partitioning(
+    spark: SparkSession, path: str, version: int
+) -> list[str] | None:
+    """The hive ``partition_by`` layout recorded in a committed
+    version's marker, or None when the snapshot was published
+    unpartitioned (or before the layout contract existed)."""
+    marker = f"{path}/v={version}/{_MARKER}"
+    if not fs.exists(spark, marker):
+        raise FileNotFoundError(
+            f"version {version} under {path} is absent or uncommitted"
+        )
+    try:
+        payload = json.loads(fs.read_text(spark, marker))
+        cols = payload.get("partition_by")
+        return list(cols) if cols else None
+    except (ValueError, AttributeError, TypeError):
+        return None
+
+
 def publish(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     allow_schema_change: bool = False,
     partition_by: list[str] | None = None,
+    marker_extra: dict | None = None,
     **writer_options: str,
 ) -> int:
     """Write ``df`` as the next snapshot version and commit it with an
@@ -168,10 +206,18 @@ def publish(
     for k, v in writer_options.items():
         writer = writer.option(k, v)
     writer.parquet(vdir)
-    marker = json.dumps(
-        {"version": n, "schema": json.loads(df.schema.json())},
-        ensure_ascii=False,
-    )
+    payload = {"version": n, "schema": json.loads(df.schema.json())}
+    if marker_extra:
+        reserved = {"version", "schema", "partition_by"} & set(marker_extra)
+        if reserved:
+            raise ValueError(f"marker_extra may not override {sorted(reserved)}")
+        payload.update(marker_extra)
+    if partition_by:
+        # layout contract: record the hive layout so maintenance
+        # rewrites (erase_rows, compaction) can republish with the SAME
+        # partitioning instead of silently flattening the table
+        payload["partition_by"] = list(partition_by)
+    marker = json.dumps(payload, ensure_ascii=False)
     # atomic create, no overwrite — the commit point
     fs.write_text(spark, f"{vdir}/{_MARKER}", marker + "\n", overwrite=False)
     return n
@@ -230,6 +276,21 @@ def erase_rows(
     when). Returns the new version. Cost is one filtered rewrite of
     the live snapshot — at 100 TB, partition/cluster the table by the
     erasure key so the rewrite prunes to affected files (cf.
-    sources/stats.py)."""
-    live = read_latest(spark, path)
-    return publish(spark, live.filter(~predicate), path)
+    sources/stats.py).
+
+    Three-valued logic: a row where ``predicate`` evaluates to NULL
+    (e.g. ``col('email') == 'x'`` with a NULL email) must be KEPT —
+    erasure removes exactly the rows that provably match. A bare
+    ``filter(~predicate)`` would silently drop them (``~NULL`` is
+    NULL), deleting unrelated rows in a compliance operation; the
+    coalesce pins NULL to "not erased". The republish reuses the
+    layout recorded in the live snapshot's commit marker, so an
+    erasure pass never flattens a partitioned table."""
+    n = latest_version(spark, path)
+    if n is None:
+        raise FileNotFoundError(f"no published version under {path}")
+    live = read_version(spark, path, n)
+    keep = live.filter(~F.coalesce(predicate, F.lit(False)))
+    return publish(
+        spark, keep, path, partition_by=snapshot_partitioning(spark, path, n)
+    )

@@ -48,3 +48,27 @@ def test_bloom_save_load_roundtrip(spark, tmp_path):
     assert loaded == bf and nh == 7
     kept = {r.id for r in B.bloom_prune(spark.range(64), "id", loaded, nh).collect()}
     assert kept == set(range(64))
+
+
+def test_bloom_save_is_overwrite(spark, tmp_path):
+    """save_bloom must clear stale parquet in the destination (the old
+    Spark writer left part-*-uuid files a fixed-name write would not
+    replace, and load_bloom's one-row read would then return an
+    arbitrary survivor)."""
+    import glob
+    import os
+
+    dim = spark.range(0, 64)
+    old = B.build_key_bloom(dim, "id", num_bits=1 << 13, num_hashes=7)
+    path = str(tmp_path / "bf_over.parquet")
+    # simulate the old Spark-writer layout: a uuid-named part file
+    B.save_bloom(spark, old, path, num_hashes=7)
+    os.rename(
+        os.path.join(path, "part-00000.parquet"),
+        os.path.join(path, "part-00000-deadbeef.c000.snappy.parquet"),
+    )
+    new = B.build_key_bloom(spark.range(64, 128), "id", num_bits=1 << 13, num_hashes=5)
+    B.save_bloom(spark, new, path, num_hashes=5)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 1
+    loaded, nh = B.load_bloom(spark, path)
+    assert loaded == new and nh == 5

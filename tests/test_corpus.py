@@ -283,3 +283,19 @@ def test_dedup_spans_order_preserved_across_many_spans(spark):
     df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
     out = CO.dedup_spans(df, span_words=1).collect()[0]
     assert out["clean_text"] == words
+
+
+def test_dedup_spans_null_text_no_phantom_spans(spark):
+    """A NULL text doc must follow the empty-string path (one empty
+    span kept, n_removed 0) — split(NULL) is NULL, size(NULL) is -1,
+    and the un-coalesced sequence(0, -1) emitted the DESCENDING
+    [0, -1]: two phantom NULL-span rows and a negative n_removed."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "real words here to keep around")],
+        "doc_id: bigint, text: string",
+    )
+    out = {r.doc_id: r for r in CO.dedup_spans(df, span_words=3).collect()}
+    assert out[1].clean_text == ""
+    assert out[1].n_removed == 0
+    assert out[1].n_spans >= 0
+    assert out[2].clean_text == "real words here to keep around"

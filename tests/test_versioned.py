@@ -205,3 +205,29 @@ def test_erasure_completes_only_after_vacuum(spark, sf_dir, tmp_path):
     with _pytest.raises(FileNotFoundError):
         V.read_version(spark, path, 1)
     assert V.read_latest(spark, path).filter("user_id = 0").count() == 0
+
+
+def test_erase_rows_null_predicate_keeps_rows_and_layout(spark, tmp_path):
+    """Three-valued logic in compliance erasure: rows where the erase
+    predicate evaluates to NULL (NULL email here) must SURVIVE — a bare
+    filter(~pred) would silently delete them. And the republish must
+    reuse the recorded hive layout instead of flattening the table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    df = spark.createDataFrame(
+        [(1, "a@x", "br"), (2, None, "br"), (3, "gone@x", "us"), (4, None, "us")],
+        "uid: bigint, email: string, region: string",
+    )
+    path = str(tmp_path / "gdpr_nulls")
+    V.publish(spark, df, path, partition_by=["region"])
+    assert V.snapshot_partitioning(spark, path, 1) == ["region"]
+    v2 = V.erase_rows(spark, path, F.col("email") == "gone@x")
+    live = V.read_latest(spark, path)
+    assert sorted(r.uid for r in live.collect()) == [1, 2, 4]  # NULLs kept
+    # layout threaded through: the new snapshot is hive-partitioned too
+    assert V.snapshot_partitioning(spark, path, v2) == ["region"]
+    assert os.path.isdir(os.path.join(path, f"v={v2}", "region=br"))
