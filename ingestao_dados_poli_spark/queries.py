@@ -37,6 +37,7 @@ from ingestao_dados_poli_spark.operators import multimodal as MM
 from ingestao_dados_poli_spark.operators import relational as R
 from ingestao_dados_poli_spark.operators import similarity as SIM
 from ingestao_dados_poli_spark.partitioning import fan_out
+from ingestao_dados_poli_spark.session import scoped_conf
 from ingestao_dados_poli_spark import quality as Q
 from ingestao_dados_poli_spark.quality import null_counts
 
@@ -1275,34 +1276,37 @@ def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema
-    # FileStreamSource wants a DIRECTORY; glob-filter to the one table.
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .transform(_events_ts)
-    )
-    agg = tumbling_counts(src, window_len="1 hour", watermark="10 minutes")
-    name = f"q46_sink_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, 8):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="q46_ck_"))
-            .trigger(availableNow=True)
-            .start()
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        path = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(path).schema
+        # FileStreamSource wants a DIRECTORY; glob-filter to the one table.
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(_events_ts)
         )
-        query.awaitTermination(300)
-    return spark.table(name).select(
-        F.col("window_start").cast("string").alias("window_start"),
-        "event_type",
-        "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
-    )
+        agg = tumbling_counts(src, window_len="1 hour", watermark="10 minutes")
+        name = f"q46_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q46_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        return spark.table(name).select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
 
 
 # ------------------------------------------------ 20. IVF quantization
@@ -2578,35 +2582,38 @@ def q75_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .transform(_events_ts)
-    )
-    agg = sliding_avg(
-        src, window_len="1 hour", slide="30 minutes", watermark="10 minutes"
-    )
-    name = f"q75_sink_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, 8):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="q75_ck_"))
-            .trigger(availableNow=True)
-            .start()
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        path = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(path).schema
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(_events_ts)
         )
-        query.awaitTermination(300)
-    return spark.table(name).select(
-        F.col("window_start").cast("string").alias("window_start"),
-        "event_type",
-        "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
-    )
+        agg = sliding_avg(
+            src, window_len="1 hour", slide="30 minutes", watermark="10 minutes"
+        )
+        name = f"q75_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q75_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        return spark.table(name).select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
 
 
 @q(
@@ -2675,38 +2682,41 @@ def q78_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
-    def src():
+        def src():
+            return (
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                .transform(_events_ts)
+            )
+
+        doubled = src().unionByName(src())
+        deduped = dedup_stream(doubled, ["event_id"])
+        name = f"q78_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q78_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
         return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .transform(_events_ts)
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
         )
-
-    doubled = src().unionByName(src())
-    deduped = dedup_stream(doubled, ["event_id"])
-    name = f"q78_sink_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, 8):
-        query = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="q78_ck_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
-    return (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-    )
 
 
 @q(
@@ -3167,44 +3177,47 @@ def q89_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .transform(_events_ts)
-    )
-    dim = F.broadcast(
-        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    )
-    agg = (
-        src.withWatermark("ts", "10 minutes")
-        .join(dim, F.col("user_id") == F.col("c_custkey"))
-        .groupBy(F.window("ts", "6 hours"), "c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        path = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(path).schema
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(_events_ts)
         )
-    )
-    name = f"q89_sink_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, 8):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="q89_ck_"))
-            .trigger(availableNow=True)
-            .start()
+        dim = F.broadcast(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
         )
-        query.awaitTermination(300)
-    return spark.table(name).select(
-        F.col("window.start").cast("string").alias("window_start"),
-        "c_mktsegment",
-        "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
-    )
+        agg = (
+            src.withWatermark("ts", "10 minutes")
+            .join(dim, F.col("user_id") == F.col("c_custkey"))
+            .groupBy(F.window("ts", "6 hours"), "c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        name = f"q89_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q89_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        return spark.table(name).select(
+            F.col("window.start").cast("string").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
 
 
 # ------------------------------- 43. mergeable sketch rollup (HLL)
@@ -3362,45 +3375,48 @@ def q92_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
-    def ev_stream() -> DataFrame:
-        return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .transform(_events_ts)
-        )
+        def ev_stream() -> DataFrame:
+            return (
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                .transform(_events_ts)
+            )
 
-    errors = ev_stream().filter(F.col("event_type") == "error").select(
-        "user_id", "ts", F.col("event_id").alias("err_id")
-    )
-    clicks = ev_stream().filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
-    )
-    joined = interval_join_streams(
-        errors, clicks, keys=["user_id"], lookback="60 minutes",
-        watermark="30 minutes",
-    )
-    name = f"q92_sink_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, 8):
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="q92_ck_"))
-            .trigger(availableNow=True)
-            .start()
+        errors = ev_stream().filter(F.col("event_type") == "error").select(
+            "user_id", "ts", F.col("event_id").alias("err_id")
         )
-        query.awaitTermination(300)
-    return spark.table(name).select(
-        "err_id",
-        "click_id",
-        F.col("l_user_id").alias("user_id"),
-        F.col("l_ts").cast("string").alias("err_ts"),
-        F.col("r_ts").cast("string").alias("click_ts"),
-    )
+        clicks = ev_stream().filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        joined = interval_join_streams(
+            errors, clicks, keys=["user_id"], lookback="60 minutes",
+            watermark="30 minutes",
+        )
+        name = f"q92_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q92_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        return spark.table(name).select(
+            "err_id",
+            "click_id",
+            F.col("l_user_id").alias("user_id"),
+            F.col("l_ts").cast("string").alias("err_ts"),
+            F.col("r_ts").cast("string").alias("click_ts"),
+        )
 
 
 # ------------------------------------------ 46. EWMA (exact window math)
@@ -6533,34 +6549,37 @@ def q152_streaming_session_window(
         state_partitions,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .transform(_events_ts)
-    )
-    agg = session_window_counts(src, gap="30 minutes", watermark="10 minutes")
-    name = f"q152_sink_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, 8):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="q152_ck_"))
-            .trigger(availableNow=True)
-            .start()
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        path = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(path).schema
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(_events_ts)
         )
-        query.awaitTermination(300)
-    return spark.table(name).select(
-        "user_id",
-        F.col("session_start").cast("string").alias("session_start"),
-        F.col("session_end").cast("string").alias("session_end"),
-        "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
-    )
+        agg = session_window_counts(src, gap="30 minutes", watermark="10 minutes")
+        name = f"q152_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q152_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        return spark.table(name).select(
+            "user_id",
+            F.col("session_start").cast("string").alias("session_start"),
+            F.col("session_end").cast("string").alias("session_end"),
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
 
 
 # ------------- 95. keep-best-duplicate dedup (quality-ranked survivor)
