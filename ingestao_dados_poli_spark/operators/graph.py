@@ -8,16 +8,18 @@ distributed, so a 100 TB dedup run can pick one canonical document per
 cluster (the min-id member) instead of greedily dropping pair-by-pair
 (which over- or under-deletes depending on pair order).
 
-Two algorithms, selected per graph shape (``algorithm=`` on
-``connected_components``): min-label flooding (default — rounds =
+Two algorithms, AUTO-SELECTED per graph shape (``algorithm="auto"``
+default on ``connected_components``): min-label flooding (rounds =
 diameter, one join+groupBy per round, right for the quasi-clique
 graphs similarity thresholds produce) and the alternating
 large-star/small-star contraction of Kiveris et al., "Connected
 Components in MapReduce and Beyond" (rounds = O(log n) on any shape,
 two join+groupBy passes per round — the hedge for chain-structured
-graphs where diameter explodes). Both cut lineage per round with
-``localCheckpoint`` and detect convergence with scalar aggregates
-only; both are property-tested equivalent on random graphs.
+graphs where diameter explodes). Auto mode probes with a few flood
+rounds and falls back to star when convergence stalls. Both cut
+lineage per round with ``localCheckpoint`` and detect convergence
+with scalar aggregates only; both are property-tested equivalent on
+random graphs.
 
 Convergence is detected with a single scalar aggregate per round
 (sum of labels strictly decreases until fixpoint) — no driver-side
@@ -37,7 +39,8 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iter: int = 25,
-    algorithm: str = "flood",
+    algorithm: str = "auto",
+    probe_rounds: int = 5,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable from node.
 
@@ -46,10 +49,10 @@ def connected_components(
     isolated nodes appear as singleton components; defaults to the
     nodes present in ``edges``.
 
-    Two interchangeable algorithms (property-tested equivalent in
+    Three modes (flood and star are property-tested equivalent in
     ``test_graph.py``):
 
-    - ``"flood"`` (default): min-label flooding, one equi-join + one
+    - ``"flood"``: min-label flooding, one equi-join + one
       map-side-combined groupBy per round; rounds = graph DIAMETER.
       Right for dedup graphs (similarity thresholds produce
       quasi-cliques, diameter 2-4).
@@ -62,21 +65,35 @@ def connected_components(
       (diameter 255) converges in 8 star rounds where flooding needs
       256; on a dense 40-node random graph (quasi-clique, the dedup
       shape) star takes 2 rounds vs flooding's 4, but each star round
-      is ~2× the work — flooding stays the default for dedup.
+      is ~2× the work.
+    - ``"auto"`` (default): probe with ``probe_rounds`` flooding
+      rounds — a dedup-shaped graph converges inside the probe and
+      keeps flooding's cheaper rounds; if the label sum is still
+      moving at the probe limit the graph is high-diameter and the
+      run switches to star. Worst case wastes the probe (a handful
+      of cheap rounds) before star's log-round guarantee takes over;
+      callers no longer need to know their graph's shape to avoid
+      the diameter cliff.
 
-    Both detect convergence with one scalar aggregate per round —
+    All modes detect convergence with one scalar aggregate per round —
     no driver-side data collection beyond a handful of numbers.
     """
-    if algorithm not in ("flood", "star"):
-        raise ValueError(f"algorithm must be 'flood' or 'star', got {algorithm!r}")
+    if algorithm not in ("auto", "flood", "star"):
+        raise ValueError(
+            f"algorithm must be 'auto', 'flood' or 'star', got {algorithm!r}"
+        )
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)  # reused every round: cut the source plan
 
     if algorithm == "star":
         out = _cc_star(sym, max_iter)
-    else:
+    elif algorithm == "flood":
         out = _cc_flood(sym, max_iter)
+    else:
+        out = _cc_flood(sym, probe_rounds, bail_if_unconverged=True)
+        if out is None:
+            out = _cc_star(sym, max_iter)
 
     if nodes is not None:
         all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
@@ -87,15 +104,23 @@ def connected_components(
     return out
 
 
-def _cc_flood(sym: DataFrame, max_iter: int) -> DataFrame:
+def _cc_flood(
+    sym: DataFrame, max_iter: int, bail_if_unconverged: bool = False
+) -> DataFrame | None:
     """Min-label flooding over a symmetrized edge frame. Floods ONLY
     nodes that appear in some edge — in a dedup run the matched nodes
     are a small fraction of the corpus, and isolated nodes can never
-    change label (they're appended as singletons by the caller)."""
+    change label (they're appended as singletons by the caller).
+
+    With ``bail_if_unconverged`` (the auto-mode probe) returns None
+    when the label sum is still strictly decreasing after ``max_iter``
+    rounds — the high-diameter signal that sends the caller to the
+    star contraction instead of flooding for diameter-many rounds."""
     labels = sym.select(F.col("a").alias("node")).distinct()
     labels = labels.withColumn("label", F.col("node"))
 
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neighbor = sym.join(
             labels, sym["a"] == labels["node"]
@@ -108,9 +133,12 @@ def _cc_flood(sym: DataFrame, max_iter: int) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
 
+    if bail_if_unconverged and not converged:
+        return None
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -8687,3 +8687,97 @@ def q189_resurrected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ------------- 132. streaming MV maintenance behind the quality publish gate
+
+@q(
+    "q190_streaming_gated_mv",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total
+    FROM events
+    WHERE event_id % 4 <> 2
+    GROUP BY event_type
+    """,
+)
+def q190_streaming_gated_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q154's aggregate-state maintenance with the batch publish gate's
+    quality discipline wired into the stream
+    (`streaming.quality_gated_foreach_batch`): each micro-batch stages
+    once with the suite's aggregates riding the write (observe_suite —
+    zero extra passes), and only a `certified` batch folds into the MV
+    state; a degraded batch moves to quarantine with its report. The
+    changelog is sharded on event_id % 4 and shard 2 is corrupted
+    (event_type nulled), so exactly one micro-batch must quarantine and
+    the final MV must equal the batch aggregate over the OTHER three
+    shards — which is what the oracle computes. Self-asserting (q129
+    pattern): the query itself fails if the quarantine row count
+    doesn't equal shard 2's, so a silently-published degraded batch
+    can't return plausible rows."""
+    import tempfile
+
+    from ingestao_dados_poli_spark.operators import incremental as IC
+    from ingestao_dados_poli_spark.quality import Rule, Suite
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        quality_gated_foreach_batch,
+        state_partitions,
+    )
+
+    keys, measures = ["event_type"], ["value"]
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q190_")
+    shard_dir = f"{work}/shards"
+    shard = F.pmod(F.col("event_id"), F.lit(4))
+    for i in range(4):
+        part = ev.filter(shard == i)
+        if i == 2:  # the planted degraded batch
+            part = part.withColumn("event_type", F.lit(None).cast("string"))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{shard_dir}/s={i}")
+    n_bad = ev.filter(shard == 2).count()
+
+    state: list[DataFrame] = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = IC.partial_aggregate(batch_df, keys, measures)
+        merged = (
+            IC.merge_aggregates(state[-1], delta, keys, measures)
+            if state
+            else delta
+        )
+        out = f"{work}/state_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        state.append(batch_df.sparkSession.read.parquet(out))
+
+    body = quality_gated_foreach_batch(
+        Suite("gated_mv", [Rule("not_null", "event_type")]),
+        fold,
+        quarantine_dir=f"{work}/quarantine",
+        staging_dir=f"{work}/staging",
+    )
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{shard_dir}/s=*")
+    )
+    with state_partitions(spark, 8):
+        q_ = (
+            src.writeStream.foreachBatch(body)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    quarantined = spark.read.parquet(f"{work}/quarantine/batch_id=*").count()
+    if quarantined != n_bad:
+        raise AssertionError(
+            f"publish gate leaked: quarantined {quarantined} rows, "
+            f"expected the whole degraded shard ({n_bad})"
+        )
+    final = IC.finalize(state[-1], measures)
+    return final.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("value_sum", 2).alias("total"),
+    )

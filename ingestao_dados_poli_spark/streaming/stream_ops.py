@@ -365,6 +365,72 @@ def write_stream_parquet(
     return writer.start()
 
 
+def quality_gated_foreach_batch(
+    suite,
+    publish_fn,
+    quarantine_dir: str,
+    staging_dir: str,
+    reports: list | None = None,
+):
+    """foreachBatch body with the batch publish gate's quality
+    discipline (``quality.py`` / ``versioned.publish`` composition) —
+    closes the hole where a streaming MV maintenance sink published
+    every micro-batch unconditionally while the batch path refused
+    uncertified data.
+
+    Stage → observe → promote, so the gate costs ZERO extra passes
+    over the batch (the suite's aggregates ride the staging write via
+    ``observe_suite``; a ``validate`` call would re-scan every batch):
+
+    1. the micro-batch writes ONCE to ``staging_dir/batch_id=N`` with
+       the observation attached;
+    2. the report's suite-level ``certified`` verdict decides:
+       certified → ``publish_fn(staged_df, batch_id)`` runs on the
+       RE-READ staged parquet (publish consumes materialized data, no
+       recompute of the batch plan); degraded → the staged files MOVE
+       to ``quarantine_dir/batch_id=N`` (a metadata rename, the rows
+       are preserved for triage) with ``_report.json`` beside them,
+       and publish_fn never runs for that batch.
+
+    ``reports`` (optional list) collects ``(batch_id, report)`` per
+    batch. Gate keys on ``certified``, not ``success`` — same contract
+    as the batch gate: sketch-tolerant unique checks must not promote
+    data. Exactly-once note: promotion state lives in publish_fn's own
+    idempotence (e.g. versioned publish / state overwrite keyed by
+    batch_id), matching foreachBatch's at-least-once replay contract —
+    a replayed batch re-stages and re-verdicts deterministically.
+    """
+    import json as _json
+    import os
+    import shutil
+
+    from ingestao_dados_poli_spark.quality import observe_suite
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        observed, finish = observe_suite(batch_df, suite)
+        staged = os.path.join(staging_dir, f"batch_id={batch_id}")
+        observed.write.mode("overwrite").parquet(staged)
+        report = finish()
+        if reports is not None:
+            reports.append((batch_id, report))
+        if report.get("certified"):
+            publish_fn(
+                batch_df.sparkSession.read.parquet(staged), batch_id
+            )
+            shutil.rmtree(staged, ignore_errors=True)
+        else:
+            dst = os.path.join(quarantine_dir, f"batch_id={batch_id}")
+            os.makedirs(quarantine_dir, exist_ok=True)
+            shutil.rmtree(dst, ignore_errors=True)  # replayed batch
+            shutil.move(staged, dst)
+            with open(
+                os.path.join(dst, "_report.json"), "w", encoding="utf-8"
+            ) as fh:
+                _json.dump(report, fh, ensure_ascii=False, indent=2)
+
+    return body
+
+
 def running_totals_tws(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -127,3 +127,37 @@ def test_triangle_count_known_graphs(spark):
     assert tri([(1, 2), (2, 3), (3, 4)]) == 0
     # self-loops are ignored
     assert tri([(1, 1), (1, 2), (2, 3), (3, 1)]) == 1
+
+
+def test_auto_selects_flood_for_clique_and_star_for_path(spark, monkeypatch):
+    """algorithm='auto' (the default) must keep flooding on a dedup-
+    shaped quasi-clique (converges inside the probe) and switch to the
+    star contraction on a high-diameter path graph — callers should
+    never have to know their graph's shape to dodge the diameter
+    cliff. Asserted by instrumenting _cc_star, plus correctness of
+    the result either way."""
+    calls = []
+    real_star = G._cc_star
+
+    def spy_star(sym, max_iter):
+        calls.append("star")
+        return real_star(sym, max_iter)
+
+    monkeypatch.setattr(G, "_cc_star", spy_star)
+
+    # quasi-clique: K6 — diameter 1, probe converges, no star call
+    k6 = spark.createDataFrame(
+        [(i, j) for i in range(6) for j in range(i + 1, 6)], ["src", "dst"]
+    )
+    comps = G.connected_components(k6).collect()
+    assert {r.component for r in comps} == {0} and len(comps) == 6
+    assert calls == []
+
+    # adversarial path: diameter 63 >> probe_rounds — must pick star
+    n = 64
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    comps = G.connected_components(path).collect()
+    assert {r.component for r in comps} == {0} and len(comps) == n
+    assert calls == ["star"]

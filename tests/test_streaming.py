@@ -288,3 +288,72 @@ def test_rocksdb_state_store(spark, event_dir, tmp_path):
     assert ops, progress
     custom = ops[0].get("customMetrics", {})
     assert any(k.startswith("rocksdb") for k in custom), custom
+
+
+def test_quality_gated_foreach_batch_quarantines_degraded(spark, tmp_path):
+    """The streaming publish gate: a micro-batch that fails the suite
+    (NULL event_type against a not_null rule) must land in quarantine
+    with its report — NOT in the published state — while certified
+    batches publish normally. Mirrors the batch versioned.publish
+    gate's `certified` contract."""
+    import json
+    import os
+
+    from ingestao_dados_poli_spark.quality import Rule, Suite
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        quality_gated_foreach_batch,
+    )
+
+    shard_dir = str(tmp_path / "shards")
+    # 3 single-file shards = 3 micro-batches; shard 1 is degraded
+    good1 = spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)],
+                                  "event_id: bigint, event_type: string, value: double")
+    bad = spark.createDataFrame([(3, None, 4.0)],
+                                "event_id: bigint, event_type: string, value: double")
+    good2 = spark.createDataFrame([(4, "click", 8.0)],
+                                  "event_id: bigint, event_type: string, value: double")
+    for i, df in enumerate([good1, bad, good2]):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{shard_dir}/s={i}")
+
+    published: list = []
+    reports: list = []
+    body = quality_gated_foreach_batch(
+        Suite("gate", [Rule("not_null", "event_type")]),
+        lambda df, bid: published.append(
+            sorted((r.event_id, r.event_type) for r in df.collect())
+        ),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        staging_dir=str(tmp_path / "staging"),
+        reports=reports,
+    )
+    src = (
+        spark.readStream.schema(good1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{shard_dir}/s=*")
+    )
+    q_ = (
+        src.writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination(300)
+
+    flat = sorted(x for batch in published for x in batch)
+    assert flat == [(1, "click"), (2, "view"), (4, "click")]  # bad row never published
+    assert len(reports) == 3
+    assert sum(1 for _, r in reports if not r["certified"]) == 1
+    qdirs = os.listdir(str(tmp_path / "quarantine"))
+    assert len(qdirs) == 1
+    qpath = os.path.join(str(tmp_path / "quarantine"), qdirs[0])
+    rows = spark.read.parquet(qpath).collect()
+    assert [r.event_id for r in rows] == [3]
+    with open(os.path.join(qpath, "_report.json")) as fh:
+        rep = json.load(fh)
+    assert rep["certified"] is False
+    # staging fully drained: promoted batches cleaned up
+    left = [
+        d for d in os.listdir(str(tmp_path / "staging"))
+        if not d.startswith(("_", "."))
+    ] if os.path.isdir(str(tmp_path / "staging")) else []
+    assert left == []
