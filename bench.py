@@ -21,6 +21,14 @@ same unchanged plan), and the minimum of two runs is the standard way
 to read through that to the actual plan cost. Both statistics are
 emitted: "value"/"queries" are best-of-2, "cold_sum"/"cold_queries"
 are the first-run times (which include per-query codegen compilation).
+
+Outlier isolation: `python bench.py --isolate q131 q182` re-times just
+those queries in a FRESH session with the same warmup, printing one
+JSON line (no BENCH_local.json rewrite). Neighbor contention in the
+full 190-query run inflates individual readings (a 26 s query was
+measured doubling its neighbors' times in round 4); before optimizing
+a bench outlier, re-time it isolated — if the isolated time is normal,
+the "regression" is scheduling noise, not the plan.
 """
 
 from __future__ import annotations
@@ -36,6 +44,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     from ingestao_dados_poli_spark import queries as q
     from ingestao_dados_poli_spark.session import get_spark
+
+    isolate: list[str] = []
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        prefixes = sys.argv[2:]
+        if not prefixes:
+            raise SystemExit("--isolate needs at least one query name/prefix")
+        isolate = [
+            name
+            for name in q.QUERIES
+            if any(name == p or name.startswith(p) for p in prefixes)
+        ]
+        missing = [
+            p
+            for p in prefixes
+            if not any(n == p or n.startswith(p) for n in q.QUERIES)
+        ]
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -62,6 +88,24 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
+
+    if isolate:
+        iso_best: dict[str, float] = {}
+        for name in isolate:
+            t1 = run_once(q.QUERIES[name])
+            t2 = run_once(q.QUERIES[name])
+            iso_best[name] = round(min(t1, t2), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "isolated_query_wall_seconds",
+                    "queries": iso_best,
+                    "unit": "sec",
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                }
+            )
+        )
+        return
 
     cold: dict[str, float] = {}
     best: dict[str, float] = {}
