@@ -1400,10 +1400,50 @@ def q49_stratified_sample(
     primitive. ``fractions`` is an explicit config dict; the
     plan-building path has NO driver collect. The REPRODUCIBLE variant
     — membership by md5 hash threshold, identical across engines and
-    fully value-oracled — is q134_deterministic_mix."""
+    fully value-oracled — is q134_deterministic_mix.
+
+    Self-asserting (q129 pattern — the sampling itself can't be
+    value-oracled, so the query carries its own proof): (a) the
+    fraction-1.0 stratum must come back COMPLETE, (b) every sampled
+    stratum count must lie within 6-sigma binomial bounds of
+    fraction·n (a wrong-fraction or wrong-stratum regression lands
+    far outside), (c) re-running the sample with the same seed must
+    reproduce the per-stratum counts exactly (seeded determinism —
+    the property that makes a sampled training mix re-buildable).
+    The probes are tiny aggregates (one row per stratum)."""
+    import math
+
     docs = _t(spark, sf_dir, "documents")
-    sampled = R.stratified_sample(docs, "source", fractions or Q49_MIX_FRACTIONS)
-    return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+    fr = fractions or Q49_MIX_FRACTIONS
+    sampled = R.stratified_sample(docs, "source", fr)
+    out = sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+    totals = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r.source: r.n_sampled for r in out.collect()}
+    rerun = {
+        r.source: r.n_sampled
+        for r in R.stratified_sample(docs, "source", fr)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .collect()
+    }
+    if got != rerun:
+        raise AssertionError(f"seeded sample not deterministic: {got} != {rerun}")
+    for src, n in totals.items():
+        f = fr.get(src, 0.0)
+        k = got.get(src, 0)
+        if f >= 1.0 and k != n:
+            raise AssertionError(f"fraction-1.0 stratum {src} incomplete: {k}/{n}")
+        sigma = math.sqrt(n * f * (1 - f))
+        if abs(k - n * f) > 6 * sigma + 1:
+            raise AssertionError(
+                f"stratum {src}: sampled {k} of {n} at f={f} "
+                f"(expected {n * f:.1f} ± {6 * sigma:.1f})"
+            )
+    return out
 
 
 # ------------------------------------------- 22. null-safe / bag / regex
@@ -1619,12 +1659,31 @@ def q39_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q40_media_features")
 def q40_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only): Arrow-batched mapInPandas feature
-    extraction over a deterministic synthetic media table."""
+    extraction over a deterministic synthetic media table.
+
+    Self-asserting (q129 pattern — rows-only queries must carry their
+    own proof): one sampled row's feature is recomputed DRIVER-SIDE
+    from first principles — sha256 of the seed+id string (the payload
+    construction) fed through the same digest featurizer — and the
+    query fails loudly if the distributed Arrow path disagrees, so a
+    plumbing regression can't return plausible-but-wrong rows."""
+    import hashlib
+
     media = MM.synthetic_media(spark, n=256)
     feats = MM.extract_image_features(media, dim=8)
-    return feats.select(
+    out = feats.select(
         "media_id", "width", "height", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
     )
+    probe = out.filter(F.col("media_id") == 7).collect()  # 1-row scalar probe
+    # payload = sha2(concat('42', id)) hex string cast to binary = the
+    # hex text's utf-8 bytes (synthetic_media's construction, seed 42)
+    payload = hashlib.sha256(b"427").hexdigest().encode()
+    expected = round(MM._fake_features(payload, 8)[0], 6)
+    if len(probe) != 1 or abs(probe[0].f0 - expected) > 1e-9 or probe[0].n_bytes != len(payload):
+        raise AssertionError(
+            f"media feature self-check failed: got {probe}, expected f0={expected}"
+        )
+    return out
 
 
 @q(
@@ -3668,7 +3727,7 @@ def q97_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = MM.extract_image_features(
         media, dim=8, featurizer=MM.ppm_featurizer(8)
     )
-    return feats.select(
+    out = feats.select(
         "media_id",
         "width",
         "height",
@@ -3676,6 +3735,49 @@ def q97_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f_first"),
         F.round(F.element_at("features", 8), 6).alias("f_last"),
     )
+    # Self-asserting (q129 pattern): ONE sampled payload is collected
+    # (1.5 KB scalar probe) and re-decoded driver-side in PURE PYTHON —
+    # independent header parse, raster walk, grayscale and strip means
+    # with plain floats, no numpy, no shared code with the distributed
+    # featurizer — so a decode/featurize regression in the Arrow path
+    # cannot return plausible rows. Tolerance 2e-6 absorbs float32
+    # (executor) vs float64 (probe) accumulation.
+    raw = media.filter(F.col("media_id") == 11).select("payload").collect()
+    got = out.filter(F.col("media_id") == 11).collect()
+    payload = bytes(raw[0].payload)
+    toks, i = [], 2
+    while len(toks) < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(int(payload[i:j]))
+        i = j
+    i += 1
+    w, h, _maxval = toks
+    gray = [
+        sum(payload[i + (r * w + c) * 3 + k] for k in range(3)) / 3.0 / 255.0
+        for r in range(h)
+        for c in range(w)
+    ]
+    def strip_mean(k: int, dim: int = 8) -> float:
+        lo, hi = (w * k) // dim, max((w * (k + 1)) // dim, (w * k) // dim + 1)
+        vals = [gray[r * w + c] for r in range(h) for c in range(lo, hi)]
+        return sum(vals) / len(vals)
+    if (
+        len(got) != 1
+        or abs(got[0].f_first - strip_mean(0)) > 2e-6
+        or abs(got[0].f_last - strip_mean(7)) > 2e-6
+    ):
+        raise AssertionError(
+            f"PPM decode self-check failed: got {got}, expected "
+            f"({strip_mean(0):.6f}, {strip_mean(7):.6f})"
+        )
+    return out
 
 
 # --------------------- 51. training-data mixture weights (temperature)
