@@ -305,13 +305,22 @@ def topk_lsh(
     # grouping — the semi-join is broadcast (no corpus shuffle), so the
     # capped groupBy shuffles candidates only, not the corpus.
     hit = c.join(q.select("tbl", "sig").dropDuplicates(), ["tbl", "sig"], "left_semi")
+    # The cap is applied BEFORE the aggregation buffer builds: a
+    # row_number window keeps the lowest-id max_bucket_size members per
+    # bucket (WindowExec's sort buffer spills; collect_list's does not,
+    # so slicing AFTER collect_list still materialized a whole
+    # degenerate bucket in one task's memory). Identical output to the
+    # former slice(array_sort(collect_list)) — ids are unique, so
+    # struct order == id order — and the groupBy reuses the window's
+    # exchange.
+    bw = Window.partitionBy("tbl", "sig").orderBy(F.col(corpus_id).asc())
     capped = (
-        hit.groupBy("tbl", "sig")
+        hit.withColumn("_rn", F.row_number().over(bw))
+        .filter(F.col("_rn") <= max_bucket_size)
+        .groupBy("tbl", "sig")
         .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct(corpus_id, corpus_vec))),
-                1,
-                max_bucket_size,
+            F.array_sort(
+                F.collect_list(F.struct(corpus_id, corpus_vec))
             ).alias("_docs")
         )
     )

@@ -1,8885 +1,24 @@
-"""Driver-contract query registry: every SURVEY §2 operator as a named
-query over the synthetic tables, each with a DuckDB oracle when SQL can
-express it.
+"""The query registry — public facade.
 
-Conventions for oracle parity (driver compares row count + schema +
-order-insensitive value hash):
-- every computed column is ALIASED IDENTICALLY in Spark and SQL;
-- float aggregates are rounded (2-6 dp) in BOTH engines — sums of
-  doubles differ in the last ulp across engines/orders;
-- DuckDB SUM(int) returns HUGEINT → always CAST(... AS BIGINT);
-- timestamps are stringified in both engines (UTC session);
-- embedding math casts float[] → double[] in both (DuckDB's
-  list_cosine_similarity computes in float32 otherwise);
-- top-k ranks by the ROUNDED score with id tie-break so near-tie float
-  noise can't flip ranks between engines.
+The registry itself lives in `ingestao_dados_poli_spark/registry/`
+split by domain (relational, analytics, text, similarity, streaming,
+layout) with shared infrastructure in `registry/_base.py`; importing
+this module assembles all of them into the same QUERIES / ORACLES
+dicts the driver contract (`__spark_entry__.py`), the oracle gate
+(`tools/check_oracle.py`) and the bench CLI consume. Split in round 5:
+at 8.7k lines the monolith was 51% of the codebase and a single bad
+edit risked every query; no registry module now exceeds 2.5k lines.
+
+Everything previously importable from this module still is — the
+star-imports below re-export the shared helpers (including the
+underscore names tests use: `_t`, `_events_ts`, `_CENTROIDS`) and
+every query function.
 """
 
-from __future__ import annotations
-
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from ingestao_dados_poli_spark.functions import text as TX
-from ingestao_dados_poli_spark.functions.cleaning import align_union
-from ingestao_dados_poli_spark.functions.locale import (
-    compat_int_index,
-    parse_decimal_comma,
-)
-from ingestao_dados_poli_spark.functions.vectors import cosine
-from ingestao_dados_poli_spark.operators import corpus as CO
-from ingestao_dados_poli_spark.operators import dedup as DD
-from ingestao_dados_poli_spark.operators import fuzzy as FZ
-from ingestao_dados_poli_spark.operators import graph as G
-from ingestao_dados_poli_spark.operators import multimodal as MM
-from ingestao_dados_poli_spark.operators import relational as R
-from ingestao_dados_poli_spark.operators import similarity as SIM
-from ingestao_dados_poli_spark.partitioning import fan_out
-from ingestao_dados_poli_spark.session import scoped_conf
-from ingestao_dados_poli_spark import quality as Q
-from ingestao_dados_poli_spark.quality import null_counts
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def _events_ts(df: DataFrame) -> DataFrame:
-    """Normalize ``events.ts`` to TIMESTAMP (UTC instant) across testdata
-    vintages. Older driver data wrote TIMESTAMP(NANOS), which Spark's
-    parquet reader only surfaces as long (``nanosAsLong``); newer data
-    writes micro-precision naive timestamps that arrive as TIMESTAMP_NTZ.
-    Works on batch and streaming DataFrames alike (dtype branch happens
-    at plan-build time, not per row).
-    """
-    dt = df.schema["ts"].dataType.typeName()
-    if dt == "long":
-        # integer div — a double division here loses microsecond precision
-        # on 1.7e18-scale nano values (52-bit mantissa).
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if dt == "timestamp_ntz":
-        # session tz is pinned UTC, so the naive wall-clock maps to the
-        # identical instant the DuckDB oracle computes on.
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver owns the session; date_trunc/year/cast-to-string on
-    # timestamps all convert through the SESSION timezone, while the
-    # DuckDB oracle computes on naive (UTC-equivalent) timestamps — so
-    # pin UTC here, not only in our own session factory.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        # nanosAsLong is a no-op on micro-precision files; needed only for
-        # the TIMESTAMP(NANOS) vintage the reader would otherwise reject.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return _events_ts(df)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-# ----------------------------------------------------------------- 1. flagship
-# Gold-query shape (reference etl/4:26-96): fact ⋈ dim (broadcast) ⋈ dim,
-# 2-key groupBy, avg/round/count aggregates.
-
-@q(
-    "q01_gold_flagship",
-    """
-    SELECT c_mktsegment, n_name,
-           CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_order_value,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_value,
-           count(*) AS n_orders
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    GROUP BY c_mktsegment, n_name
-    """,
-)
-def q01_gold_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    # dims broadcast: no shuffle of the orders fact for the joins; the
-    # only shuffle is the final 2-key aggregation (partial agg map-side).
-    enriched = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
-    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-    return enriched.groupBy("c_mktsegment", "n_name").agg(
-        F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-# ------------------------------------------------------- 2. scan + pushdown
-
-@q(
-    "q02_pushdown_sum",
-    """
-    SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue,
-           count(*) AS n_rows
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-      AND l_shipdate <  TIMESTAMP '1996-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q02_pushdown_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: all four predicates push to the parquet scan
-    (verify with .explain → PushedFilters), projection prunes to 4 cols."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= "1995-01-01")
-            & (F.col("l_shipdate") < "1996-01-01")
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-
-
-# ----------------------------------------------------------- 3. aggregation
-
-@q(
-    "q03_agg_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(l_quantity), 2) AS DOUBLE)        AS sum_qty,
-           CAST(round(sum(l_extendedprice), 2) AS DOUBLE)   AS sum_base_price,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(round(avg(l_quantity), 4) AS DOUBLE)        AS avg_qty,
-           CAST(round(avg(l_extendedprice), 4) AS DOUBLE)   AS avg_price,
-           CAST(round(avg(l_discount), 6) AS DOUBLE)        AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q03_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape (partial+final HashAggregate; one shuffle on the
-    2 grouping keys — reference A1-A3 analog, etl/4:84-91)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-# ----------------------------------------------------------------- 4. joins
-
-@q(
-    "q04_join_brand_volume",
-    """
-    SELECT p_brand,
-           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
-           count(*) AS n_items
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY p_brand
-    """,
-)
-def q04_join_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join fact⋈dim (reference J1, etl/4:26-28). part is the
-    small side → broadcast; lineitem never shuffles for the join."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-@q(
-    "q05_left_join_customer_orders",
-    """
-    SELECT c_mktsegment,
-           count(o_orderkey) AS n_orders,
-           count(*) AS n_rows,
-           CAST(round(sum(coalesce(o_totalprice, 0)), 2) AS DOUBLE) AS total_value
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_mktsegment
-    """,
-)
-def q05_left_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join (reference J2, etl/4:43-57): customers without
-    orders survive with null order columns."""
-    customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0))), 2).alias("total_value"),
-        )
-    )
-
-
-@q(
-    "q06_semi_join",
-    """
-    SELECT c_mktsegment, count(*) AS n_customers
-    FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-    GROUP BY c_mktsegment
-    """,
-)
-def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (SURVEY §2.3 'free' operator the reference lacks)."""
-    customer = _t(spark, sf_dir, "customer")
-    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    return (
-        R.semi_join(customer, big, customer.c_custkey == big.o_custkey)
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-@q(
-    "q07_anti_join",
-    """
-    SELECT c_mktsegment, count(*) AS n_customers
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    GROUP BY c_mktsegment
-    """,
-)
-def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        R.anti_join(customer, orders, customer.c_custkey == orders.o_custkey)
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-# ------------------------------------------------------------ 5. set ops
-
-@q(
-    "q08_union_align",
-    """
-    SELECT count(*) AS n_rows,
-           count(c_acctbal) AS n_with_acctbal,
-           count(c_mktsegment) AS n_with_segment
-    FROM (
-        SELECT c_custkey, c_name, c_acctbal, NULL AS c_mktsegment
-        FROM customer WHERE c_custkey % 2 = 0
-        UNION ALL
-        SELECT c_custkey, c_name, NULL AS c_acctbal, c_mktsegment
-        FROM customer WHERE c_custkey % 2 = 1
-    )
-    """,
-)
-def q08_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-drift union (reference U1+P7, 0a:56-66): two frames with
-    different column subsets unioned BY NAME with null padding."""
-    customer = _t(spark, sf_dir, "customer")
-    v1 = customer.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name", "c_acctbal")
-    v2 = customer.filter(F.col("c_custkey") % 2 == 1).select("c_custkey", "c_name", "c_mktsegment")
-    u = align_union([v1, v2])
-    return u.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("c_acctbal").alias("n_with_acctbal"),
-        F.count("c_mktsegment").alias("n_with_segment"),
-    )
-
-
-@q(
-    "q09_distinct",
-    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-)
-def q09_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
-
-
-@q(
-    "q10_intersect_except",
-    """
-    SELECT 'both' AS tag, count(*) AS n FROM (
-        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        INTERSECT
-        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
-    UNION ALL
-    SELECT 'only_building' AS tag, count(*) AS n FROM (
-        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        EXCEPT
-        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
-    """,
-)
-def q10_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = _t(spark, sf_dir, "customer")
-    b = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
-    a = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
-    both = b.intersect(a).agg(F.count(F.lit(1)).alias("n")).select(F.lit("both").alias("tag"), "n")
-    only = b.subtract(a).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("only_building").alias("tag"), "n"
-    )
-    return both.unionByName(only)
-
-
-# ---------------------------------------------------- 6. window / sort / topk
-
-@q(
-    "q11_global_topk",
-    """
-    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-)
-def q11_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k → TakeOrderedAndProject (no full sort at any scale)."""
-    orders = _t(spark, sf_dir, "orders")
-    return R.top_k(
-        orders.select("o_orderkey", "o_totalprice"),
-        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
-        10,
-    )
-
-
-@q(
-    "q12_topk_per_group",
-    """
-    SELECT * FROM (
-        SELECT c_mktsegment, o_orderkey,
-               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-               row_number() OVER (PARTITION BY c_mktsegment
-                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        FROM orders JOIN customer ON o_custkey = c_custkey)
-    WHERE rn <= 3
-    """,
-)
-def q12_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).select(
-        "c_mktsegment", "o_orderkey", "o_totalprice"
-    )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
-
-
-@q(
-    "q13_window_running",
-    """
-    SELECT user_id, event_id,
-           CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS running_value,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
-    FROM events
-    WHERE user_id < 50
-    """,
-)
-def q13_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate window (SURVEY §2.7 — absent in reference,
-    first-class here)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
-        F.row_number().over(wr).alias("seq"),
-    )
-
-
-# ------------------------------------------------- 7. scalar / string layer
-
-@q(
-    "q14_string_clean",
-    """
-    SELECT p_partkey,
-           upper(p_type) AS type_u,
-           regexp_replace(p_name, ' ', '_', 'g') AS name_u,
-           string_split(p_type, ' ')[1] AS type_head,
-           length(p_name) AS name_len
-    FROM part
-    """,
-)
-def q14_string_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference F1/F6/F7 string layer: regexp_replace, split+getItem,
-    upper — all single-Project, codegen'd."""
-    part = _t(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.upper("p_type").alias("type_u"),
-        F.regexp_replace("p_name", " ", "_").alias("name_u"),
-        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
-        F.length("p_name").cast("long").alias("name_len"),
-    )
-
-
-@q(
-    "q15_remap_values",
-    """
-    SELECT CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'PHYSICAL'
-                WHEN c_mktsegment = 'MACHINERY' THEN 'INDUSTRIAL'
-                ELSE c_mktsegment END AS segment_group,
-           count(*) AS n
-    FROM customer GROUP BY 1
-    """,
-)
-def q15_remap_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """when/isin conditional remap (reference F9, etl/4:36-38)."""
-    customer = _t(spark, sf_dir, "customer")
-    remapped = customer.withColumn(
-        "segment_group",
-        F.when(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), "PHYSICAL")
-        .when(F.col("c_mktsegment") == "MACHINERY", "INDUSTRIAL")
-        .otherwise(F.col("c_mktsegment")),
-    )
-    return remapped.groupBy("segment_group").agg(F.count(F.lit(1)).alias("n"))
-
-
-@q(
-    "q16_locale_parse",
-    """
-    WITH ptbr AS (
-        SELECT l_returnflag,
-               replace(printf('%.2f', l_quantity), '.', ',') AS qty_str
-        FROM lineitem)
-    SELECT l_returnflag,
-           CAST(round(sum(CAST(replace(replace(qty_str, '.', ''), ',', '.') AS DOUBLE)), 2) AS DOUBLE) AS sum_parsed,
-           CAST(sum(CAST(trunc(CAST(replace(qty_str, ',', '.') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_compat_int
-    FROM ptbr GROUP BY l_returnflag
-    """,
-)
-def q16_locale_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pt-BR decimal-comma parse (reference F5/F11/F12 + §2.10 compat):
-    synthesize '24,50'-style strings from l_quantity, parse both ways."""
-    li = _t(spark, sf_dir, "lineitem")
-    comma_str = F.regexp_replace(F.format_string("%.2f", F.col("l_quantity")), r"\.", ",")
-    parsed = parse_decimal_comma(comma_str)
-    compat = compat_int_index(comma_str)
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(parsed), 2).alias("sum_parsed"),
-        F.sum(compat.cast("long")).alias("sum_compat_int"),
-    )
-
-
-# -------------------------------------------------------- 8. quality suite
-
-@q(
-    "q17_null_counts",
-    """
-    SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_nulls,
-           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
-           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
-           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls
-    FROM orders
-    """,
-)
-def q17_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality primitive Q3: ALL null-checks in ONE aggregation pass
-    (vs Great Expectations' job-per-expectation)."""
-    orders = _t(spark, sf_dir, "orders")
-    return null_counts(orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
-
-
-# ------------------------------------------------------------- 9. rollup
-
-@q(
-    "q18_rollup",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def q18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-# ------------------------------------------------------------ 10. events
-
-@q(
-    "q19_tumbling_window",
-    """
-    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch tumbling window = the streaming tumbling_counts plan run on
-    a bounded source (same code path as streaming/stream_ops.py)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).cast("string").alias("window_start"),
-        "event_type",
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
-
-
-@q(
-    "q20_sessionize",
-    """
-    WITH flagged AS (
-        SELECT user_id, ts, event_id, value,
-               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), numbered AS (
-        SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        FROM flagged)
-    SELECT user_id, session_id,
-           count(*) AS n_events,
-           CAST(min(ts) AS VARCHAR) AS session_start,
-           CAST(max(ts) AS VARCHAR) AS session_end,
-           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
-    FROM numbered GROUP BY user_id, session_id
-    """,
-)
-def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (30-min idle gap) via lag + running sum —
-    the SQL-expressible twin of streaming sessionize()."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800, 1
-        ).otherwise(0),
-    )
-    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun).cast("long"))
-    return numbered.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").cast("string").alias("session_start"),
-        F.max("ts").cast("string").alias("session_end"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
-
-
-@q(
-    "q21_json_extract",
-    """
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-           count(*) AS n
-    FROM events GROUP BY 1
-    """,
-)
-def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(
-        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
-
-
-# ----------------------------------------------------- 11. text analysis
-
-@q(
-    "q22_text_stats",
-    """
-    SELECT doc_id,
-           length(text) AS n_chars_calc,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-           source
-    FROM documents
-    """,
-)
-def q22_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.n_chars("text").cast("long").alias("n_chars_calc"),
-        TX.n_tokens_ws("text").cast("long").alias("n_tokens"),
-        "source",
-    )
-
-
-@q(
-    "q23_fingerprint",
-    """
-    SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-    FROM documents
-    """,
-)
-def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic content fingerprint (dedup key) — md5 agrees
-    byte-for-byte between Spark and DuckDB."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
-
-
-@q(
-    "q24_dedup_exact",
-    """
-    SELECT min(doc_id) AS doc_id
-    FROM documents
-    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-    """,
-)
-def q24_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return DD.dedup_exact(docs, "text", "doc_id").select("doc_id")
-
-
-@q(
-    "q25_quality_score",
-    """
-    SELECT source,
-           CAST(round(avg(
-             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.4 END)
-           * (CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                        / greatest(length(text), 1) <= 0.15 THEN 1.0 ELSE 0.5 END)
-           * (CASE WHEN (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
-                        / greatest(length(text), 1) <= 0.30 THEN 1.0 ELSE 0.5 END)
-           * (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 10
-                   THEN 1.0 ELSE 0.3 END)), 4) AS DOUBLE) AS avg_quality,
-           count(*) AS n_docs
-    FROM documents GROUP BY source
-    """,
-)
-def q25_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style heuristic quality scoring, aggregated by source."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.round(F.avg(TX.quality_score("text")), 4).alias("avg_quality"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-
-
-# ------------------------------------------------- 12. embeddings / ANN
-
-@q(
-    "q26_embedding_topk",
-    """
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 3),
-         scored AS (
-           SELECT q.query_id, c.vec_id,
-                  round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS cos_sim
-           FROM embeddings c CROSS JOIN q)
-    SELECT query_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
-          FROM scored)
-    WHERE rn <= 5
-    """,
-)
-def q26_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (exact ANN baseline). Ranks by the
-    6-dp-ROUNDED similarity so float noise can't flip ranks vs DuckDB."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    scored = emb.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "vec_id",
-        F.round(cosine("embedding", "query_vec"), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
-
-
-# ------------------------------------- 13. rows-only (non-SQL-expressible)
-
-# Shared CTE fragment: word 5-shingle SETS of normalized text, as
-# DuckDB SQL — the string-side mirror of the engine's hashed-shingle
-# pipeline (shingle_hashes_udf). Docs shorter than 5 tokens yield one
-# shingle over all tokens, mirroring shingles()' fallback.
-_SHINGLE5_SQL = """
-         tok AS (SELECT doc_id,
-                        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-                 FROM u),
-         sh AS (SELECT doc_id,
-                       list_distinct(list_transform(
-                         range(1, greatest(len(toks) - 4, 1) + 1),
-                         i -> array_to_string(toks[i:i+4], ' '))) AS ss
-                FROM tok)
-"""
-
-
-@q(
-    "q27_minhash_pairs",
-    """
-    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
-         u AS (SELECT doc_id, text FROM base
-               UNION ALL
-               SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id < 100),
-         g AS (SELECT doc_id,
-                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
-               FROM u)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(1.0 AS DOUBLE) AS est_jaccard
-    FROM g a JOIN g b ON a.key = b.key AND a.doc_id < b.doc_id
-    """,
-)
-def q27_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH through the FULL production banded pipeline (fused
-    token-hash → rolling-shingle → permutation-min kernel, band
-    explode, (band, bucket) shuffle, in-row pair expansion,
-    positional-agreement estimator), value-checked on its PROVABLE
-    subset: identical-normalized-text pairs MUST appear among the
-    candidates (identical text ⟹ identical signature ⟹ collision in
-    every band — recall 1.0 by pigeonhole, no probability involved)
-    with est_jaccard exactly 1.0 (all 32 minima agree). The query
-    unions a shifted copy of the first 100 docs to make that subset
-    non-empty, then keeps candidate pairs whose md5 fingerprints
-    match; the DuckDB twin is the brute-force md5 self-join. A dropped
-    identical pair (bucketing bug) fails on rows, a wrong estimator
-    (kernel bug) fails on values. The probabilistic near-dup
-    candidates this filter discards are recall-tested in
-    `tests/test_text_dedup.py` (an est==1.0 oracle is NOT sound here:
-    the corpus has J≈0.989 non-identical pairs, which tie all 32
-    minima with P≈0.7)."""
-    from ingestao_dados_poli_spark.functions.text import fingerprint
-
-    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
-        "doc_id", "text"
-    )
-    copies = base.filter(F.col("doc_id") < 100).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
-    )
-    u = base.unionByName(copies)
-    fp = u.select(F.col("doc_id"), fingerprint("text").alias("_fp"))
-    pairs = DD.minhash_candidate_pairs(
-        u, "text", "doc_id", num_hashes=32, num_bands=8, k=5
-    )
-    return (
-        pairs.join(
-            fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("_fa")),
-            "id_a",
-        )
-        .join(
-            fp.select(F.col("doc_id").alias("id_b"), F.col("_fp").alias("_fb")),
-            "id_b",
-        )
-        .filter(F.col("_fa") == F.col("_fb"))
-        .select("id_a", "id_b", "est_jaccard")
-    )
-
-
-@q(
-    "q28_simhash_pairs",
-    """
-    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
-         u AS (SELECT doc_id, text FROM base
-               UNION ALL
-               SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id < 100),
-         g AS (SELECT doc_id,
-                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
-               FROM u)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(0 AS INT) AS hamming
-    FROM g a JOIN g b ON a.key = b.key AND a.doc_id < b.doc_id
-    """,
-)
-def q28_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash through the full Manku chunk-bucket pipeline at its
-    production operating point (max_hamming=3, 4 pigeonhole chunks),
-    value-checked on its PROVABLE subset: identical-normalized-text
-    pairs MUST be found (identical text ⟹ identical 63-bit signature
-    ⟹ hamming 0 ⟹ every chunk collides) with hamming exactly 0.
-    Shifted copies of the first 100 docs make that subset non-empty;
-    candidates are filtered to md5-equal pairs; the DuckDB twin is the
-    brute-force md5 self-join. A dropped pair (chunk-bucket bug) fails
-    on rows, a wrong signature kernel fails the hamming value. The
-    probabilistic hamming-1..3 near-dup pairs the filter discards are
-    recall-tested in `tests/test_text_dedup.py` (an identical-multiset
-    oracle at max_hamming=0 is NOT sound: the corpus has near-dup
-    pairs whose 63 bit-balances all keep their sign)."""
-    from ingestao_dados_poli_spark.functions.text import fingerprint
-
-    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
-        "doc_id", "text"
-    )
-    copies = base.filter(F.col("doc_id") < 100).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
-    )
-    u = base.unionByName(copies)
-    fp = u.select(F.col("doc_id"), fingerprint("text").alias("_fp"))
-    pairs = DD.simhash_pairs(u, "text", "doc_id", max_hamming=3)
-    return (
-        pairs.join(
-            fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("_fa")),
-            "id_a",
-        )
-        .join(
-            fp.select(F.col("doc_id").alias("id_b"), F.col("_fp").alias("_fb")),
-            "id_b",
-        )
-        .filter(F.col("_fa") == F.col("_fb"))
-        .select("id_a", "id_b", "hamming")
-    )
-
-
-@q(
-    "q29_jaccard_pairs",
-    """
-    WITH u AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
-    """
-    + _SHINGLE5_SQL
-    + """,
-         ex AS (SELECT doc_id, len(ss) AS n, unnest(ss) AS s FROM sh),
-         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                          any_value(a.n) AS na, any_value(b.n) AS nb,
-                          count(*) AS i
-                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-    SELECT id_a, id_b, jaccard FROM (
-      SELECT id_a, id_b,
-             CAST(round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS DOUBLE) AS jaccard
-      FROM inter)
-    WHERE jaccard >= 0.3
-    """,
-)
-def q29_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram Jaccard via the inverted shingle index — unlike the
-    probabilistic LSH queries this algorithm is exact by nature, so the
-    oracle needs no degenerate trick: it only needs the posting cap to
-    be lossless, guaranteed by bounding the slice to 500 docs with
-    ``max_posting_len=600`` (a posting can never exceed the doc count;
-    the corpus's real max posting is 3). The DuckDB twin builds string
-    5-shingle sets and brute-force joins them; the engine side works
-    on xxhash64'd shingles (8-byte postings instead of ~40-byte
-    strings — the 100 TB shuffle argument), so the value hash also
-    certifies hash-vs-string shingle identity on this corpus. Jaccard
-    rounded to 6 dp on both engines."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    # inner threshold slightly below the advertised one so the 6-dp
-    # ROUNDED filter decides the boundary identically on both engines
-    pairs = DD.jaccard_pairs(
-        docs, "text", "doc_id", k=5, threshold=0.29, max_posting_len=600
-    )
-    return pairs.withColumn("jaccard", F.round("jaccard", 6)).filter(
-        F.col("jaccard") >= 0.3
-    )
-
-
-# ------------------------------------------- 14. statistics aggregates
-
-@q(
-    "q31_stats_agg",
-    """
-    SELECT l_returnflag,
-           CAST(round(stddev_samp(l_extendedprice), 4) AS DOUBLE) AS sd_price,
-           CAST(round(var_samp(l_quantity), 4) AS DOUBLE)         AS var_qty,
-           CAST(round(min(l_extendedprice), 2) AS DOUBLE)         AS min_price,
-           CAST(round(max(l_extendedprice), 2) AS DOUBLE)         AS max_price,
-           count(DISTINCT l_partkey) AS n_parts,
-           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS qty_price_corr
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q31_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates beyond the reference's avg/round/count
-    (SURVEY §2.4 'not present' list): stddev, variance, min/max, exact
-    count-distinct, correlation — all one HashAggregate pass except the
-    distinct, which Spark expands to a two-phase aggregate."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.count_distinct(F.col("l_partkey")).alias("n_parts"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-    )
-
-
-@q(
-    "q32_cube",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price,
-           count(*) AS n
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def q32_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over 2 keys (4 grouping sets in one shuffle — SURVEY §2.4)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@q(
-    "q33_asof_join",
-    """
-    WITH p AS (SELECT user_id, event_id, ts, value FROM events
-               WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
-               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
-    SELECT p.user_id, p.event_id, CAST(p.ts AS VARCHAR) AS ts,
-           CAST(round(p.value, 4) AS DOUBLE) AS value,
-           CAST(c.ts AS VARCHAR) AS asof_ts,
-           CAST(round(c.click_value, 4) AS DOUBLE) AS asof_click_value
-    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-    """,
-)
-def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (SURVEY §2.3 'not present' list): each purchase matched
-    to the user's latest click at-or-before it. Union+window formulation —
-    one shuffle on user_id, no range-join candidate explosion."""
-    ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", "value"
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max_by("value", "event_id").alias("click_value"))
-    )
-    joined = R.asof_join(
-        purchases, clicks, key="user_id", right_cols=["click_value"]
-    )
-    return joined.select(
-        "user_id",
-        "event_id",
-        F.col("ts").cast("string").alias("ts"),
-        F.round("value", 4).alias("value"),
-        F.col("asof_ts").cast("string").alias("asof_ts"),
-        F.round("asof_click_value", 4).alias("asof_click_value"),
-    )
-
-
-# --------------------------------------------- 15. language ID / tokens
-
-# Derived from the ENGINE's marker lists so oracle and Spark can never
-# drift; construction mirrors text.stopword_count's rf"\b({words})\b".
-_LANG_RE = {
-    lang: r"\b(" + "|".join(words) + r")\b"
-    for lang, words in TX._LANG_MARKERS.items()
-}
-
-@q(
-    "q34_lang_id",
-    f"""
-    WITH scored AS (
-        SELECT lang AS lang_true,
-               len(regexp_extract_all(lower(text), '{_LANG_RE["en"]}')) AS en_hits,
-               len(regexp_extract_all(lower(text), '{_LANG_RE["es"]}')) AS es_hits,
-               len(regexp_extract_all(lower(text), '{_LANG_RE["pt"]}')) AS pt_hits
-        FROM documents)
-    SELECT lang_true,
-           CASE WHEN greatest(en_hits, es_hits, pt_hits) = 0 THEN 'und'
-                WHEN pt_hits >= es_hits AND pt_hits >= en_hits THEN 'pt'
-                WHEN es_hits >= en_hits THEN 'es'
-                ELSE 'en' END AS lang_pred,
-           count(*) AS n
-    FROM scored GROUP BY lang_true, lang_pred
-    """,
-)
-def q34_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram-marker language ID confusion matrix against the documents
-    table's ground-truth lang column. Ties break toward the
-    lexicographically-largest language code (greatest over structs)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("lang").alias("lang_true"), TX.lang_id("text").alias("lang_pred")
-    ).groupBy("lang_true", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
-
-
-@q(
-    "q35_token_counts",
-    f"""
-    SELECT source,
-           CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS ws_tokens,
-           CAST(sum(len(regexp_extract_all(text,
-                '{TX.TOKEN_PATTERN}'))) AS BIGINT) AS bpe_tokens
-    FROM documents GROUP BY source
-    """,
-)
-def q35_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish token counting per source (the cost model any
-    training-data pipeline runs before tokenizing for real)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.sum(TX.n_tokens_ws("text")).cast("long").alias("ws_tokens"),
-        F.sum(TX.n_tokens_bpe("text")).cast("long").alias("bpe_tokens"),
-    )
-
-
-# --------------------------------------------- 16. pivot / grouping sets
-
-@q(
-    "q36_pivot",
-    """
-    SELECT l_returnflag,
-           CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS DOUBLE) AS F,
-           CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS DOUBLE) AS O
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q36_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (wide aggregation). Pivot values are DECLARED, not
-    discovered — at 100 TB discovery would be an extra full scan."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.sum("l_quantity"), 2))
-    )
-
-
-@q(
-    "q37_grouping_sets",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-)
-def q37_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS through the engine's SQL entry point (DataFrame and
-    SQL share Catalyst — SURVEY §3 'new-engine lifecycle')."""
-    li = _t(spark, sf_dir, "lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
-               count(*) AS n
-        FROM {li}
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """,
-        li=li,
-    )
-
-
-# ------------------------------------------------- 17. quality suite run
-
-@q(
-    "q38_quality_suite",
-    """
-    SELECT 'not_null o_orderkey' AS rule,
-           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unexpected
-    FROM orders
-    UNION ALL
-    SELECT 'between o_totalprice [0.0, 1000000.0]' AS rule,
-           CAST(sum(CASE WHEN o_totalprice IS NULL
-                         OR o_totalprice NOT BETWEEN 0 AND 1000000
-                    THEN 1 ELSE 0 END) AS BIGINT) AS unexpected
-    FROM orders
-    UNION ALL
-    SELECT 'values_in_set o_orderstatus in [''O'', ''F'', ''P'']' AS rule,
-           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                         AND o_orderstatus IS NOT NULL
-                    THEN 1 ELSE 0 END) AS BIGINT) AS unexpected
-    FROM orders
-    """,
-)
-def q38_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A whole expectation suite (reference Q3/Q5 + values_in_set) in ONE
-    aggregation job; the report rows come back as a DataFrame."""
-    orders = _t(spark, sf_dir, "orders")
-    suite = Q.Suite(
-        "validacao_orders",
-        [
-            Q.not_null("o_orderkey"),
-            Q.between("o_totalprice", 0.0, 1_000_000.0),
-            Q.values_in_set("o_orderstatus", ["O", "F", "P"]),
-        ],
-    )
-    report = Q.validate(orders, suite)
-    rows = [
-        (r["rule"], int(r.get("unexpected_count", 0))) for r in report["results"]
-    ]
-    return spark.createDataFrame(rows, "rule string, unexpected long")
-
-
-# ---------------------------------------------- 18. dates / percentiles
-
-@q(
-    "q41_date_parts",
-    """
-    SELECT CAST(year(o_orderdate) AS INT) AS yr,
-           CAST(month(o_orderdate) AS INT) AS mo,
-           count(*) AS n_orders,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
-    FROM orders GROUP BY 1, 2
-    """,
-)
-def q41_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar-part aggregation (date/time functions — SURVEY §2.6
-    'not present' list)."""
-    orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-    )
-
-
-@q(
-    "q42_percentiles",
-    """
-    SELECT l_returnflag,
-           CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS median_qty,
-           CAST(round(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` == DuckDB
-    `quantile_cont`). The approx_percentile variant is the 100 TB path;
-    exact is used here because it is oracle-checkable."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
-    )
-
-
-@q(
-    "q43_argmax",
-    """
-    SELECT o_orderpriority,
-           CAST(split_part(max(printf('%020.2f|%012d', o_totalprice, o_orderkey)),
-                           '|', 2) AS BIGINT) AS top_orderkey,
-           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS top_price
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q43_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by with a deterministic struct tie-break (price, then key).
-    The oracle encodes the same ordering as a zero-padded sortable
-    string (DuckDB 1.0 has no composite-key arg_max)."""
-    orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.max_by(
-            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
-        ).alias("top_orderkey"),
-        F.round(F.max("o_totalprice"), 2).alias("top_price"),
-    )
-
-
-@q(
-    "q44_explode_words",
-    """
-    SELECT word, count(*) AS n
-    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
-    GROUP BY word HAVING count(*) >= 10
-    """,
-)
-def q44_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """explode/unnest (lateral array expansion — absent in reference)."""
-    part = _t(spark, sf_dir, "part")
-    return (
-        part.select(F.explode(F.split("p_name", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 10)
-    )
-
-
-@q(
-    "q45_string_agg",
-    """
-    SELECT l_linestatus,
-           string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags
-    FROM lineitem GROUP BY l_linestatus
-    """,
-)
-def q45_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic string aggregation: sorted distinct set joined —
-    collect_set order is nondeterministic, so sort before joining."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags")
-    )
-
-
-# --------------------------------------------- 19. streaming end-to-end
-
-@q(
-    "q46_streaming_tumbling",
-    """
-    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The watermarked tumbling-window plan run through the ACTUAL
-    Structured Streaming engine (readStream → availableNow → memory
-    sink), oracle-checked against plain batch SQL.
-
-    Sound because the bounded single-file source forms one micro-batch,
-    so the watermark never drops rows — the streaming result must equal
-    the batch group-by. Demonstrates the engine's batch/stream parity:
-    tumbling_counts() is the same code streaming/stream_ops.py ships for
-    unbounded sources.
-    """
-    import tempfile
-    import uuid
-
-    from ingestao_dados_poli_spark.streaming.stream_ops import (
-        state_partitions,
-        tumbling_counts,
-    )
-
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        path = f"{sf_dir}/events.parquet"
-        raw_schema = spark.read.parquet(path).schema
-        # FileStreamSource wants a DIRECTORY; glob-filter to the one table.
-        src = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .transform(_events_ts)
-        )
-        agg = tumbling_counts(src, window_len="1 hour", watermark="10 minutes")
-        name = f"q46_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
-            query = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("complete")
-                .option("checkpointLocation", tempfile.mkdtemp(prefix="q46_ck_"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination(300)
-        return spark.table(name).select(
-            F.col("window_start").cast("string").alias("window_start"),
-            "event_type",
-            "n_events",
-            F.round("sum_value", 2).alias("sum_value"),
-        )
-
-
-# ------------------------------------------------ 20. IVF quantization
-
-# 4 deterministic orthogonal-block centroids over the 64-dim space:
-# centroid c is 1.0 on dims [16c, 16c+16). Shared by Spark and the SQL
-# oracle below.
-_CENTROIDS = [
-    [1.0 if 16 * c <= i < 16 * (c + 1) else 0.0 for i in range(64)] for c in range(4)
-]
-_CENTROID_SQL = ", ".join(
-    f"round(list_cosine_similarity(embedding::DOUBLE[], {c}::DOUBLE[]), 6)"
-    for c in _CENTROIDS
-)
-
-@q(
-    "q47_centroid_assign",
-    f"""
-    WITH scored AS (
-        SELECT vec_id, [{_CENTROID_SQL}] AS cs FROM embeddings)
-    SELECT CASE WHEN cs[1] >= cs[2] AND cs[1] >= cs[3] AND cs[1] >= cs[4] THEN 0
-                WHEN cs[2] >= cs[3] AND cs[2] >= cs[4] THEN 1
-                WHEN cs[3] >= cs[4] THEN 2
-                ELSE 3 END AS centroid_id,
-           count(*) AS n_vectors
-    FROM scored GROUP BY 1
-    """,
-)
-def q47_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantization: population of each centroid's partition.
-    Scores are rounded to 6 dp on BOTH engines so the argmax (lowest
-    index wins ties) is float-order independent."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    assigned = SIM.nearest_centroid(emb, _CENTROIDS, score_round=6)
-    return assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vectors"))
-
-
-# ----------------------------------------------------- 21. range join
-
-@q(
-    "q48_range_join",
-    """
-    WITH bands(band, lo, hi) AS (
-        VALUES ('xs', 0, 10), ('s', 10, 20), ('m', 20, 30),
-               ('l', 30, 40), ('xl', 40, 60))
-    SELECT band, count(*) AS n,
-           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS total
-    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
-    GROUP BY band
-    """,
-)
-def q48_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-interval join against a tiny band dimension. The interval
-    side broadcasts (BroadcastNestedLoopJoin) — the right physical plan
-    for a literal-sized interval table; keyed range joins at scale go
-    through range_join(partition_keys=...) instead."""
-    li = _t(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
-        [("xs", 0, 10), ("s", 10, 20), ("m", 20, 30), ("l", 30, 40), ("xl", 40, 60)],
-        ["band", "lo", "hi"],
-    )
-    joined = R.range_join(li, F.broadcast(bands), "l_quantity", "lo", "hi")
-    return joined.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total"),
-    )
-
-
-# The data-mixing recipe is CONFIGURATION (known ahead of any run), not
-# something derived by scanning the corpus: discovering strata with a
-# distinct().collect() would add a full extra scan plus a driver
-# round-trip per run at 100 TB. Strata absent from the table are simply
-# never sampled; strata absent from the dict default to fraction 0.
-Q49_MIX_FRACTIONS = {
-    # src0 plays the rare high-quality source: keep everything; the
-    # rest (testdata has src0..src19) are thinned to 25%.
-    "src0": 1.0,
-    **{f"src{i}": 0.25 for i in range(1, 20)},
-}
-
-
-@q("q49_stratified_sample")
-def q49_stratified_sample(
-    spark: SparkSession, sf_dir: str, fractions: dict | None = None
-) -> DataFrame:
-    """Per-source stratified sampling via Spark's native ``sampleBy``
-    (rows-only: sampling RNG is engine-specific, so no cross-engine
-    oracle): keep all of one source, thin the rest — the data-mixing
-    primitive. ``fractions`` is an explicit config dict; the
-    plan-building path has NO driver collect. The REPRODUCIBLE variant
-    — membership by md5 hash threshold, identical across engines and
-    fully value-oracled — is q134_deterministic_mix.
-
-    Self-asserting (q129 pattern — the sampling itself can't be
-    value-oracled, so the query carries its own proof): (a) the
-    fraction-1.0 stratum must come back COMPLETE, (b) every sampled
-    stratum count must lie within 6-sigma binomial bounds of
-    fraction·n (a wrong-fraction or wrong-stratum regression lands
-    far outside), (c) re-running the sample with the same seed must
-    reproduce the per-stratum counts exactly (seeded determinism —
-    the property that makes a sampled training mix re-buildable).
-    The probes are tiny aggregates (one row per stratum)."""
-    import math
-
-    docs = _t(spark, sf_dir, "documents")
-    fr = fractions or Q49_MIX_FRACTIONS
-    sampled = R.stratified_sample(docs, "source", fr)
-    out = sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
-
-    totals = {
-        r.source: r.n
-        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    got = {r.source: r.n_sampled for r in out.collect()}
-    rerun = {
-        r.source: r.n_sampled
-        for r in R.stratified_sample(docs, "source", fr)
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .collect()
-    }
-    if got != rerun:
-        raise AssertionError(f"seeded sample not deterministic: {got} != {rerun}")
-    for src, n in totals.items():
-        f = fr.get(src, 0.0)
-        k = got.get(src, 0)
-        if f >= 1.0 and k != n:
-            raise AssertionError(f"fraction-1.0 stratum {src} incomplete: {k}/{n}")
-        sigma = math.sqrt(n * f * (1 - f))
-        if abs(k - n * f) > 6 * sigma + 1:
-            raise AssertionError(
-                f"stratum {src}: sampled {k} of {n} at f={f} "
-                f"(expected {n * f:.1f} ± {6 * sigma:.1f})"
-            )
-    return out
-
-
-# ------------------------------------------- 22. null-safe / bag / regex
-
-@q(
-    "q50_nullsafe_join",
-    """
-    WITH a AS (SELECT c_custkey,
-                      CASE WHEN c_nationkey % 5 = 0 THEN NULL
-                           ELSE c_nationkey END AS k
-               FROM customer),
-         b AS (SELECT n_nationkey,
-                      CASE WHEN n_nationkey % 5 = 0 THEN NULL
-                           ELSE n_nationkey END AS k,
-                      n_name
-               FROM nation)
-    SELECT coalesce(CAST(a.k AS VARCHAR), 'NULL') AS join_key,
-           count(*) AS n
-    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
-    GROUP BY 1
-    """,
-)
-def q50_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-safe equi-join (eqNullSafe == IS NOT DISTINCT FROM): NULL
-    keys MATCH each other instead of dropping out — the semantics a
-    conformed-entity-key join needs when cleaning can null a key."""
-    customer = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    a = customer.select(
-        "c_custkey",
-        F.when(F.col("c_nationkey") % 5 == 0, None)
-        .otherwise(F.col("c_nationkey"))
-        .alias("k"),
-    )
-    b = nation.select(
-        F.when(F.col("n_nationkey") % 5 == 0, None)
-        .otherwise(F.col("n_nationkey"))
-        .alias("k"),
-        "n_name",
-    )
-    joined = a.join(F.broadcast(b), a["k"].eqNullSafe(b["k"]))
-    return joined.groupBy(
-        F.coalesce(a["k"].cast("string"), F.lit("NULL")).alias("join_key")
-    ).agg(F.count(F.lit(1)).alias("n"))
-
-
-@q(
-    "q51_except_all",
-    """
-    SELECT l_returnflag, count(*) AS n FROM (
-        SELECT l_returnflag FROM lineitem WHERE l_quantity < 30
-        EXCEPT ALL
-        SELECT l_returnflag FROM lineitem WHERE l_quantity < 10)
-    GROUP BY l_returnflag
-    """,
-)
-def q51_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag-semantics EXCEPT ALL (multiset difference keeps surplus
-    multiplicity — distinct-based EXCEPT would collapse to ≤1 row)."""
-    li = _t(spark, sf_dir, "lineitem")
-    wide = li.filter(F.col("l_quantity") < 30).select("l_returnflag")
-    narrow = li.filter(F.col("l_quantity") < 10).select("l_returnflag")
-    return wide.exceptAll(narrow).groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-
-
-@q(
-    "q52_regex_extract",
-    """
-    SELECT regexp_extract(p_name, '^([a-z]+) ([a-z]+)', 2) AS second_word,
-           count(*) AS n
-    FROM part GROUP BY 1 HAVING count(*) >= 5
-    """,
-)
-def q52_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex group extraction (both engines: Java/RE2 agree on this
-    pattern class; group 2 = second word)."""
-    part = _t(spark, sf_dir, "part")
-    return (
-        part.groupBy(
-            F.regexp_extract("p_name", r"^([a-z]+) ([a-z]+)", 2).alias("second_word")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 5)
-    )
-
-
-# ------------------------------------------------- 23. PII / repetition
-
-@q(
-    "q53_pii_scrub",
-    """
-    WITH seeded AS (
-        SELECT doc_id, source,
-               text || CASE WHEN doc_id % 10 = 0
-                            THEN ' contact: user' || doc_id || '@example.com or +1 (555) 010-' || doc_id
-                            ELSE '' END AS text
-        FROM documents),
-    scrubbed AS (
-        SELECT doc_id, source,
-               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-             + len(regexp_extract_all(text, '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) AS n_pii,
-               length(regexp_replace(regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
-                   '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '[REDACTED]', 'g')) AS len_after
-        FROM seeded)
-    SELECT source,
-           CAST(sum(n_pii) AS BIGINT) AS total_pii,
-           count(CASE WHEN n_pii > 0 THEN 1 END) AS docs_with_pii,
-           CAST(sum(len_after) AS BIGINT) AS total_len_after
-    FROM scrubbed GROUP BY source
-    """,
-)
-def q53_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII hygiene pass: seed every 10th doc with an email+phone (the
-    corpus has none), count PII spans, and measure post-redaction
-    length. Scan-side regex only — no shuffle beyond the final agg."""
-    docs = _t(spark, sf_dir, "documents")
-    seeded = docs.withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 10 == 0,
-                F.concat(
-                    F.lit(" contact: user"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@example.com or +1 (555) 010-"),
-                    F.col("doc_id").cast("string"),
-                ),
-            ).otherwise(F.lit("")),
-        ),
-    )
-    stats = seeded.select(
-        "source",
-        TX.pii_count("text").alias("n_pii"),
-        F.length(TX.scrub_pii("text")).alias("len_after"),
-    )
-    return stats.groupBy("source").agg(
-        F.sum("n_pii").cast("long").alias("total_pii"),
-        F.count(F.when(F.col("n_pii") > 0, 1)).alias("docs_with_pii"),
-        F.sum("len_after").cast("long").alias("total_len_after"),
-    )
-
-
-@q(
-    "q54_repetition",
-    """
-    SELECT source,
-           CAST(round(avg(CASE WHEN trim(text) = '' THEN 0.0
-                ELSE 1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
-                         / len(regexp_split_to_array(trim(text), '\\s+')) END), 6) AS DOUBLE) AS avg_repetition,
-           count(*) AS n_docs
-    FROM documents GROUP BY source
-    """,
-)
-def q54_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signal (1 - distinct/total tokens),
-    averaged per source — high scores flag boilerplate or looping
-    generations."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.round(F.avg(TX.repetition_ratio("text")), 6).alias("avg_repetition"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-
-
-# ------------------------- 24. rows-only LSH / media (non-SQL-expressible)
-
-@q(
-    "q39_embedding_sim_pairs",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-               FROM embeddings WHERE vec_id < 500)
-    SELECT id_a, id_b, cos_sim FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(round(list_cosine_similarity(a.v, b.v), 6) AS DOUBLE) AS cos_sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-    WHERE cos_sim >= 0.3
-    """,
-)
-def q39_embedding_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-dup pairs through the FULL LSH machinery
-    (signature UDF → bucket groupBy → in-row pair expansion → cosine
-    verify) in its degenerate-exact configuration: ``num_planes=0,
-    num_tables=1`` puts every vector in one bucket, so recall is 1.0
-    by construction and the result is value-hash-checkable against a
-    DuckDB brute-force pair join (list_cosine_similarity). Bounded to
-    vec_id < 500 because this mode IS the quadratic all-pairs plan;
-    the production (probabilistic-recall, bucketed) configuration of
-    the same operator is exercised by `tests/test_similarity_multimodal.py`.
-    Cosine rounded to 6 dp on both engines so the threshold boundary
-    can't flip on float noise. The corpus has no true near-dups (max
-    pairwise cosine ≈0.46), so threshold 0.3 keeps the verify path
-    non-empty."""
-    emb = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 500)
-        .withColumn("embedding", F.col("embedding").cast("array<double>"))
-    )
-    return SIM.embedding_near_dup_pairs(
-        emb,
-        threshold=0.3,
-        num_planes=0,
-        num_tables=1,
-        dim=64,
-        max_bucket_size=600,
-        score_round=6,
-    )
-
-
-@q("q40_media_features")
-def q40_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only): Arrow-batched mapInPandas feature
-    extraction over a deterministic synthetic media table.
-
-    Self-asserting (q129 pattern — rows-only queries must carry their
-    own proof): one sampled row's feature is recomputed DRIVER-SIDE
-    from first principles — sha256 of the seed+id string (the payload
-    construction) fed through the same digest featurizer — and the
-    query fails loudly if the distributed Arrow path disagrees, so a
-    plumbing regression can't return plausible-but-wrong rows."""
-    import hashlib
-
-    media = MM.synthetic_media(spark, n=256)
-    feats = MM.extract_image_features(media, dim=8)
-    out = feats.select(
-        "media_id", "width", "height", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
-    )
-    probe = out.filter(F.col("media_id") == 7).collect()  # 1-row scalar probe
-    # payload = sha2(concat('42', id)) hex string cast to binary = the
-    # hex text's utf-8 bytes (synthetic_media's construction, seed 42)
-    payload = hashlib.sha256(b"427").hexdigest().encode()
-    expected = round(MM._fake_features(payload, 8)[0], 6)
-    if len(probe) != 1 or abs(probe[0].f0 - expected) > 1e-9 or probe[0].n_bytes != len(payload):
-        raise AssertionError(
-            f"media feature self-check failed: got {probe}, expected f0={expected}"
-        )
-    return out
-
-
-@q(
-    "q30_embedding_lsh_topk",
-    """
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 3),
-         scored AS (
-           SELECT q.query_id, c.vec_id,
-                  round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS cos_sim
-           FROM embeddings c CROSS JOIN q)
-    SELECT query_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
-          FROM scored)
-    WHERE rn <= 5
-    """,
-)
-def q30_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed top-k through the FULL scale-path machinery
-    (signatures → broadcast semi-join → capped bucket groupBy →
-    re-rank) in its degenerate-exact configuration: ``num_planes=0,
-    num_tables=1`` collides everything, so the candidate set is the
-    whole corpus and the result provably equals brute force — the same
-    nprobe=nlist trick that oracles IVF in q76. The DuckDB twin is the
-    q26 brute-force top-k; the two queries agreeing on the same hash
-    is the point (different physical plans, one answer). Probabilistic
-    configs of the same operator are recall-tested in
-    `tests/test_similarity_multimodal.py`."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    return SIM.topk_lsh(
-        emb,
-        queries,
-        k=5,
-        num_planes=0,
-        num_tables=1,
-        dim=64,
-        max_bucket_size=1_000_000,
-        score_round=6,
-    )
-
-
-# ------------------------------- 25. fuzzy match / histogram / stats / ntile
-
-@q(
-    "q55_fuzzy_match",
-    """
-    SELECT a.p_brand,
-           count(*) AS n_close_pairs,
-           CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
-    FROM part a
-    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 12
-    GROUP BY 1
-    """,
-)
-def q55_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy entity matching: the reference's conform-entity-key join
-    (etl/3:62-78, etl/4:36-57) generalized to edit distance, via
-    operators/fuzzy.fuzzy_pairs. The blocking key is the COMPOSITE
-    (p_brand, length band) — the length banding is lossless for the
-    threshold (|len diff| > 12 ⇒ dist > 12), so the oracle — which is
-    blocking-agnostic — stays exact while each block shrinks by the
-    length spread. fuzzy_pairs also takes max_block_size to hard-cap
-    block sizes at real scale (unused here: exactness is the oracle's
-    contract and TPC-H blocks are bounded)."""
-    part = _t(spark, sf_dir, "part")
-    pairs = FZ.fuzzy_pairs(
-        part, key_col="p_partkey", text_col="p_name", block_col="p_brand", max_dist=12
-    )
-    return pairs.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n_close_pairs"),
-        F.min("dist").cast("long").alias("min_dist"),
-    )
-
-
-@q(
-    "q56_histogram",
-    """
-    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
-           count(*) AS n,
-           CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_price
-    FROM orders GROUP BY 1
-    """,
-)
-def q56_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram binning: pure scan-side arithmetic + one
-    partial/final agg on a low-cardinality key — no pre-pass to find
-    bounds, so it stays one shuffle at any scale."""
-    orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bin")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
-    )
-
-
-@q(
-    "q57_corr_stats",
-    """
-    SELECT l_returnflag,
-           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qty_price,
-           CAST(round(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE) AS covar_qp,
-           CAST(round(stddev_samp(l_extendedprice), 2) AS DOUBLE) AS sd_price,
-           count(*) AS n
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q57_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bivariate statistics (corr / sample covariance / stddev) — all
-    one-pass partial-aggregatable built-ins, so the plan is the same
-    single shuffle as a plain sum. Rounded 2-6 dp: both engines use
-    numerically-stable one-pass updates but differ in the last ulps."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@q(
-    "q58_ntile",
-    """
-    WITH ranked AS (
-        SELECT c_mktsegment, c_acctbal,
-               CAST(ntile(4) OVER (
-                   PARTITION BY c_mktsegment
-                   ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
-        FROM customer)
-    SELECT c_mktsegment, quartile,
-           CAST(round(avg(c_acctbal), 2) AS DOUBLE) AS avg_bal,
-           count(*) AS n
-    FROM ranked GROUP BY 1, 2
-    """,
-)
-def q58_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile quartile assignment per segment + per-quartile rollup.
-    Tie-break on c_custkey makes the bucket assignment deterministic
-    across engines (ntile splits ties by row order otherwise). One
-    shuffle on the window partition key; the downstream agg reuses the
-    same partitioning so no second exchange of the full data."""
-    customer = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    ranked = customer.select(
-        "c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile")
-    )
-    return ranked.groupBy("c_mktsegment", "quartile").agg(
-        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@q(
-    "q59_shipping_priority",
-    """
-    SELECT l_orderkey,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
-               AS revenue,
-           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-           o_orderpriority
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1995-03-15'
-      AND l_shipdate  > TIMESTAMP '1995-03-15'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, l_orderkey ASC
-    LIMIT 10
-    """,
-)
-def q59_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective filters on all three inputs, fact-fact
-    join, broadcast dim, global top-k. All three predicates reach the
-    parquet scans (PushedFilters), so at 100 TB only the qualifying
-    row groups are read; customer-after-filter broadcasts; the
-    lineitem⋈orders join shuffles only filtered rows; the final top-10
-    is TakeOrderedAndProject (per-partition heap + driver merge of 10
-    rows per partition — no global sort)."""
-    cust = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    ords = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < "1995-03-15"
-    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > "1995-03-15"
-    ).select("l_orderkey", "l_extendedprice", "l_discount")
-    agg = (
-        li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-    )
-    return R.top_k(
-        agg.select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            "o_orderpriority",
-        ),
-        [F.col("revenue").desc(), F.col("l_orderkey").asc()],
-        10,
-    )
-
-
-@q(
-    "q60_salted_join",
-    """
-    SELECT c_mktsegment,
-           count(*) AS n_orders,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_value
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_mktsegment
-    """,
-)
-def q60_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-resistant salted join (relational.salted_join): same result
-    as the plain join — the oracle IS the plain join — but each fact
-    key is spread over 16 shuffle buckets with the dim replicated 16×,
-    bounding the longest task at 1/16 of the hottest key. The
-    reference's nome-join (etl/4:50) concentrates on a few big banks;
-    this is the pattern that keeps it flowing when the dim is too big
-    to broadcast. (Unit-tested in test_relational; registered here so
-    the DuckDB oracle also certifies result parity end-to-end.)"""
-    orders = _t(spark, sf_dir, "orders")
-    customer = (
-        _t(spark, sf_dir, "customer")
-        .select("c_custkey", "c_mktsegment")
-        .withColumnRenamed("c_custkey", "o_custkey")
-    )
-    joined = R.salted_join(orders, customer, "o_custkey")
-    return joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
-    )
-
-
-@q(
-    "q61_scalar_subquery",
-    """
-    SELECT o_orderpriority, count(*) AS n_above
-    FROM orders
-    WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
-    GROUP BY o_orderpriority
-    """,
-)
-def q61_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery through the spark.sql entry point (DataFrame and
-    SQL share Catalyst — SURVEY §3). The subquery plans as its own tiny
-    agg job whose single-row result is injected as a literal, so the
-    outer scan runs once with an ordinary pushable predicate. Threshold
-    rounded to 2 dp in both engines so a borderline row can't flip on
-    last-ulp avg differences."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q61")
-    return spark.sql(
-        """
-        SELECT o_orderpriority, count(*) AS n_above
-        FROM orders_q61
-        WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2)
-                              FROM orders_q61)
-        GROUP BY o_orderpriority
-        """
-    )
-
-
-@q(
-    "q62_conditional_agg",
-    """
-    SELECT l_returnflag,
-           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_discounted,
-           CAST(round(sum(CASE WHEN l_tax > 0.04
-                               THEN l_extendedprice ELSE 0 END), 2) AS DOUBLE)
-               AS taxed_revenue,
-           count(*) AS n
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q62_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional (filtered) aggregation — many metrics in ONE scan +
-    one partial/final agg instead of one job per metric. This is how
-    the reference's per-expectation validation jobs (etl/1:139-151, one
-    Spark job each) collapse into a single pass, and the 100 TB answer
-    to 'N metrics over the same fact table'."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
-        .cast("long")
-        .alias("n_discounted"),
-        F.round(
-            F.sum(
-                F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(
-                    0.0
-                )
-            ),
-            2,
-        ).alias("taxed_revenue"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@q(
-    "q63_array_hof",
-    """
-    WITH per_row AS (
-        SELECT label,
-               len(list_filter(embedding, x -> x > 0)) AS n_pos,
-               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                       x -> abs(x))) AS l1
-        FROM embeddings)
-    SELECT label,
-           CAST(sum(n_pos) AS BIGINT) AS total_pos,
-           CAST(round(avg(l1), 2) AS DOUBLE) AS avg_l1,
-           count(*) AS n
-    FROM per_row GROUP BY label
-    """,
-)
-def q63_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array higher-order functions (transform / filter / aggregate)
-    over the embedding column — the declarative array surface, kept
-    JVM-side (no Python UDF). Float components cast to double BEFORE
-    the fold in both engines (float32 accumulation diverges); both
-    engines fold the list in element order so the rounded sums match.
-    NOTE (perf, see gotchas): Spark HOFs are interpreted (~µs/element)
-    — fine for per-row reductions like this; bulk linear algebra goes
-    through the Arrow/numpy kernels in functions/vectors.py (q26/q30)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    row = emb.select(
-        "label",
-        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + F.abs(x),
-        ).alias("l1"),
-    )
-    return row.groupBy("label").agg(
-        F.sum("n_pos").cast("long").alias("total_pos"),
-        F.round(F.avg("l1"), 2).alias("avg_l1"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-# --------------------------------------------- 26. approximate aggregates
-
-@q(
-    "q64_approx_aggregates",
-    """
-    SELECT o_orderpriority,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct_cust,
-           TRUE AS acd_within_5pct,
-           CAST(round(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS exact_p50,
-           TRUE AS approx_p50_within_5pct
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-)
-def q64_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates — the 100 TB path for distinct counts and
-    quantiles. approx_count_distinct (HyperLogLog++) and
-    percentile_approx (KLL-style) are single-pass, partial-aggregatable,
-    fixed-memory sketches; the exact variants (count_distinct's
-    per-group de-dup shuffle, percentile's full value collection per
-    group) are the thing they replace.
-
-    Oracle contract: the EXACT columns must hash-match DuckDB
-    (quantile_cont == F.percentile exactly); the approx values are
-    engine-specific, so what crosses the oracle is a TOLERANCE CHECK —
-    |approx − exact| / exact ≤ 5% — emitted as a boolean column that
-    the oracle asserts as literal TRUE. The tolerance claim is thereby
-    hash-checked, not just documented.
-
-    Plan note (measured at sf0.1): putting count_distinct and the
-    typed-imperative sketch aggregates (HLL, KLL, exact percentile) in
-    ONE groupBy forces the distinct rewrite's Expand over the sketch
-    buffers and drops the whole stage to sort-based aggregation —
-    ~19 s. Two separate aggregations joined on the 5-row group key run
-    hash-aggregated in ~2 s. At 100 TB only the approx half would ship;
-    the exact half exists to feed the tolerance check."""
-    orders = fan_out(_t(spark, sf_dir, "orders"))
-    exact = orders.groupBy("o_orderpriority").agg(
-        F.count_distinct("o_custkey").alias("_exact_cd"),
-        F.percentile("o_totalprice", F.lit(0.5)).alias("_p50"),
-    )
-    approx = orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_acd"),
-        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("_ap50"),
-    )
-    agg = exact.join(approx, "o_orderpriority")
-    return agg.select(
-        "o_orderpriority",
-        F.col("_exact_cd").cast("long").alias("exact_distinct_cust"),
-        (
-            F.abs(F.col("_acd") - F.col("_exact_cd")) / F.col("_exact_cd") <= 0.05
-        ).alias("acd_within_5pct"),
-        F.round("_p50", 2).alias("exact_p50"),
-        (
-            F.abs(F.col("_ap50") - F.col("_p50")) / F.col("_p50") <= 0.05
-        ).alias("approx_p50_within_5pct"),
-    )
-
-
-# ------------------------------------------ 27. dedup clustering (graph)
-
-@q(
-    "q65_dedup_components",
-    """
-    WITH RECURSIVE
-    edges AS (
-        SELECT a.p_partkey AS src, b.p_partkey AS dst
-        FROM part a JOIN part b
-          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-         AND a.p_partkey < b.p_partkey
-         AND abs(length(a.p_name) - length(b.p_name)) <= 12
-        WHERE levenshtein(a.p_name, b.p_name) <= 12
-    ),
-    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-    cc(node, label) AS (
-        SELECT p_partkey AS node, p_partkey AS label FROM part
-        UNION
-        SELECT s.dst AS node, cc.label
-        FROM cc JOIN sym s ON cc.node = s.src
-    ),
-    comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
-    sizes AS (
-        SELECT component, count(*) AS component_size FROM comp GROUP BY component
-    )
-    SELECT CAST(component_size AS BIGINT) AS component_size,
-           count(*) AS n_components
-    FROM sizes GROUP BY component_size
-    """,
-)
-def q65_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → duplicate CLUSTERS: transitive closure of the
-    fuzzy-match pair graph via distributed min-label flooding
-    (operators/graph.connected_components), then the cluster-size
-    histogram. This is the step that turns any pair generator (MinHash,
-    SimHash, embedding LSH, fuzzy) into keep/drop decisions — one
-    canonical doc (min id) per component. The DuckDB oracle computes
-    the same closure with a recursive CTE, so the distributed algorithm
-    is hash-checked against a declarative reference.
-
-    Edges are blocked on the composite (p_brand, p_size) — brand alone
-    makes near-cliques of whole brands (~8M edges at sf0.1, dense
-    flooding for no extra information); the composite keeps the graph
-    dedup-shaped (~150k edges, 2-iteration convergence)."""
-    part = _t(spark, sf_dir, "part")
-    edges = FZ.fuzzy_pairs(
-        part.withColumn(
-            "_blk", F.concat_ws("|", "p_brand", F.col("p_size").cast("string"))
-        ),
-        key_col="p_partkey",
-        text_col="p_name",
-        block_col="_blk",
-        max_dist=12,
-    )
-    comps = G.connected_components(
-        edges,
-        src="key_a",
-        dst="key_b",
-        nodes=part.select("p_partkey"),
-        node_col="p_partkey",
-    )
-    return G.component_sizes(comps).select(
-        F.col("component_size").cast("long").alias("component_size"),
-        F.col("n_components").cast("long").alias("n_components"),
-    )
-
-
-# ---------------------------------- 28. TF-IDF / upsert / column profile
-
-@q(
-    "q66_tfidf_top_terms",
-    """
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-    scored AS (
-        SELECT tf.doc_id, tf.term,
-               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
-        FROM tf JOIN df USING (term) CROSS JOIN n
-    ),
-    ranked AS (
-        SELECT doc_id, term, tfidf,
-               row_number() OVER (
-                   PARTITION BY doc_id ORDER BY tfidf DESC, term
-               ) AS rnk
-        FROM scored
-    )
-    SELECT doc_id, term,
-           CAST(round(tfidf, 6) AS DOUBLE) AS tfidf,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM ranked WHERE doc_id < 10 AND rnk <= 3
-    """,
-)
-def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top terms per document — the classic text-relevance
-    feature, all JVM built-ins. Corpus-wide stats (N, per-term document
-    frequency) come from two aggregations; the df table is
-    VOCABULARY-sized (Heaps' law: ~1M terms at 100 TB), so it
-    broadcasts into the tf join — the big tf frame never shuffles for
-    the join, only for its own groupBy. Output limited to doc_id < 10
-    AFTER ranking so the oracle checks the full-corpus math."""
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(F.count_distinct("doc_id").alias("n_docs"))
-    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            (
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
-            ).alias("tfidf"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter((F.col("doc_id") < 10) & (F.col("rnk") <= 3))
-        .select(
-            "doc_id",
-            "term",
-            F.round("tfidf", 6).alias("tfidf"),
-            F.col("rnk").cast("long").alias("rnk"),
-        )
-    )
-
-
-@q(
-    "q67_merge_upsert",
-    """
-    WITH updates AS (
-        SELECT o_orderkey,
-               CAST(round(o_totalprice * 1.1, 2) AS DOUBLE) AS new_price
-        FROM orders WHERE o_orderkey % 100 = 0
-    )
-    SELECT count(*) AS n_rows,
-           CAST(sum(CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_updated,
-           CAST(round(sum(coalesce(u.new_price, o.o_totalprice)), 2) AS DOUBLE)
-               AS total_price
-    FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
-    """,
-)
-def q67_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD-type-1 upsert via relational.merge_upsert (union + per-key
-    latest-wins window — the table-format-free MERGE INTO): 1% of
-    orders get a repriced update row; the merge must keep exactly the
-    updated version for those keys and the base row elsewhere. The
-    oracle expresses the same result declaratively (left join +
-    coalesce), so the window formulation is hash-checked against it."""
-    orders = _t(spark, sf_dir, "orders")
-    base = orders.select("o_orderkey", "o_totalprice").withColumn("_version", F.lit(0))
-    updates = (
-        orders.filter(F.col("o_orderkey") % 100 == 0)
-        .select(
-            "o_orderkey",
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
-        )
-        .withColumn("_version", F.lit(1))
-    )
-    merged = R.merge_upsert(base, updates, ["o_orderkey"], "_version")
-    return merged.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("_version") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_updated"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-    )
-
-
-@q(
-    "q68_column_profile",
-    """
-    SELECT 'c_custkey' AS column, sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
-           CAST(min(c_custkey) AS VARCHAR) AS min_value,
-           CAST(max(c_custkey) AS VARCHAR) AS max_value
-    FROM customer
-    UNION ALL
-    SELECT 'c_mktsegment', sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
-           CAST(count(DISTINCT c_mktsegment) AS BIGINT),
-           CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
-    FROM customer
-    UNION ALL
-    SELECT 'c_nationkey', sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
-           CAST(count(DISTINCT c_nationkey) AS BIGINT),
-           CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
-    FROM customer
-    """,
-)
-def q68_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """quality.profile_columns: one-scan/one-shuffle column profiling
-    (nulls, distincts, min/max) across heterogeneous column types —
-    the reconnaissance step before writing expectation suites. The
-    oracle computes each column's stats as separate scans; the engine
-    does them all in ONE aggregation (distinct-agg Expand) and unpivots
-    the single wide row with stack()."""
-    customer = _t(spark, sf_dir, "customer")
-    return Q.profile_columns(customer, ["c_custkey", "c_mktsegment", "c_nationkey"])
-
-
-# ------------------------------- 29. SCD2 / date spine / CDC keep-latest
-
-@q(
-    "q69_scd2_dimension",
-    """
-    SELECT o_custkey, o_orderkey, o_orderstatus,
-           CAST(o_orderdate AS VARCHAR) AS valid_from,
-           CAST(lead(o_orderdate) OVER w AS VARCHAR) AS valid_to,
-           CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
-               AS is_current
-    FROM orders WHERE o_custkey < 200
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
-def q69_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD type-2 dimension build: turn a change log (orders per
-    customer) into [valid_from, valid_to) intervals with a current-row
-    flag — one lead() window, one shuffle on the dimension key. At
-    100 TB this is the standard dimension-history pattern; the window
-    partitions by the natural key so state never exceeds one entity's
-    history per task."""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    nxt = F.lead("o_orderdate").over(w)
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_orderdate").cast("string").alias("valid_from"),
-        nxt.cast("string").alias("valid_to"),
-        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
-    )
-
-
-@q(
-    "q70_date_spine",
-    """
-    WITH bounds AS (
-        SELECT o_custkey,
-               min(date_trunc('month', o_orderdate)) AS lo,
-               max(date_trunc('month', o_orderdate)) AS hi
-        FROM orders WHERE o_custkey < 30 GROUP BY 1),
-    spine AS (
-        SELECT o_custkey,
-               unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
-        FROM bounds),
-    counts AS (
-        SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
-               count(*) AS n
-        FROM orders WHERE o_custkey < 30 GROUP BY 1, 2)
-    SELECT s.o_custkey,
-           CAST(CAST(s.month AS DATE) AS VARCHAR) AS month,
-           CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
-    FROM spine s LEFT JOIN counts c
-      ON s.o_custkey = c.o_custkey AND s.month = c.month
-    """,
-)
-def q70_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-spine gap fill: per-customer contiguous month axis
-    (sequence + explode) left-joined to observed monthly counts so
-    missing months surface as explicit zeros — the time-series
-    completeness primitive. The spine is generated from a pre-aggregated
-    bounds table (tiny), so the explode fans out dim-side only; the big
-    fact is touched once for the counts aggregation."""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
-    month = F.date_trunc("month", F.col("o_orderdate"))
-    bounds = orders.groupBy("o_custkey").agg(
-        F.min(month).alias("lo"), F.max(month).alias("hi")
-    )
-    spine = bounds.select(
-        "o_custkey",
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
-        ).alias("month"),
-    )
-    counts = orders.groupBy(
-        "o_custkey", month.alias("month")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return (
-        spine.join(counts, ["o_custkey", "month"], "left")
-        .select(
-            "o_custkey",
-            F.col("month").cast("date").cast("string").alias("month"),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
-        )
-    )
-
-
-@q(
-    "q77_cdc_keep_latest",
-    """
-    SELECT user_id, event_id,
-           CAST(ts AS VARCHAR) AS last_ts,
-           CAST(round(value, 2) AS DOUBLE) AS last_value
-    FROM (SELECT *, row_number() OVER (
-              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events WHERE user_id < 500)
-    WHERE rn = 1
-    """,
-)
-def q77_cdc_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC compaction: latest event per entity via the deterministic
-    keep-first operator with a descending order — the snapshot-from-
-    changelog pattern. One shuffle on user_id; at 100 TB the window
-    state is one row per task-resident key (no collect_list)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 500)
-    latest = R.dedup_keep_first(
-        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
-    )
-    return latest.select(
-        "user_id",
-        "event_id",
-        F.col("ts").cast("string").alias("last_ts"),
-        F.round("value", 2).alias("last_value"),
-    )
-
-
-# -------------------- 30. corpus vocabulary / quality-filter / anomaly
-
-@q(
-    "q71_bigram_vocab",
-    """
-    WITH w AS (
-        SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '') AS ws
-        FROM documents),
-    b AS (
-        SELECT unnest(list_transform(range(1, len(ws)),
-                                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
-        FROM w WHERE len(ws) >= 2)
-    SELECT bigram, count(*) AS n_occurrences
-    FROM b GROUP BY 1
-    ORDER BY n_occurrences DESC, bigram ASC
-    LIMIT 20
-    """,
-)
-def q71_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram vocabulary (top-20): posexplode words, lead() over
-    (doc, pos) to form bigrams, count. All-JVM (no interpreted HOF in
-    the hot path — the per-doc window beats a transform() lambda at
-    corpus scale); the only shuffles are the per-doc window and the
-    final count. LIMIT ties broken by bigram text so the cut is
-    deterministic across engines."""
-    docs = _t(spark, sf_dir, "documents")
-    ws = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
-    )
-    words = docs.select("doc_id", F.posexplode(ws).alias("pos", "word"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = words.select(
-        F.concat_ws(" ", "word", F.lead("word").over(w)).alias("bigram"),
-        F.lead("word").over(w).alias("_w2"),
-    ).filter(F.col("_w2").isNotNull())
-    return (
-        bigrams.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
-        .limit(20)
-    )
-
-
-_STOPWORDS = ["the", "of", "and", "to", "in", "a", "is"]
-
-@q(
-    "q72_gopher_quality",
-    f"""
-    WITH feat AS (
-        SELECT source,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '') AS ws,
-               length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-                   AS n_word_chars
-        FROM documents),
-    flags AS (
-        SELECT source,
-               CASE WHEN len(ws) >= 5 AND len(ws) <= 50000
-                     AND n_word_chars::DOUBLE / greatest(len(ws), 1) BETWEEN 2 AND 12
-                     AND len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE
-                         / greatest(len(ws), 1) >= 0.6
-                     AND list_has_any(ws, {_STOPWORDS!r})
-               THEN 1 ELSE 0 END AS passes
-        FROM feat)
-    SELECT source, count(*) AS n_docs,
-           CAST(sum(passes) AS BIGINT) AS n_pass,
-           CAST(round(sum(passes)::DOUBLE / count(*), 4) AS DOUBLE) AS pass_rate
-    FROM flags GROUP BY source
-    """,
-)
-def q72_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style document quality-filter chain: word count bounds,
-    mean word length, alphabetic-word ratio, stopword presence — the
-    standard pretraining-corpus gate — evaluated scan-side in one pass
-    and aggregated per source. Ratios divide identical integers in both
-    engines, so the boolean cut is float-order independent."""
-    docs = _t(spark, sf_dir, "documents")
-    ws = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
-    )
-    feat = docs.select(
-        "source",
-        ws.alias("ws"),
-        F.length(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
-        ).alias("n_word_chars"),
-    )
-    n_words = F.size("ws")
-    alpha_words = F.size(F.filter(F.col("ws"), lambda x: x.rlike("[a-z]")))
-    # greatest(n, 1): ANSI Spark throws on /0 and boolean AND does not
-    # guarantee short-circuit; n_words==0 already fails between(5, ...).
-    safe_n = F.greatest(n_words, F.lit(1))
-    passes = (
-        n_words.between(5, 50000)
-        & (F.col("n_word_chars").cast("double") / safe_n).between(2, 12)
-        & (alpha_words.cast("double") / safe_n >= 0.6)
-        & F.arrays_overlap("ws", F.array(*[F.lit(s) for s in _STOPWORDS]))
-    )
-    flags = feat.select("source", F.when(passes, 1).otherwise(0).alias("passes"))
-    return flags.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("passes").cast("long").alias("n_pass"),
-        F.round(
-            F.sum("passes").cast("double") / F.count(F.lit(1)), 4
-        ).alias("pass_rate"),
-    )
-
-
-@q(
-    "q73_zscore_anomaly",
-    """
-    WITH st AS (
-        SELECT event_type,
-               round(avg(value), 6) AS mu,
-               round(stddev_samp(value), 6) AS sd
-        FROM events GROUP BY 1),
-    z AS (
-        SELECT e.event_type,
-               round((e.value - st.mu) / st.sd, 2) AS zscore
-        FROM events e JOIN st ON e.event_type = st.event_type)
-    SELECT event_type,
-           count(*) AS n_anomalies,
-           CAST(round(max(abs(zscore)), 2) AS DOUBLE) AS max_abs_z
-    FROM z WHERE abs(zscore) > 3.0
-    GROUP BY event_type
-    """,
-)
-def q73_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-score anomaly gate: per-key mean/stddev (one agg), broadcast
-    the tiny stats table back onto the stream of events, flag |z| > 3.
-    Stats are rounded to 6 dp BEFORE the z computation and z to 2 dp
-    before the cut, so engine summation-order noise can't flip a
-    borderline row. The fact table is scanned twice but shuffled only
-    for the per-type agg (stats join is broadcast)."""
-    ev = _t(spark, sf_dir, "events")
-    st = ev.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("mu"),
-        F.round(F.stddev_samp("value"), 6).alias("sd"),
-    )
-    z = ev.join(F.broadcast(st), "event_type").select(
-        "event_type",
-        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2).alias("zscore"),
-    )
-    return (
-        z.filter(F.abs("zscore") > 3.0)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_anomalies"),
-            F.round(F.max(F.abs("zscore")), 2).alias("max_abs_z"),
-        )
-    )
-
-
-# ----------------------- 31. SQL interface / streaming sliding / IVF search
-
-_Q74_SQL = """
-    WITH ranked AS (
-        SELECT o_orderpriority, o_orderkey, o_totalprice,
-               row_number() OVER (PARTITION BY o_orderpriority
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        FROM {table})
-    SELECT o_orderpriority, o_orderkey,
-           CAST(round(o_totalprice, 2) AS DOUBLE) AS top_price
-    FROM ranked WHERE rn <= 3
-"""
-
-@q("q74_sql_api_parity", _Q74_SQL.format(table="orders"))
-def q74_sql_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's SQL front door: the SAME SQL text the DuckDB oracle
-    runs is executed through spark.sql() over a temp view — proving the
-    declarative surface, not just the DataFrame API. Catalyst compiles
-    the rank-filter to a per-group top-k (WindowGroupLimit), so the
-    shuffle carries at most 3 rows per priority per map task."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("q74_orders")
-    return spark.sql(_Q74_SQL.format(table="q74_orders"))
-
-
-@q(
-    "q75_streaming_sliding",
-    """
-    WITH buck AS (
-        SELECT TIMESTAMP '1970-01-01 00:00:00'
-                   + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT))
-                   AS b,
-               event_type, value
-        FROM events),
-    ex AS (
-        SELECT unnest([b, b - INTERVAL 30 MINUTE]) AS window_start,
-               event_type, value
-        FROM buck)
-    SELECT CAST(window_start AS VARCHAR) AS window_start, event_type,
-           count(*) AS n_events,
-           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
-    FROM ex GROUP BY 1, 2
-    """,
-)
-def q75_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window (1 h window / 30 min slide) aggregate through the
-    REAL Structured Streaming engine (readStream → availableNow →
-    memory sink), like q46 but overlapping windows: each event lands in
-    exactly 2 windows. The oracle expands each row into its two window
-    starts and re-aggregates — semantically identical to Spark's
-    sliding window expansion. Compares count+sum, not avg: the data's
-    values have 2-decimal resolution, so sums never sit on the 2-dp
-    round boundary while averages (sum/count) routinely do — engine
-    summation-order ulps flipped ~2.5% of rounded avgs."""
-    import tempfile
-    import uuid
-
-    from ingestao_dados_poli_spark.streaming.stream_ops import (
-        sliding_avg,
-        state_partitions,
-    )
-
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        path = f"{sf_dir}/events.parquet"
-        raw_schema = spark.read.parquet(path).schema
-        src = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .transform(_events_ts)
-        )
-        agg = sliding_avg(
-            src, window_len="1 hour", slide="30 minutes", watermark="10 minutes"
-        )
-        name = f"q75_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
-            query = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("complete")
-                .option("checkpointLocation", tempfile.mkdtemp(prefix="q75_ck_"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination(300)
-        return spark.table(name).select(
-            F.col("window_start").cast("string").alias("window_start"),
-            "event_type",
-            "n_events",
-            F.round("sum_value", 2).alias("sum_value"),
-        )
-
-
-@q(
-    "q76_ivf_topk",
-    f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id IN (10, 20, 30)),
-         scored AS (
-           SELECT q.query_id, c.vec_id,
-                  round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6)
-                      AS cos_sim
-           FROM embeddings c CROSS JOIN q)
-    SELECT query_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
-          FROM scored)
-    WHERE rn <= 8
-    """,
-)
-def q76_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN search with nprobe == nlist, which degrades exactly to
-    brute force — so the full IVF machinery (coarse assign, probe list,
-    per-partition scoring, top-k merge) is hash-checked against the
-    exact-cosine oracle. Pruning behavior (nprobe < nlist scores only
-    the probed partitions) is asserted in tests/test_similarity_ivf.py.
-    """
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    queries = emb.filter(F.col("vec_id").isin(10, 20, 30)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    return SIM.ivf_topk(
-        emb,
-        queries,
-        _CENTROIDS,
-        k=8,
-        nprobe=len(_CENTROIDS),
-        score_round=6,
-    )
-
-
-# -------------- 32. streaming dedup / contamination / drift / semantic dedup
-
-@q(
-    "q78_streaming_dedup",
-    """
-    SELECT event_type, count(*) AS n_events,
-           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
-    FROM events GROUP BY event_type
-    """,
-)
-def q78_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup through the REAL engine: the event stream
-    is unioned with itself (every event arrives twice — the
-    at-least-once-delivery worst case), dropDuplicates(event_id) runs
-    in the micro-batch engine, and the deduped append-mode sink must
-    aggregate back to exactly the single-copy batch numbers. State
-    eviction for unbounded streams (dropDuplicatesWithinWatermark) is
-    exercised in test_streaming."""
-    import tempfile
-    import uuid
-
-    from ingestao_dados_poli_spark.streaming.stream_ops import (
-        dedup_stream,
-        state_partitions,
-    )
-
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-        def src():
-            return (
-                spark.readStream.schema(raw_schema)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir)
-                .transform(_events_ts)
-            )
-
-        doubled = src().unionByName(src())
-        deduped = dedup_stream(doubled, ["event_id"])
-        name = f"q78_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
-            query = (
-                deduped.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .option("checkpointLocation", tempfile.mkdtemp(prefix="q78_ck_"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination(300)
-        return (
-            spark.table(name)
-            .groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value"), 2).alias("sum_value"),
-            )
-        )
-
-
-@q(
-    "q79_contamination",
-    """
-    WITH w AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '') AS ws
-        FROM documents),
-    sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(1, len(ws) - 2),
-                   i -> array_to_string(ws[i:i+3], ' ')))) AS g
-        FROM w WHERE len(ws) >= 4),
-    bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 20 = 0),
-    hits AS (
-        SELECT s.doc_id, count(DISTINCT s.g) AS n_shared
-        FROM sh s JOIN bench b ON s.g = b.g AND s.doc_id <> b.bench_id
-        GROUP BY 1)
-    SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared FROM hits
-    """,
-)
-def q79_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-contamination detection (GPT-3 appendix-C style): flag
-    training documents sharing any 4-gram with a held-out benchmark set
-    (here: every 20th doc). Grams are built all-JVM (posexplode + 4
-    lead() calls over one per-doc window — no interpreted HOF in the
-    hot path) and deduped per doc; the benchmark side is tiny by
-    construction, so the overlap join broadcasts it. At 100 TB hash
-    grams to int64 (xxhash64) before the join to shrink shuffle/build
-    width — string grams kept here for oracle comparability."""
-    docs = _t(spark, sf_dir, "documents")
-    ws = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
-    )
-    words = docs.select("doc_id", F.posexplode(ws).alias("pos", "word"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("word", i).over(w) for i in range(1, 4)]
-    grams = (
-        words.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("word"), *leads).alias("g"),
-            leads[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "g")
-        .distinct()
-    )
-    bench = grams.filter(F.col("doc_id") % 20 == 0).select(
-        F.col("doc_id").alias("bench_id"), F.col("g").alias("bg")
-    )
-    return (
-        grams.join(
-            F.broadcast(bench),
-            (F.col("g") == F.col("bg")) & (F.col("doc_id") != F.col("bench_id")),
-        )
-        .groupBy("doc_id")
-        .agg(F.count_distinct("g").cast("long").alias("n_shared"))
-    )
-
-
-_PSI_PRIO_A = "1-URGENT"
-_PSI_PRIO_B = "5-LOW"
-_PSI_BINS = 10
-_PSI_WIDTH = 60000.0
-
-@q(
-    "q80_psi_drift",
-    f"""
-    WITH binned AS (
-        SELECT least(CAST(floor(o_totalprice / {_PSI_WIDTH}) AS BIGINT),
-                     {_PSI_BINS - 1}) AS bin,
-               o_orderpriority AS prio
-        FROM orders
-        WHERE o_orderpriority IN ('{_PSI_PRIO_A}', '{_PSI_PRIO_B}')),
-    spine AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin),
-    counts AS (
-        SELECT s.bin,
-               CAST(sum(CASE WHEN b.prio = '{_PSI_PRIO_A}' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS ca,
-               CAST(sum(CASE WHEN b.prio = '{_PSI_PRIO_B}' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS cb
-        FROM spine s LEFT JOIN binned b ON s.bin = b.bin GROUP BY 1),
-    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM counts),
-    terms AS (
-        SELECT ((ca + 0.5) / (ta + 0.5 * {_PSI_BINS})
-              - (cb + 0.5) / (tb + 0.5 * {_PSI_BINS}))
-             * ln(((ca + 0.5) / (ta + 0.5 * {_PSI_BINS}))
-                / ((cb + 0.5) / (tb + 0.5 * {_PSI_BINS}))) AS term
-        FROM counts, tot)
-    SELECT CAST({_PSI_BINS} AS BIGINT) AS n_bins,
-           CAST(round(sum(term), 6) AS DOUBLE) AS psi
-    FROM terms
-    """,
-)
-def q80_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-stability-index drift metric between two slices
-    (order-price distribution of URGENT vs LOW priority orders) over a
-    fixed bin grid: one scan builds both binned histograms via
-    conditional aggregation, a literal bin spine guarantees every bin
-    exists, Laplace smoothing (+0.5) keeps empty bins finite. PSI is
-    THE production drift gate for feature pipelines; everything here is
-    scan-side + one tiny agg, so it costs one pass at any scale."""
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority").isin(_PSI_PRIO_A, _PSI_PRIO_B)
-    )
-    binned = orders.select(
-        F.least(
-            F.floor(F.col("o_totalprice") / _PSI_WIDTH).cast("long"),
-            F.lit(_PSI_BINS - 1),
-        ).alias("bin"),
-        F.col("o_orderpriority").alias("prio"),
-    )
-    spine = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
-    # aggregate the fact FIRST (map-side-combined, <= n_bins rows), then
-    # join the tiny histogram to the spine — never shuffle the fact on a
-    # 10-key (skewed) bin column.
-    hist = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("prio") == _PSI_PRIO_A, 1).otherwise(0))
-        .cast("long")
-        .alias("ca"),
-        F.sum(F.when(F.col("prio") == _PSI_PRIO_B, 1).otherwise(0))
-        .cast("long")
-        .alias("cb"),
-    )
-    counts = spine.join(hist, "bin", "left").select(
-        "bin",
-        F.coalesce("ca", F.lit(0)).alias("ca"),
-        F.coalesce("cb", F.lit(0)).alias("cb"),
-    )
-    tot = counts.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
-    sm = 0.5 * _PSI_BINS
-    pa = (F.col("ca") + 0.5) / (F.col("ta") + sm)
-    pb = (F.col("cb") + 0.5) / (F.col("tb") + sm)
-    terms = counts.crossJoin(F.broadcast(tot)).select(
-        ((pa - pb) * F.log(pa / pb)).alias("term")
-    )
-    return terms.agg(
-        F.lit(_PSI_BINS).cast("long").alias("n_bins"),
-        F.round(F.sum("term"), 6).alias("psi"),
-    )
-
-
-@q(
-    "q81_semantic_dedup",
-    f"""
-    WITH scored AS (
-        SELECT vec_id, embedding, [{_CENTROID_SQL}] AS cs FROM embeddings),
-    a AS (
-        SELECT vec_id, embedding,
-               CASE WHEN cs[1] >= cs[2] AND cs[1] >= cs[3] AND cs[1] >= cs[4] THEN 0
-                    WHEN cs[2] >= cs[3] AND cs[2] >= cs[4] THEN 1
-                    WHEN cs[3] >= cs[4] THEN 2 ELSE 3 END AS centroid_id
-        FROM scored),
-    edges AS (
-        SELECT x.vec_id AS ia, y.vec_id AS ib
-        FROM a x JOIN a y
-          ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
-        WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
-                                           y.embedding::DOUBLE[]), 6) >= 0.40),
-    sym AS (SELECT ia a, ib b FROM edges UNION ALL SELECT ib, ia FROM edges),
-    comp AS (
-        WITH RECURSIVE walk(node, label) AS (
-            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-            UNION
-            SELECT s.b, w.label FROM walk w JOIN sym s ON w.node = s.a
-            WHERE w.label < s.b),
-        reach AS (SELECT node, min(label) AS component FROM walk GROUP BY 1)
-        SELECT av.vec_id AS node,
-               coalesce(r.component, av.vec_id) AS component,
-               av.centroid_id
-        FROM a av LEFT JOIN reach r ON av.vec_id = r.node)
-    SELECT centroid_id, count(*) AS n_vectors,
-           CAST(sum(CASE WHEN node = component THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_kept
-    FROM comp GROUP BY centroid_id
-    """,
-)
-def q81_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (semantic near-dup removal, arXiv:2303.09540): coarse
-    k-means partition → exact within-cluster cosine pairs (capped
-    in-row expansion) → transitive closure → keep the min-id canonical
-    per duplicate group. Reported per centroid as kept/total. The
-    DuckDB oracle recomputes the closure with a recursive CTE, so the
-    distributed flooding + capped pair generation is hash-checked
-    end-to-end. Threshold 0.40 chosen because the synthetic embeddings
-    are random (max within-cluster cosine ~0.51) — real corpora use
-    0.95+."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    out = SIM.semantic_dedup(
-        emb, _CENTROIDS, threshold=0.40, score_round=6
-    )
-    return out.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
-    )
-
-
-# ------------------------------------------- 35. corpus prep: chunking
-
-@q(
-    "q82_doc_chunking",
-    """
-    WITH starts AS (
-        SELECT doc_id, source,
-               unnest(generate_series(1, greatest(length(text), 1), 150))
-                   AS chunk_start,
-               text
-        FROM documents)
-    SELECT doc_id, source,
-           CAST((chunk_start - 1) // 150 AS INTEGER) AS chunk_id,
-           CAST(chunk_start AS INTEGER) AS chunk_start,
-           substr(text, chunk_start, 200) AS chunk_text
-    FROM starts
-    """,
-)
-def q82_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping character-window chunking (200-char windows, 50-char
-    overlap → stride 150): sequence+explode+substring, all scan-side
-    codegen, zero shuffles — the context-window prep stage before
-    embedding/tokenization. Oracle recomputes with generate_series +
-    substr (both engines define substring as 1-based length-capped)."""
-    docs = _t(spark, sf_dir, "documents")
-    return CO.chunk_documents(
-        docs, chunk_size=200, overlap=50
-    ).select(
-        "doc_id",
-        "source",
-        "chunk_id",
-        F.col("chunk_start").cast("int").alias("chunk_start"),
-        "chunk_text",
-    )
-
-
-# ----------------------------------- 36. corpus prep: deterministic split
-
-@q(
-    "q83_hash_split",
-    """
-    WITH b AS (
-        SELECT source,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   % 4096 AS bucket
-        FROM documents)
-    SELECT CASE WHEN bucket < 3277 THEN 'train'
-                WHEN bucket < 3687 THEN 'val'
-                ELSE 'test' END AS split,
-           source, count(*) AS n_docs
-    FROM b GROUP BY 1, 2
-    """,
-)
-def q83_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic md5-bucket train/val/test split (80/10/10): a
-    row's split is a pure function of its id — stable under reruns,
-    appends, and engine changes, unlike randomSplit. Scan-side hash +
-    CASE, no shuffle before the count agg. The oracle recomputes the
-    identical md5 buckets in DuckDB, proving cross-engine split
-    reproducibility (the property that matters for 100 TB backfills)."""
-    docs = _t(spark, sf_dir, "documents")
-    out = CO.hash_split(
-        docs,
-        id_col="doc_id",
-        splits={"train": 0.8, "val": 0.1, "test": 0.1},
-    )
-    return out.groupBy("split", "source").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-
-
-# ------------------------------------- 37. corpus prep: sequence packing
-
-@q(
-    "q84_sequence_packing",
-    """
-    SELECT doc_id, source,
-           CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING)
-                - n_chars AS BIGINT) AS token_offset,
-           CAST((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING)
-                 - n_chars) // 2000 AS BIGINT) AS pack_id
-    FROM documents
-    """,
-)
-def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-then-chunk sequence packing (GPT-style): documents laid
-    end-to-end per source shard in doc_id order; pack_id =
-    floor(start_offset / 2000). ONE shuffle (on source) then a linear
-    windowed cumsum per shard — never a global order, so shards pack
-    in parallel at any scale. Weight column is n_chars (the packing
-    math is weight-agnostic)."""
-    docs = _t(spark, sf_dir, "documents")
-    return CO.pack_sequences(
-        docs,
-        partition_cols=["source"],
-        order_col="doc_id",
-        token_col="n_chars",
-        budget=2000,
-    ).select("doc_id", "source", "token_offset", "pack_id")
-
-
-# --------------------------------------- 38. corpus prep: token entropy
-
-@q(
-    "q85_token_entropy",
-    """
-    WITH toks AS (
-        SELECT doc_id,
-               unnest(list_filter(string_split(text, ' '), t -> t <> ''))
-                   AS tok
-        FROM documents),
-    counts AS (
-        SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(sum(n) AS BIGINT) AS n_tokens,
-           CAST(round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS DOUBLE)
-               AS entropy_bits
-    FROM counts GROUP BY doc_id
-    """,
-)
-def q85_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Shannon entropy of the token distribution — the
-    low-entropy tail is boilerplate/spam (complements Gopher rules,
-    q72). Two map-side-combined shuffles on doc-prefixed keys; the
-    H = log2(T) − Σn·log2 n / T identity avoids per-token division.
-    Oracle recomputes token counts via unnest."""
-    docs = _t(spark, sf_dir, "documents")
-    return CO.token_entropy(docs)
-
-
-# ------------------------------------ 39. corpus prep: token blacklist
-
-@q(
-    "q86_token_filter",
-    """
-    WITH kept AS (
-        SELECT doc_id,
-               list_filter(string_split(text, ' '),
-                           t -> length(t) >= 3
-                                AND NOT list_contains(['the', 'a'], t))
-                   AS toks
-        FROM documents)
-    SELECT doc_id,
-           CAST(length(toks) AS BIGINT) AS n_kept_tokens,
-           array_to_string(toks, ' ') AS clean_text
-    FROM kept
-    """,
-)
-def q86_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style in-document cleanup re-expressed at token granularity
-    (this corpus is one line per doc): drop blacklisted/too-short
-    tokens, reassemble. The filter() higher-order function with a
-    literal lambda stays in whole-stage codegen — no explode, no
-    shuffle, no UDF."""
-    docs = _t(spark, sf_dir, "documents")
-    return CO.token_filter(
-        docs, blacklist=["the", "a"], min_len=3
-    ).select("doc_id", "n_kept_tokens", "clean_text")
-
-
-# ------------------------------- 40. corpus prep: per-group sampling
-
-@q(
-    "q87_group_sample",
-    """
-    SELECT doc_id, source, lang
-    FROM documents
-    QUALIFY row_number() OVER (
-        PARTITION BY source
-        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
-    """,
-)
-def q87_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-source sample of exactly 20 docs: rank by
-    md5(id) inside each group — reservoir-sampling semantics with no
-    RNG state, identical rows on rerun/backfill (what a data-mixing
-    stage needs). One shuffle on the group key; oracle is the same
-    rank in DuckDB, so the sampled SET is hash-checked, not just its
-    size."""
-    docs = _t(spark, sf_dir, "documents")
-    return CO.group_sample(
-        docs, group_cols=["source"], id_col="doc_id", n=20
-    ).select("doc_id", "source", "lang")
-
-
-# ----------------------------------------- 41. window: lag / delta
-
-@q(
-    "q88_lag_delta",
-    """
-    WITH daily AS (
-        SELECT CAST(CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
-                    AS VARCHAR) AS day,
-               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS daily_total
-        FROM orders GROUP BY 1)
-    SELECT day, daily_total,
-           lag(daily_total) OVER (ORDER BY day) AS prev_total,
-           CAST(round(daily_total
-                      - coalesce(lag(daily_total) OVER (ORDER BY day),
-                                 daily_total), 2) AS DOUBLE) AS delta
-    FROM daily
-    """,
-)
-def q88_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-over-day revenue delta via lag() — the lead/lag window
-    family (q13 covers running sums, q20 session gaps). The global
-    ORDER BY window is over the DAILY aggregate (≤ a few thousand
-    rows at any corpus size), not the fact table — aggregate first,
-    window second, so the single-task window stage is bounded."""
-    orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.date_trunc("day", F.col("o_orderdate")).cast("string").alias("day")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("daily_total"))
-    # INVARIANT (pinned by test_global_windows_are_post_aggregation):
-    # this unpartitioned window's input is the daily aggregate —
-    # |rows| = |distinct days|, bounded by calendar span, not data size.
-    w = Window.orderBy("day")
-    prev = F.lag("daily_total").over(w)
-    return daily.select(
-        "day",
-        "daily_total",
-        prev.alias("prev_total"),
-        F.round(
-            F.col("daily_total") - F.coalesce(prev, F.col("daily_total")), 2
-        ).alias("delta"),
-    )
-
-
-# ------------------------------- 42. streaming: stream-static enrich
-
-@q(
-    "q89_streaming_enrich",
-    """
-    SELECT CAST(TIMESTAMP '1970-01-01 00:00:00'
-                + to_seconds(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
-                AS VARCHAR) AS window_start,
-           c_mktsegment,
-           count(*) AS n_events,
-           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
-    FROM events JOIN customer ON user_id = c_custkey
-    GROUP BY 1, 2
-    """,
-)
-def q89_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static enrichment: readStream(events) ⋈ broadcast static
-    customer dim → watermarked 6 h tumbling aggregate, through the
-    REAL Structured Streaming engine (availableNow → memory sink).
-    The static side re-broadcasts per micro-batch (Spark's documented
-    stream-static join model); at 100 TB/day the dim stays a
-    broadcast, the stream never shuffles before the windowed agg.
-    Oracle is the batch equivalent over the same tables."""
-    import tempfile
-    import uuid
-
-    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
-
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        path = f"{sf_dir}/events.parquet"
-        raw_schema = spark.read.parquet(path).schema
-        src = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .transform(_events_ts)
-        )
-        dim = F.broadcast(
-            _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-        )
-        agg = (
-            src.withWatermark("ts", "10 minutes")
-            .join(dim, F.col("user_id") == F.col("c_custkey"))
-            .groupBy(F.window("ts", "6 hours"), "c_mktsegment")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum("value").alias("sum_value"),
-            )
-        )
-        name = f"q89_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
-            query = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("complete")
-                .option("checkpointLocation", tempfile.mkdtemp(prefix="q89_ck_"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination(300)
-        return spark.table(name).select(
-            F.col("window.start").cast("string").alias("window_start"),
-            "c_mktsegment",
-            "n_events",
-            F.round("sum_value", 2).alias("sum_value"),
-        )
-
-
-# ------------------------------- 43. mergeable sketch rollup (HLL)
-
-@q(
-    "q90_hll_rollup",
-    """
-    SELECT source,
-           CAST(count(DISTINCT md5(text)) AS BIGINT) AS exact_distinct_fp,
-           TRUE AS hll_within_5pct
-    FROM documents
-    GROUP BY source
-    """,
-)
-def q90_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup — the continuous-aggregate primitive at
-    100 TB: build Datasketches HLL sketches at FINE grain
-    (source × lang), then roll up to source by merging SKETCH STATE
-    (hll_union_agg) without re-touching rows. A real pipeline persists
-    the fine-grain sketch table and answers any coarser distinct-count
-    from it; appending a day merges one new sketch row per group
-    instead of rescanning history. Oracle contract (q64 pattern): the
-    exact distinct count hash-matches DuckDB and the HLL estimate
-    crosses as a |approx−exact|/exact ≤ 5% boolean asserted literal
-    TRUE — HLL register state is a max over hashes, so the estimate is
-    order-insensitive and the boolean deterministic."""
-    docs = _t(spark, sf_dir, "documents").withColumn("fp", F.md5("text"))
-    fine = docs.groupBy("source", "lang").agg(
-        F.hll_sketch_agg("fp", F.lit(12)).alias("sk")
-    )
-    rolled = fine.groupBy("source").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx")
-    )
-    exact = docs.groupBy("source").agg(
-        F.count_distinct("fp").alias("exact_distinct_fp")
-    )
-    return exact.join(rolled, "source").select(
-        "source",
-        F.col("exact_distinct_fp").cast("long").alias("exact_distinct_fp"),
-        (
-            F.abs(F.col("_approx") - F.col("exact_distinct_fp"))
-            / F.col("exact_distinct_fp")
-            <= 0.05
-        ).alias("hll_within_5pct"),
-    )
-
-
-# --------------------------- 44. streaming: foreachBatch incremental upsert
-
-@q(
-    "q91_streaming_upsert",
-    """
-    SELECT user_id, event_id,
-           CAST(ts AS VARCHAR) AS last_ts,
-           CAST(round(value, 2) AS DOUBLE) AS last_value
-    FROM (SELECT *, row_number() OVER (
-              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events)
-    WHERE rn = 1
-    """,
-)
-def q91_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming MERGE: the changelog is re-sharded into 4 files and
-    streamed with maxFilesPerTrigger=1, so foreachBatch runs 4 REAL
-    micro-batches, each compacting its batch to latest-per-key and
-    merging it into a versioned parquet snapshot (merge_upsert =
-    union + latest-wins window; the table-format-free MERGE INTO).
-    The final snapshot equals batch keep-latest over the whole
-    changelog REGARDLESS of how rows were batched — the merge order
-    key struct(ts, event_id) is a total order per user, so the fold is
-    associative; that batching-invariance is exactly what the oracle
-    hash-checks. At 100 TB the snapshot is a bucketed table on the
-    merge key and each micro-batch pays one co-located window, not a
-    rescan of history."""
-    import tempfile
-    import uuid
-
-    ev = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="q91_")
-    shard_dir = f"{work}/shards"
-    ev.repartition(4).write.mode("overwrite").parquet(shard_dir)
-
-    snap_versions: list[str] = []
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        compact = R.dedup_keep_first(
-            batch_df,
-            ["user_id"],
-            [F.col("ts").desc(), F.col("event_id").desc()],
-        ).withColumn("_ord", F.struct("ts", "event_id"))
-        if snap_versions:
-            base = batch_df.sparkSession.read.parquet(snap_versions[-1])
-            merged = R.merge_upsert(base, compact, ["user_id"], "_ord")
-        else:
-            merged = compact
-        out = f"{work}/snap_v{batch_id}"
-        merged.write.mode("overwrite").parquet(out)
-        snap_versions.append(out)
-
-    src = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(shard_dir)
-    )
-    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
-
-    with state_partitions(spark, 8):
-        query = (
-            src.writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", f"{work}/ck_{uuid.uuid4().hex[:8]}")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
-    assert len(snap_versions) >= 2, "expected multiple micro-batches"
-    final = spark.read.parquet(snap_versions[-1])
-    return final.select(
-        "user_id",
-        "event_id",
-        F.col("ts").cast("string").alias("last_ts"),
-        F.round("value", 2).alias("last_value"),
-    )
-
-
-# --------------------------- 45. streaming: stream-stream interval join
-
-@q(
-    "q92_streaming_interval_join",
-    """
-    SELECT a.event_id AS err_id,
-           b.event_id AS click_id,
-           a.user_id AS user_id,
-           CAST(a.ts AS VARCHAR) AS err_ts,
-           CAST(b.ts AS VARCHAR) AS click_ts
-    FROM events a JOIN events b
-      ON a.user_id = b.user_id
-     AND a.event_type = 'error' AND b.event_type = 'click'
-     AND b.ts BETWEEN a.ts - INTERVAL 60 MINUTE AND a.ts
-    """,
-)
-def q92_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join (funnel/attribution): clicks within
-    the hour preceding an error by the same user, joined through the
-    REAL streaming engine — two file streams, watermarks on both
-    sides, event-time range condition, append sink. The watermark +
-    60 min lookback bound the join state, so buffered rows are evicted
-    as event time advances — the property that lets this run forever
-    at 100 TB/day while an unconstrained stream-stream join would
-    buffer both streams whole. Oracle is the identical batch join."""
-    import tempfile
-    import uuid
-
-    from ingestao_dados_poli_spark.streaming.stream_ops import (
-        interval_join_streams,
-        state_partitions,
-    )
-
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-        def ev_stream() -> DataFrame:
-            return (
-                spark.readStream.schema(raw_schema)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir)
-                .transform(_events_ts)
-            )
-
-        errors = ev_stream().filter(F.col("event_type") == "error").select(
-            "user_id", "ts", F.col("event_id").alias("err_id")
-        )
-        clicks = ev_stream().filter(F.col("event_type") == "click").select(
-            "user_id", "ts", F.col("event_id").alias("click_id")
-        )
-        joined = interval_join_streams(
-            errors, clicks, keys=["user_id"], lookback="60 minutes",
-            watermark="30 minutes",
-        )
-        name = f"q92_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
-            query = (
-                joined.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .option("checkpointLocation", tempfile.mkdtemp(prefix="q92_ck_"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination(300)
-        return spark.table(name).select(
-            "err_id",
-            "click_id",
-            F.col("l_user_id").alias("user_id"),
-            F.col("l_ts").cast("string").alias("err_ts"),
-            F.col("r_ts").cast("string").alias("click_ts"),
-        )
-
-
-# ------------------------------------------ 46. EWMA (exact window math)
-
-@q(
-    "q93_ewma",
-    """
-    WITH base AS (
-        SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
-               round(sum(o_totalprice), 2) AS x
-        FROM orders JOIN customer ON o_custkey = c_custkey
-                    JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY 1, 2
-    ), seq AS (
-        SELECT n_name, yr, x,
-               CAST(round(x * 100) AS BIGINT) AS xc,
-               row_number() OVER (PARTITION BY n_name ORDER BY yr) AS t,
-               first_value(CAST(round(x * 100) AS BIGINT)) OVER (
-                   PARTITION BY n_name ORDER BY yr) AS x1c
-        FROM base
-    ), cum AS (
-        SELECT n_name, yr, x, t, x1c,
-               sum(xc * CAST(power(2.0, t) AS BIGINT)) OVER (
-                   PARTITION BY n_name ORDER BY yr
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
-        FROM seq
-    )
-    SELECT n_name, yr, CAST(x AS DOUBLE) AS yearly_revenue,
-           CAST(round(power(0.5, t) * (0.5 * CAST(u AS DOUBLE) + x1c))
-                / 100.0 AS DOUBLE) AS ewma
-    FROM cum
-    """,
-)
-def q93_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially weighted moving average over a per-group time
-    series, in PURE window algebra — no UDF, no recursion, no
-    driver loop. The recurrence e_t = a*x_t + (1-a)*e_(t-1) has the
-    closed form e_t = (1-a)^t * (a*U_t + x_1) with
-    U_t = cumsum(x_k * (1-a)^(-k)), i.e. one row_number, one
-    first_value, one cumulative sum — all partial-aggregatable window
-    ops that scale to any number of groups. a = 0.5 makes every
-    rescale an EXACT power-of-two multiply, and the cumsum runs over
-    INTEGER CENTS (x*100*2^t, ~1e12 max, well under 2^53) so every
-    intermediate is an exact dyadic rational — Spark and DuckDB agree
-    bitwise (DuckDB's segment-tree window sum reorders float adds, so
-    a double cumsum would straddle rounding boundaries) and the
-    oracle hash-checks the math, not a tolerance. The final round
-    also happens IN CENTS: rounding after /100 would hit half-cent
-    boundaries where Spark's shortest-string HALF_UP round and
-    DuckDB's true-binary-value round legitimately disagree."""
-    a = 0.5
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    base = (
-        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
-        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
-        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
-    )
-    w = Window.partitionBy("n_name").orderBy("yr")
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    xc = F.round(F.col("x") * 100).cast("long")
-    seq = base.select(
-        "n_name", "yr", "x",
-        xc.alias("xc"),
-        F.row_number().over(w).alias("t"),
-        F.first(xc).over(w).alias("x1c"),
-    )
-    cum = seq.withColumn(
-        "u",
-        F.sum(
-            (F.col("xc") * F.pow(F.lit(2.0), F.col("t"))).cast("long")
-        ).over(wc),
-    )
-    return cum.select(
-        "n_name",
-        "yr",
-        F.col("x").alias("yearly_revenue"),
-        (
-            F.round(
-                F.pow(F.lit(1 - a), F.col("t"))
-                * (a * F.col("u") + F.col("x1c")),
-                0,
-            )
-            / 100.0
-        ).alias("ewma"),
-    )
-
-
-# ----------------------- 47. boilerplate n-gram detection (corpus-wide)
-
-@q(
-    "q94_boilerplate_ngrams",
-    """
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    ),
-    grams AS (
-        SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS ngram
-        FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) t
-    ),
-    freq AS (SELECT ngram, count(*) AS doc_freq FROM grams GROUP BY ngram)
-    SELECT ngram, CAST(doc_freq AS BIGINT) AS doc_freq
-    FROM freq
-    ORDER BY doc_freq DESC, ngram
-    LIMIT 20
-    """,
-)
-def q94_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide boilerplate detection: 5-grams ranked by the number
-    of DISTINCT documents containing them — the pre-pass an LLM data
-    pipeline runs to find repeated headers/footers/licenses worth
-    stripping. Routed through ``corpus.boilerplate_ngrams`` (string
-    key — the measured-better default: one scan, one map-side-combined
-    shuffle; see the operator docstring for the scale_smoke numbers
-    that demoted the hash-keyed variant to opt-in). Exact
-    lexicographic tie-break at equal doc_freq is what DuckDB computes.
-    The two variants are equivalence-tested in test_corpus.py and
-    timed + shuffle-byte-measured side-by-side in
-    tools/scale_smoke.py."""
-    from ingestao_dados_poli_spark.operators.corpus import boilerplate_ngrams
-
-    docs = _t(spark, sf_dir, "documents")
-    return boilerplate_ngrams(docs, n=5, top_k=20, hash_key=False)
-
-
-# ------------------------- 48. Z-order clustering code (layout locality)
-
-@q(
-    "q95_zorder_code",
-    """
-    WITH b AS (
-        SELECT l_orderkey,
-               CAST(l_partkey % 256 AS BIGINT) AS bx,
-               CAST(l_suppkey % 256 AS BIGINT) AS by
-        FROM lineitem
-    ),
-    z AS (
-        SELECT l_orderkey,
-               list_sum([ (((bx >> i) & 1) << (2*i))
-                        + (((by >> i) & 1) << (2*i+1)) for i in range(0, 8)]) AS zv
-        FROM b
-    )
-    SELECT CAST(zv >> 10 AS BIGINT) AS z_bucket,
-           count(*) AS n,
-           CAST(min(zv) AS BIGINT) AS z_min,
-           CAST(max(zv) AS BIGINT) AS z_max
-    FROM z GROUP BY 1
-    """,
-)
-def q95_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Morton (Z-order) interleave as a first-class expression — the
-    clustering key behind `writers.write_clustered`'s multi-column
-    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER re-expressed
-    as plain Spark: bucket → interleave → repartitionByRange → sorted
-    write). `partitioning.morton_code` expands to bits*ncols flat
-    shift/mask terms, all inside whole-stage codegen — no UDF, no
-    shuffle; the only shuffle in the full write path is the ONE range
-    partition on the z-value. Oracle recomputes the interleave in
-    DuckDB via a list comprehension, so the bit math is value-checked
-    end to end."""
-    from ingestao_dados_poli_spark.partitioning import morton_code
-
-    li = _t(spark, sf_dir, "lineitem")
-    z = morton_code(
-        [F.col("l_partkey") % 256, F.col("l_suppkey") % 256], bits=8
-    )
-    return (
-        li.select(F.col("l_orderkey"), z.alias("zv"))
-        .groupBy(F.shiftright("zv", 10).cast("long").alias("z_bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("zv").cast("long").alias("z_min"),
-            F.max("zv").cast("long").alias("z_max"),
-        )
-    )
-
-
-# ---------------------------- 49. VARIANT semi-structured access (Spark 4)
-
-@q(
-    "q96_variant_extract",
-    """
-    WITH j AS (
-        SELECT json_object(
-                   'type', event_type,
-                   'm', json_object('uid', user_id, 'v', value),
-                   'p', json(props)) AS v
-        FROM events
-    )
-    SELECT v->>'$.type' AS etype,
-           count(*) AS n,
-           CAST(sum(CAST(v->>'$.p.k' AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(round(sum(CAST(v->>'$.m.v' AS DOUBLE)), 2) AS DOUBLE) AS sum_v,
-           CAST(count(v->'$.absent') AS BIGINT) AS n_absent
-    FROM j GROUP BY 1
-    """,
-)
-def q96_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured access through Spark 4's VARIANT type: build a
-    nested document per event, `parse_json` it ONCE into the binary
-    variant encoding, then extract typed paths with `variant_get` /
-    `try_variant_get` (the latter returns null on a missing path
-    instead of throwing — counted here to prove the contract). At
-    100 TB this is the schema-on-read path for heterogeneous event
-    payloads: variant decode happens once per row at scan, path reads
-    are binary offset lookups (no per-access JSON re-parse), and the
-    whole pipeline stays codegen — contrast q21's per-call
-    get_json_object string parsing. Oracle mirrors the same nested
-    doc with DuckDB's JSON type."""
-    ev = _t(spark, sf_dir, "events")
-    v = F.parse_json(
-        F.to_json(
-            F.struct(
-                F.col("event_type").alias("type"),
-                F.struct(
-                    F.col("user_id").alias("uid"),
-                    F.col("value").alias("v"),
-                ).alias("m"),
-                F.from_json("props", "k LONG").alias("p"),
-            )
-        )
-    )
-    doc = ev.select(v.alias("v"))
-    return doc.groupBy(
-        F.variant_get("v", "$.type", "string").alias("etype")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.variant_get("v", "$.p.k", "bigint")).alias("sum_k"),
-        F.round(F.sum(F.variant_get("v", "$.m.v", "double")), 2).alias("sum_v"),
-        F.count(F.try_variant_get("v", "$.absent", "bigint")).alias("n_absent"),
-    )
-
-
-# --------------------- 50. real media decode (dependency-free codecs)
-
-@q("q97_media_decode")
-def q97_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL multimodal decode with no codec libs (rows-only:
-    byte parsing isn't SQL-expressible): payloads are actual encoded
-    P6 netpbm images, decoded pixel-for-pixel with numpy inside the
-    same Arrow-batched mapInPandas plumbing the sha256 fake stands in
-    for elsewhere — byte gen, decode, and strip-mean featurization all
-    run distributed, zero driver involvement. The value contract
-    (decode(encode(x)) == x, exact strip means) is pytest-verified in
-    test_similarity_multimodal/test_layout."""
-    media = MM.synthetic_ppm_media(spark, n=256, width=32, height=16)
-    feats = MM.extract_image_features(
-        media, dim=8, featurizer=MM.ppm_featurizer(8)
-    )
-    out = feats.select(
-        "media_id",
-        "width",
-        "height",
-        "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f_first"),
-        F.round(F.element_at("features", 8), 6).alias("f_last"),
-    )
-    # Self-asserting (q129 pattern): ONE sampled payload is collected
-    # (1.5 KB scalar probe) and re-decoded driver-side in PURE PYTHON —
-    # independent header parse, raster walk, grayscale and strip means
-    # with plain floats, no numpy, no shared code with the distributed
-    # featurizer — so a decode/featurize regression in the Arrow path
-    # cannot return plausible rows. Tolerance 2e-6 absorbs float32
-    # (executor) vs float64 (probe) accumulation.
-    raw = media.filter(F.col("media_id") == 11).select("payload").collect()
-    got = out.filter(F.col("media_id") == 11).collect()
-    payload = bytes(raw[0].payload)
-    toks, i = [], 2
-    while len(toks) < 3:
-        while payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":
-            i = payload.index(b"\n", i) + 1
-            continue
-        j = i
-        while not payload[j : j + 1].isspace():
-            j += 1
-        toks.append(int(payload[i:j]))
-        i = j
-    i += 1
-    w, h, _maxval = toks
-    gray = [
-        sum(payload[i + (r * w + c) * 3 + k] for k in range(3)) / 3.0 / 255.0
-        for r in range(h)
-        for c in range(w)
-    ]
-    def strip_mean(k: int, dim: int = 8) -> float:
-        lo, hi = (w * k) // dim, max((w * (k + 1)) // dim, (w * k) // dim + 1)
-        vals = [gray[r * w + c] for r in range(h) for c in range(lo, hi)]
-        return sum(vals) / len(vals)
-    if (
-        len(got) != 1
-        or abs(got[0].f_first - strip_mean(0)) > 2e-6
-        or abs(got[0].f_last - strip_mean(7)) > 2e-6
-    ):
-        raise AssertionError(
-            f"PPM decode self-check failed: got {got}, expected "
-            f"({strip_mean(0):.6f}, {strip_mean(7):.6f})"
-        )
-    return out
-
-
-# --------------------- 51. training-data mixture weights (temperature)
-
-@q(
-    "q98_mixture_weights",
-    """
-    WITH g AS (
-      SELECT lang, source, count(*) AS n_docs
-      FROM documents GROUP BY 1, 2
-    ),
-    w AS (
-      SELECT lang, source, n_docs,
-             pow(n_docs / sum(n_docs) OVER (), 0.5) AS wr
-      FROM g
-    )
-    SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
-           CAST(round(wr / sum(wr) OVER (), 6) AS DOUBLE) AS mix_weight
-    FROM w
-    """,
-)
-def q98_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled data-mixing weights per (lang, source) cell:
-    w = p^alpha / sum(p^alpha) with alpha=0.5 — the standard upweighting
-    of low-resource slices when composing a training mix. ONE raw scan
-    (map-side-combined groupBy); the two global sums run as
-    unpartitioned windows over the GROUPED table, whose cardinality is
-    the mixture-cell count (langs x sources — config-bounded, dozens),
-    so the single-partition window is over a handful of rows at any
-    corpus size."""
-    docs = _t(spark, sf_dir, "documents")
-    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w_all = Window.partitionBy()
-    g = g.withColumn(
-        "_wr", F.pow(F.col("n_docs") / F.sum("n_docs").over(w_all), 0.5)
-    )
-    return g.select(
-        "lang",
-        "source",
-        "n_docs",
-        F.round(F.col("_wr") / F.sum("_wr").over(w_all), 6).alias("mix_weight"),
-    )
-
-
-# --------------------- 52. grouped linear regression (regr_* aggregates)
-
-@q(
-    "q99_grouped_regression",
-    """
-    SELECT o_orderpriority,
-           CAST(regr_count(o_totalprice,
-                CAST(datediff('day', DATE '1970-01-01',
-                     CAST(o_orderdate AS DATE)) AS DOUBLE)) AS BIGINT) AS n,
-           CAST(round(regr_slope(o_totalprice,
-                CAST(datediff('day', DATE '1970-01-01',
-                     CAST(o_orderdate AS DATE)) AS DOUBLE)), 4) AS DOUBLE) AS slope,
-           CAST(round(regr_intercept(o_totalprice,
-                CAST(datediff('day', DATE '1970-01-01',
-                     CAST(o_orderdate AS DATE)) AS DOUBLE)), 2) AS DOUBLE) AS intercept,
-           CAST(round(regr_r2(o_totalprice,
-                CAST(datediff('day', DATE '1970-01-01',
-                     CAST(o_orderdate AS DATE)) AS DOUBLE)), 6) AS DOUBLE) AS r2
-    FROM orders GROUP BY 1
-    """,
-)
-def q99_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group OLS drift fit with the SQL-standard regr_* aggregate
-    family (Spark 3.5+ built-ins, single HashAggregate — no collect, no
-    UDF, no per-group pandas): slope/intercept/r2 of order value over
-    time per priority class. The 100 TB shape is identical to any
-    grouped sum: map-side partial moments, one shuffle on the group
-    key."""
-    o = _t(spark, sf_dir, "orders")
-    x = F.unix_date(F.to_date("o_orderdate")).cast("double")
-    y = F.col("o_totalprice")
-    return o.groupBy("o_orderpriority").agg(
-        F.regr_count(y, x).alias("n"),
-        F.round(F.regr_slope(y, x), 4).alias("slope"),
-        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
-    )
-
-
-# --------------------- 53. time-RANGE rolling window (not rows-based)
-
-@q(
-    "q100_rolling_time_avg",
-    """
-    SELECT event_id, user_id,
-           CAST(round(avg(value) OVER (
-                PARTITION BY user_id
-                ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-           ), 4) AS DOUBLE) AS rolling_avg_1h
-    FROM events WHERE user_id < 100
-    """,
-)
-def q100_rolling_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing one-HOUR average per user via a RANGE window frame over
-    epoch seconds — time-based frames (unlike q13's rowsBetween) keep
-    their meaning under irregular event spacing, and RANGE includes all
-    peers of a tied timestamp so the result is deterministic. Scale
-    shape: one shuffle on user_id; frames evaluate inside the sorted
-    partition with no self-join (contrast the naive
-    events-x-events-within-1h formulation)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-    ev = ev.withColumn("_sec", F.col("ts").cast("long"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("_sec")
-        .rangeBetween(-3600, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.avg("value").over(w), 4).alias("rolling_avg_1h"),
-    )
-
-
-# --------------------- 54. URL parsing (parse_url builtin)
-
-@q(
-    "q101_url_parse",
-    """
-    WITH u AS (
-      SELECT printf('https://%s.example.com/%s/%d?ref=%s',
-                    source, lang, doc_id, source) AS url
-      FROM documents
-    ),
-    p AS (
-      SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
-             regexp_extract(url, 'https?://[^/?]+(/[^?]*)', 1) AS path,
-             regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
-      FROM u
-    )
-    SELECT host,
-           CAST(count(*) AS BIGINT) AS n_urls,
-           CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
-           CAST(count(DISTINCT ref) AS BIGINT) AS n_refs
-    FROM p GROUP BY 1
-    """,
-)
-def q101_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL decomposition with the parse_url builtin (HOST / PATH /
-    QUERY-key extraction, JVM-side codegen — the crawl-pipeline
-    primitive for per-domain grouping and ref-tag hygiene), then a
-    per-host rollup. URLs are synthesized deterministically from
-    document attributes since the corpus has none; the oracle parses
-    the same URLs with regex. Scale shape: pure scan-side string ops +
-    one grouped agg on host."""
-    docs = _t(spark, sf_dir, "documents")
-    u = docs.select(
-        F.format_string(
-            "https://%s.example.com/%s/%d?ref=%s",
-            F.col("source"),
-            F.col("lang"),
-            F.col("doc_id"),
-            F.col("source"),
-        ).alias("url")
-    )
-    p = u.select(
-        F.parse_url("url", F.lit("HOST")).alias("host"),
-        F.parse_url("url", F.lit("PATH")).alias("path"),
-        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
-    )
-    return p.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_urls"),
-        F.countDistinct("path").alias("n_paths"),
-        F.countDistinct("ref").alias("n_refs"),
-    )
-
-
-# --------------------- 55. skew diagnostics: heavy hitters
-
-@q(
-    "q102_heavy_hitters",
-    """
-    WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1)
-    SELECT l_suppkey, CAST(n AS BIGINT) AS n,
-           CAST(round(n / (SELECT sum(n) FROM c), 6) AS DOUBLE) AS share
-    FROM c ORDER BY n DESC, l_suppkey LIMIT 10
-    """,
-)
-def q102_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew diagnostic: the top-10 join/agg keys and the share of all
-    rows each holds — what you inspect before choosing broadcast vs
-    salted vs plain shuffle join (operators/relational.salted_join).
-    partitioning.heavy_hitters does ONE map-side-combined groupBy,
-    top-k via orderBy+limit (TakeOrderedAndProject: per-partition
-    heaps, no global sort), total via broadcast-joined aggregate of the
-    same persisted grouped table — raw input scanned once."""
-    li = _t(spark, sf_dir, "lineitem")
-    from ingestao_dados_poli_spark.partitioning import heavy_hitters
-
-    return heavy_hitters(li, ["l_suppkey"], k=10)
-
-
-# --------------------- 56. mapInArrow vector kernel (zero-copy lane)
-
-@q(
-    "q103_arrow_normalize",
-    """
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-      FROM embeddings WHERE vec_id < 200
-    ),
-    n AS (
-      SELECT vec_id,
-             sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
-             emb[1] AS x1
-      FROM e
-    )
-    SELECT vec_id, CAST(round(nrm, 5) AS DOUBLE) AS norm,
-           CAST(round(CASE WHEN nrm = 0 THEN 0.0 ELSE x1 / nrm END, 5)
-                AS DOUBLE) AS u1
-    FROM n
-    """,
-)
-def q103_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 norms + unit vectors through similarity.l2_normalize_arrow —
-    the mapInArrow zero-copy lane (raw Arrow buffers + numpy reduceat,
-    below even Pandas UDFs: no pandas objects, no pickling). The oracle
-    recomputes the same float64 math with DuckDB list lambdas. Scale
-    shape: shuffle-free map over scan batches; the vec_id pushdown
-    filter reaches the parquet scan."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    v = SIM.l2_normalize_arrow(emb)
-    return v.select(
-        "vec_id",
-        F.round("norm", 5).alias("norm"),
-        F.round(F.element_at("unit", 1), 5).alias("u1"),
-    )
-
-
-# --------------------- 57. native session windows (builtin, vs q20/q46)
-
-@q(
-    "q104_session_window_native",
-    """
-    WITH flagged AS (
-        SELECT user_id, ts, event_id, value,
-               CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), numbered AS (
-        SELECT *, sum(new_session) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) AS sid
-        FROM flagged)
-    SELECT user_id,
-           CAST(min(ts) AS VARCHAR) AS session_start,
-           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
-           count(*) AS n_events,
-           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
-    FROM numbered GROUP BY user_id, sid
-    """,
-)
-def q104_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization through Spark's BUILT-IN session_window (dynamic-
-    gap merging windows, one shuffle on the group key, streaming-ready
-    with a watermark) — the third sessionize implementation next to
-    q20's lag+running-sum SQL twin and q46/stream_ops' custom stateful
-    applyInPandasWithState, all three oracle-checked against the same
-    gap semantics. Built-in session_window splits when the inter-event
-    gap is >= the 30-minute gap (window end = last event + gap), which
-    the oracle mirrors with an exact-timestamp interval comparison (not
-    floored epoch seconds — micro-precision ties matter here)."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.col("sw.start").cast("string").alias("session_start"),
-            F.col("sw.end").cast("string").alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
-    )
-
-
-# --------------------- 58. referential integrity (cross-table quality)
-
-@q(
-    "q105_fk_check",
-    """
-    SELECT 'orders->customer' AS relation,
-           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
-           (SELECT CAST(count(*) AS BIGINT) FROM orders o
-             WHERE NOT EXISTS (SELECT 1 FROM customer c
-                               WHERE c.c_custkey = o.o_custkey)) AS n_orphans
-    UNION ALL
-    SELECT 'lineitem->part',
-           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
-           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-             WHERE NOT EXISTS (SELECT 1 FROM part p
-                               WHERE p.p_partkey = l.l_partkey))
-    """,
-)
-def q105_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-table referential integrity through quality.fk_violations —
-    the check the single-table expectation Suite can't express. Per
-    relation: one left join of the child against the parent's DISTINCT
-    keys + one aggregate (no NOT EXISTS subquery per row); orphan
-    semantics match the oracle's NOT EXISTS exactly, including NULL
-    child keys counting as orphans."""
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    lineitem = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    a = Q.fk_violations(
-        orders, customer, {"o_custkey": "c_custkey"}, "orders->customer"
-    )
-    b = Q.fk_violations(
-        lineitem, part, {"l_partkey": "p_partkey"}, "lineitem->part"
-    )
-    return a.unionByName(b)
-
-
-# --------------------- 59. daily new + cumulative unique users
-
-@q(
-    "q106_cumulative_uniques",
-    """
-    WITH fs AS (
-        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
-        FROM events GROUP BY 1
-    ),
-    d AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY 1)
-    SELECT CAST(first_day AS VARCHAR) AS day,
-           CAST(new_users AS BIGINT) AS new_users,
-           CAST(sum(new_users) OVER (ORDER BY first_day
-                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
-    FROM d
-    """,
-)
-def q106_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily new users + cumulative unique users WITHOUT a cumulative
-    count-distinct (which has no partial aggregate and would rescan the
-    prefix per day): each user contributes only their FIRST-seen day
-    (one user-keyed agg), the per-day counts then cumsum in a window
-    over the per-day table — whose cardinality is days-of-history, so
-    the unpartitioned window is over a config-bounded few hundred rows
-    at any event volume."""
-    ev = _t(spark, sf_dir, "events")
-    first_seen = ev.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("first_day")
-    )
-    daily = first_seen.groupBy("first_day").agg(
-        F.count(F.lit(1)).alias("new_users")
-    )
-    # INVARIANT (pinned by test_global_windows_are_post_aggregation):
-    # the unpartitioned cumsum window runs over the per-day table —
-    # |rows| = |distinct first-seen days|, calendar-bounded.
-    w = Window.orderBy("first_day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return daily.select(
-        F.col("first_day").cast("string").alias("day"),
-        "new_users",
-        F.sum("new_users").over(w).alias("cum_users"),
-    )
-
-
-# --------------------- 60. weekly cohort retention
-
-@q(
-    "q107_cohort_retention",
-    """
-    WITH wk AS (
-        SELECT DISTINCT user_id,
-               CAST(floor((epoch(ts) - 1704067200) / 604800) AS BIGINT) AS week
-        FROM events
-    ),
-    cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1)
-    SELECT cohort_week, week - cohort_week AS week_offset,
-           CAST(count(*) AS BIGINT) AS n_users
-    FROM wk JOIN cohort USING (user_id)
-    GROUP BY 1, 2
-    """,
-)
-def q107_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort-retention matrix: users bucketed by first-active
-    week, counted per week-offset since their cohort. The (user, week)
-    activity set is DISTINCT'd first so heavy users can't inflate
-    retention; cohort assignment is one user-keyed agg joined back on
-    the same hash-uniform key (AQE picks broadcast when the user dim is
-    small). count(*) over the distinct set replaces per-cell
-    count_distinct — same value, no second de-dup shuffle."""
-    ev = _t(spark, sf_dir, "events")
-    base = 1704067200  # 2024-01-01 UTC, the corpus epoch
-    wk = ev.select(
-        "user_id",
-        F.floor((F.col("ts").cast("long") - base) / 604800).alias("week"),
-    ).distinct()
-    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    return (
-        wk.join(cohort, "user_id")
-        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-
-
-# --------------------- 61. ordered funnel (view -> click -> purchase)
-
-@q(
-    "q108_funnel",
-    """
-    WITH v AS (
-        SELECT user_id, min(ts) AS v_ts FROM events
-        WHERE event_type = 'view' GROUP BY 1
-    ),
-    c AS (
-        SELECT e.user_id, min(e.ts) AS c_ts
-        FROM events e JOIN v ON e.user_id = v.user_id
-        WHERE e.event_type = 'click' AND e.ts >= v.v_ts
-        GROUP BY e.user_id
-    ),
-    p AS (
-        SELECT e.user_id, min(e.ts) AS p_ts
-        FROM events e JOIN c ON e.user_id = c.user_id
-        WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
-        GROUP BY e.user_id
-    )
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
-           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
-           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel
-    """,
-)
-def q108_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered three-stage funnel (first view, then a click at-or-after
-    it, then a purchase at-or-after that): each stage is one conditional
-    user-keyed min + an equi-join back on user_id — all hash-uniform
-    shuffles, no per-user sequence collection, no window over raw
-    events. Stage frames shrink monotonically, so AQE broadcasts the
-    later joins' right sides."""
-    ev = _t(spark, sf_dir, "events")
-
-    def stage(prev: DataFrame | None, etype: str, out_ts: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == etype)
-        if prev is not None:
-            prev_ts = prev.columns[1]
-            e = e.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_ts))
-        return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
-
-    v = stage(None, "view", "v_ts")
-    c = stage(v, "click", "c_ts")
-    p = stage(c, "purchase", "p_ts")
-    counts = [
-        df.agg(F.count(F.lit(1)).alias(name))
-        for df, name in [(v, "n_view"), (c, "n_view_click"), (p, "n_full_funnel")]
-    ]
-    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
-
-
-# --------------------- 62. snapshot diff / reconciliation
-
-@q(
-    "q109_snapshot_diff",
-    """
-    WITH old AS (
-        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
-    ),
-    new AS (
-        SELECT o_orderkey,
-               CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
-                    ELSE o_totalprice END AS o_totalprice,
-               o_orderstatus
-        FROM orders WHERE o_orderkey % 97 <> 0
-        UNION ALL
-        SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
-        FROM orders WHERE o_orderkey % 53 = 0
-    )
-    SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
-                WHEN new.o_orderkey IS NULL THEN 'removed'
-                WHEN old.o_totalprice = new.o_totalprice
-                 AND old.o_orderstatus = new.o_orderstatus THEN 'unchanged'
-                ELSE 'changed' END AS change_type,
-           count(*) AS n
-    FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
-    GROUP BY 1
-    """,
-)
-def q109_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backfill/migration reconciliation via relational.table_diff: a
-    deterministic 'rewritten' snapshot (some keys dropped, some prices
-    bumped, some keys added) is diffed against the original with ONE
-    full-outer join on the key — non-key columns collapse to a struct
-    per side so the compare is a single null-safe struct equality. The
-    oracle recomputes the same diff declaratively."""
-    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
-    old = _t(spark, sf_dir, "orders").select(*cols)
-    k = F.col("o_orderkey")
-    new = (
-        old.filter(k % 97 != 0)
-        .withColumn(
-            "o_totalprice",
-            F.when(k % 31 == 0, F.col("o_totalprice") + 1.0).otherwise(
-                F.col("o_totalprice")
-            ),
-        )
-        .unionByName(
-            old.filter(k % 53 == 0).select(
-                (k + 100000000).alias("o_orderkey"),
-                "o_totalprice",
-                "o_orderstatus",
-            )
-        )
-    )
-    diff = R.table_diff(old, new, ["o_orderkey"])
-    return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
-
-
-# --------------------- 63. deterministic temperature-weighted sampling
-
-@q(
-    "q110_weighted_sample",
-    """
-    WITH g AS (
-        SELECT lang, source, count(*) AS n_docs
-        FROM documents GROUP BY 1, 2
-    ),
-    w AS (
-        SELECT lang, source, n_docs,
-               pow(n_docs / sum(n_docs) OVER (), 0.5) AS wr
-        FROM g
-    ),
-    p AS (
-        SELECT lang, source,
-               least(1.0, 200.0 * (wr / sum(wr) OVER ()) / n_docs)
-                   AS keep_prob
-        FROM w
-    ),
-    d AS (
-        SELECT d.lang AS lang, d.source AS source,
-               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                    % 1048576) / 1048576.0 AS u,
-               p.keep_prob AS keep_prob
-        FROM documents d
-        JOIN p ON d.lang = p.lang AND d.source = p.source
-    )
-    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_kept
-    FROM d WHERE u < keep_prob GROUP BY 1, 2
-    """,
-)
-def q110_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize q98's temperature mixture as an ACTUAL deterministic
-    subsample (corpus.weighted_sample): per-cell keep probabilities from
-    the p^0.5 weights, membership by md5 unit hash — so DuckDB
-    reproduces the EXACT same kept set row for row (hash-checked here),
-    which is what makes a 100 TB training-mix materialization resumable
-    and auditable. rand()-based sampleBy can't cross that bar."""
-    docs = _t(spark, sf_dir, "documents")
-    kept = CO.weighted_sample(
-        docs,
-        group_cols=["lang", "source"],
-        id_col="doc_id",
-        target_rows=200.0,
-        alpha=0.5,
-    )
-    return kept.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_kept")
-    )
-
-
-# --------------------- 64. rolling median (percentile as window fn)
-
-@q(
-    "q111_rolling_median",
-    """
-    SELECT event_id, user_id,
-           CAST(round(quantile_cont(value, 0.5) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
-           ), 4) AS DOUBLE) AS rolling_median
-    FROM events WHERE user_id < 50
-    """,
-)
-def q111_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 10-event median per user — exact percentile as a WINDOW
-    aggregate (Spark recomputes the frame per row; fine for bounded
-    rows-frames, and the robust-statistics answer to q100's mean, which
-    outliers drag). Deterministic ROWS frame via the (ts, event_id)
-    tie-break; oracle uses DuckDB's quantile_cont with the identical
-    frame and interpolation."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-9, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias(
-            "rolling_median"
-        ),
-    )
-
-
-# --------------------- 65. interval-overlap join (binned, not NL-join)
-
-@q(
-    "q112_interval_overlap",
-    """
-    WITH iv AS (
-        SELECT o_custkey, o_orderkey,
-               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
-               CAST(floor(epoch(o_orderdate)) AS BIGINT)
-                   + (o_orderkey % 14 + 1) * 86400 AS e
-        FROM orders
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS n_customers
-    FROM iv a JOIN iv b
-      ON a.o_custkey = b.o_custkey
-     AND a.o_orderkey < b.o_orderkey
-     AND a.s < b.e AND b.s < a.e
-    """,
-)
-def q112_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping per-customer order-activity windows through
-    relational.interval_join: intervals explode onto fixed-width
-    buckets, the join is a hash EQUI-join on (custkey, bucket), exact
-    overlap filters collisions, and a canonical-bucket guard (bucket of
-    max(starts)) dedups multi-bucket pairs arithmetically — no
-    distinct, no broadcast-nested-loop (the plan Spark picks for bare
-    inequality joins, quadratic per key at scale). Oracle is the naive
-    inequality self-join."""
-    o = _t(spark, sf_dir, "orders")
-    # NTZ → LTZ first (session tz pinned UTC): NTZ has no direct long cast
-    s = F.col("o_orderdate").cast("timestamp").cast("long")
-    iv = o.select(
-        "o_custkey",
-        "o_orderkey",
-        s.alias("s"),
-        (s + (F.col("o_orderkey") % 14 + 1) * 86400).alias("e"),
-    )
-    a = iv.select(
-        "o_custkey",
-        F.col("o_orderkey").alias("a_key"),
-        F.col("s").alias("a_s"),
-        F.col("e").alias("a_e"),
-    )
-    b = iv.select(
-        "o_custkey",
-        F.col("o_orderkey").alias("b_key"),
-        F.col("s").alias("b_s"),
-        F.col("e").alias("b_e"),
-    )
-    pairs = R.interval_join(
-        a,
-        b,
-        left_range=("a_s", "a_e"),
-        right_range=("b_s", "b_e"),
-        bucket_width=14 * 86400,
-        extra_keys=["o_custkey"],
-    ).filter(F.col("a_key") < F.col("b_key"))
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("o_custkey").alias("n_customers"),
-    )
-
-
-# --------------------- 66. contiguous row ids without a global window
-
-@q(
-    "q113_contiguous_ids",
-    """
-    SELECT o_orderkey,
-           row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
-    FROM orders
-    """,
-)
-def q113_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contiguous 0..N-1 ids in o_orderkey order via
-    relational.contiguous_ids: range-repartition → parallel per-
-    partition ranks → offsets from the (one-row-per-partition) count
-    table broadcast back. The oracle is the naive global row_number —
-    which is exactly the plan this operator exists to AVOID running on
-    the big table (a global-order window is one task at any scale);
-    hash-matching it proves the two-phase id assignment is equivalent."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    return R.contiguous_ids(o, ["o_orderkey"])
-
-
-# --------------------- 67. unpivot / melt (wide -> long)
-
-@q(
-    "q114_unpivot",
-    """
-    WITH wide AS (
-        SELECT o_orderpriority,
-               CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_price,
-               CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price,
-               CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price
-        FROM orders GROUP BY 1
-    )
-    SELECT o_orderpriority, metric, value
-    FROM wide UNPIVOT (value FOR metric IN (avg_price, max_price, min_price))
-    """,
-)
-def q114_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide → long reshape with the built-in unpivot/melt (the inverse
-    of q36's pivot): metric columns become (metric, value) rows JVM-side
-    — no explode-of-struct-array hand-rolling. Runs on the already-
-    aggregated wide table, so the reshape touches group-count rows, not
-    the raw scan."""
-    o = _t(spark, sf_dir, "orders")
-    wide = o.groupBy("o_orderpriority").agg(
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-    )
-    return wide.unpivot(
-        ["o_orderpriority"],
-        ["avg_price", "max_price", "min_price"],
-        "metric",
-        "value",
-    )
-
-
-# --------------------- 68. ANSI-safe try_* family over messy input
-
-@q(
-    "q115_try_functions",
-    """
-    WITH messy AS (
-        SELECT o_orderkey,
-               CASE WHEN o_orderkey % 5 = 0 THEN 'N/A'
-                    ELSE CAST(o_orderkey % 100 AS VARCHAR) END AS qty_s,
-               CAST(o_orderkey % 7 AS DOUBLE) AS denom
-        FROM orders
-    ),
-    parsed AS (
-        SELECT TRY_CAST(qty_s AS BIGINT) AS qty,
-               CASE WHEN denom = 0 THEN NULL
-                    ELSE TRY_CAST(qty_s AS BIGINT) / denom END AS ratio
-        FROM messy
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(qty) AS BIGINT) AS n_parsed,
-           CAST(count(ratio) AS BIGINT) AS n_ratios,
-           CAST(round(sum(ratio), 2) AS DOUBLE) AS sum_ratio
-    FROM parsed
-    """,
-)
-def q115_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANSI-mode-safe ingestion math on messy input: try_cast swallows
-    unparseable strings as NULL (a plain cast THROWS under Spark 4 ANSI
-    defaults and kills the job on the first bad row — fatal at 100 TB
-    where some bad rows are a certainty) and try_divide nulls
-    divide-by-zero instead of raising. The quarantine counts (parsed vs
-    total) are the ingestion health metrics; the oracle mirrors with
-    SQL TRY_CAST + a NULLIF-style guard."""
-    o = _t(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    messy = o.select(
-        "o_orderkey",
-        F.when(k % 5 == 0, F.lit("N/A"))
-        .otherwise((k % 100).cast("string"))
-        .alias("qty_s"),
-        (k % 7).cast("double").alias("denom"),
-    )
-    parsed = messy.select(
-        F.col("qty_s").try_cast("bigint").alias("qty"),
-        F.try_divide(F.col("qty_s").try_cast("bigint"), F.col("denom")).alias(
-            "ratio"
-        ),
-    )
-    return parsed.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("qty").alias("n_parsed"),
-        F.count("ratio").alias("n_ratios"),
-        F.round(F.sum("ratio"), 2).alias("sum_ratio"),
-    )
-
-
-# --------------------- 69. map-typed column functions
-
-@q(
-    "q116_map_functions",
-    """
-    WITH m AS (
-        SELECT o_orderpriority AS prio, 'base' AS k1,
-               o_totalprice AS v_base, 'tax' AS k2,
-               round(o_totalprice * 0.1, 2) AS v_tax
-        FROM orders WHERE o_orderkey % 100 = 0
-    ),
-    exploded AS (
-        SELECT prio, k1 AS key, v_base * 2 AS value FROM m
-        UNION ALL
-        SELECT prio, k2 AS key, v_tax * 2 AS value FROM m
-    )
-    SELECT prio, key, CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
-    FROM exploded GROUP BY 1, 2
-    """,
-)
-def q116_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-typed columns end to end: build with map_from_arrays,
-    rewrite every value JVM-side with transform_values (a map
-    higher-order function — no explode-modify-regroup round trip), then
-    explode to (key, value) rows for the aggregate. The oracle
-    reconstructs the same rows relationally — proving the map algebra
-    changes representation, not semantics."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
-    m = o.select(
-        F.col("o_orderpriority").alias("prio"),
-        F.map_from_arrays(
-            F.array(F.lit("base"), F.lit("tax")),
-            F.array(
-                F.col("o_totalprice"),
-                F.round(F.col("o_totalprice") * 0.1, 2),
-            ),
-        ).alias("charges"),
-    )
-    doubled = m.select(
-        "prio",
-        F.transform_values("charges", lambda k, v: v * 2).alias("charges"),
-    )
-    rows = doubled.select("prio", F.explode("charges").alias("key", "value"))
-    return rows.groupBy("prio", "key").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
-
-
-# --------------------- 70. regexp_extract_all
-
-@q(
-    "q117_regex_extract_all",
-    """
-    SELECT term, CAST(count(*) AS BIGINT) AS n
-    FROM (
-        SELECT unnest(regexp_extract_all(text, '\\b(s[a-z]{3,})\\b', 1)) AS term
-        FROM documents
-    )
-    GROUP BY term ORDER BY n DESC, term LIMIT 10
-    """,
-)
-def q117_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL regex matches per row (regexp_extract_all + explode), not
-    just the first — the shape of mention/entity extraction over a
-    crawl. Scan-side regex in codegen, one grouped agg, top-k via
-    TakeOrderedAndProject."""
-    docs = _t(spark, sf_dir, "documents")
-    terms = docs.select(
-        F.explode(
-            F.regexp_extract_all("text", F.lit(r"\b(s[a-z]{3,})\b"), F.lit(1))
-        ).alias("term")
-    )
-    return (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("term"))
-        .limit(10)
-    )
-
-
-# --------------------- 71. collation-aware comparison (Spark 4)
-
-@q(
-    "q118_collated_distinct",
-    """
-    SELECT o_orderpriority,
-           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status_cs,
-           CAST(count(DISTINCT lower(o_orderstatus)) AS BIGINT) AS n_status_ci
-    FROM orders GROUP BY 1
-    """,
-)
-def q118_collated_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 COLLATION surface: the same column counted distinct
-    under binary (case-sensitive) vs UTF8_LCASE collation — collation-
-    aware comparison pushes case-insensitivity into the comparator
-    (hash/sort-based distinct works directly) instead of rewriting
-    every predicate with lower(). The oracle expresses the LCASE
-    semantics with lower(), which must agree."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.count_distinct("o_orderstatus").alias("n_status_cs"),
-        F.count_distinct(
-            F.collate(F.col("o_orderstatus"), "UTF8_LCASE")
-        ).alias("n_status_ci"),
-    )
-
-
-# --------------------- 72. time-series gap repair (interpolation)
-
-@q(
-    "q119_gap_fill",
-    """
-    WITH g AS (
-        SELECT user_id, event_id, epoch_us(ts) AS tus,
-               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
-        FROM events WHERE user_id < 40
-    ),
-    w AS (
-        SELECT user_id, event_id, tus, v,
-          last_value(v IGNORE NULLS) OVER b AS pv,
-          last_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
-              OVER b AS pt,
-          first_value(v IGNORE NULLS) OVER f AS nv,
-          first_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
-              OVER f AS nt
-        FROM g
-        WINDOW b AS (PARTITION BY user_id ORDER BY tus
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-               f AS (PARTITION BY user_id ORDER BY tus
-                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-    )
-    SELECT user_id, event_id,
-           CAST(round(CASE WHEN v IS NOT NULL THEN v
-                WHEN pv IS NULL THEN nv
-                WHEN nv IS NULL THEN pv
-                WHEN nt = pt THEN pv
-                ELSE pv + (nv - pv) * (tus - pt) / (nt - pt)
-           END, 4) AS DOUBLE) AS v_filled
-    FROM w
-    """,
-)
-def q119_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear interpolation of synthesized holes (every 7th event's
-    value nulled) via timeseries.linear_interpolate: prev/next non-null
-    neighbor values AND their timestamps come from four ignorenulls
-    window expressions over two sorted frames — never the naive
-    gap-to-observation range join (quadratic in gap length). Leading/
-    trailing gaps nearest-fill. Ordered by unique-per-user epoch
-    micros, so frames are deterministic; oracle is the identical
-    algebra in DuckDB IGNORE-NULLS windows."""
-    from ingestao_dados_poli_spark.operators import timeseries as TS
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
-    gappy = ev.select(
-        "user_id",
-        "event_id",
-        F.unix_micros("ts").alias("tus"),
-        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
-        .otherwise(F.col("value"))
-        .alias("v"),
-    )
-    out = TS.linear_interpolate(
-        gappy, "v", "tus", partition_by=["user_id"], out_col="v_filled"
-    )
-    return out.select(
-        "user_id", "event_id", F.round("v_filled", 4).alias("v_filled")
-    )
-
-
-# --------------------- 73. nested serving-layer arrays
-
-@q(
-    "q120_recent_orders_nested",
-    """
-    SELECT o_custkey,
-           array_to_string(
-               list_transform(
-                   (array_agg(o_orderkey
-                        ORDER BY o_orderdate DESC, o_orderkey DESC))[1:3],
-                   x -> CAST(x AS VARCHAR)),
-               ',') AS recent3,
-           CAST(count(*) AS BIGINT) AS n_orders
-    FROM orders GROUP BY 1
-    """,
-)
-def q120_recent_orders_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Serving-layer denormalization: each customer's 3 most recent
-    order keys INLINE as a nested array — collect_list of sort-key
-    structs, sort_array, slice, project — all JVM array algebra in one
-    grouped agg (the alternative, a row_number window + re-collect, is
-    two shuffles). Negated sort keys give the descending order
-    sort_array lacks; ties break on orderkey so the result is
-    deterministic. Joined to string for the oracle comparison."""
-    o = _t(spark, sf_dir, "orders")
-    nd = -F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    item = F.struct(
-        nd.alias("nd"),
-        (-F.col("o_orderkey")).alias("nk"),
-        F.col("o_orderkey").alias("k"),
-    )
-    return o.groupBy("o_custkey").agg(
-        F.array_join(
-            F.transform(
-                F.slice(F.sort_array(F.collect_list(item)), 1, 3),
-                lambda s: s["k"].cast("string"),
-            ),
-            ",",
-        ).alias("recent3"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-# --------------------- 74. bitmap exact-distinct (mergeable, not HLL)
-
-@q(
-    "q121_bitmap_distinct",
-    """
-    SELECT o_orderpriority,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
-    FROM orders GROUP BY 1
-    """,
-)
-def q121_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT distinct counting with mergeable state: Spark 3.5+ bitmap
-    aggregates — values bucket by bitmap_bucket_number (32k-wide
-    ranges), each (group, bucket) builds a fixed-size bitmap map-side,
-    and the distinct count is the sum of bitmap_counts. Unlike
-    count_distinct's Expand-based de-dup shuffle the state is bounded
-    and mergeable (HLL's rollup property — q90 — but exact); unlike
-    HLL there is no error. The right tool when key ranges are dense.
-    Oracle is plain COUNT(DISTINCT)."""
-    o = _t(spark, sf_dir, "orders")
-    per_bucket = o.groupBy(
-        "o_orderpriority",
-        F.bitmap_bucket_number("o_custkey").alias("_bucket"),
-    ).agg(
-        F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("_bm")
-    )
-    return per_bucket.groupBy("o_orderpriority").agg(
-        F.sum(F.bitmap_count("_bm")).cast("long").alias("n_cust")
-    )
-
-
-# --------------------- 75. JSON round-trip through the Python DataSource sink
-
-@q(
-    "q122_json_roundtrip",
-    """
-    SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_roundtrip,
-           CAST(0 AS BIGINT) AS n_mismatch
-    FROM documents
-    """,
-)
-def q122_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ties the IO connectors to the correctness gate (round-2 verdict
-    #7): documents.parquet → JSONL via the manifest-committed
-    ``jsonlsink`` Python DataSource → ``read_json`` (PERMISSIVE with
-    explicit schema) → field-level parity. Returns one row
-    (n_docs, n_roundtrip, n_mismatch); the oracle asserts the
-    round-trip is LOSSLESS — n_roundtrip = |documents| and zero
-    per-field hash mismatches — so a sink that drops rows, a manifest
-    that lists an uncommitted file, or a reader that mangles escaping
-    all turn the row red, not just a unit test.
-
-    Only manifest-committed files are read back (the sink's
-    exactly-once contract); the md5 parity hash covers every column
-    with an explicit null sentinel so a null→empty-string corruption
-    cannot cancel out.
-    """
-    import json as _json
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.sources import pyds, readers
-
-    pyds.register(spark)
-    docs = _t(spark, sf_dir, "documents")
-    # pid-scoped REUSED dir, cleared on entry: bounds /tmp growth to
-    # one corpus copy per process (mkdtemp per call leaked one per
-    # bench run). Safe because each constructed DataFrame is fully
-    # consumed before the next call re-enters (gate/bench are serial).
-    base = f"/tmp/q122_jsonl_{_os.getpid()}"
-    _shutil.rmtree(base, ignore_errors=True)
-    out = _os.path.join(base, "data")
-    docs.write.format("jsonlsink").mode("append").option("path", out).save()
-    with open(_os.path.join(out, "_MANIFEST")) as fh:
-        committed = _json.load(fh)["files"]
-
-    back = readers.read_json(spark, committed, schema=docs.schema).select(
-        *docs.columns
-    )
-
-    def fingerprint(df: DataFrame) -> DataFrame:
-        cells = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            for c in docs.columns
-            if c != "doc_id"
-        ]
-        return df.select("doc_id", F.md5(F.concat_ws("\x1f", *cells)).alias("h"))
-
-    o = fingerprint(docs).withColumnRenamed("h", "h_orig")
-    r = fingerprint(back).withColumnRenamed("h", "h_rt")
-    j = o.join(r, "doc_id", "full_outer")
-    return j.agg(
-        F.count("h_orig").cast("long").alias("n_docs"),
-        F.count("h_rt").cast("long").alias("n_roundtrip"),
-        F.sum(
-            F.when(
-                F.col("h_orig").isNull()
-                | F.col("h_rt").isNull()
-                | (F.col("h_orig") != F.col("h_rt")),
-                1,
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_mismatch"),
-    )
-
-
-# --------------------------- 76. incremental ingest dedup (delta vs corpus)
-
-@q(
-    "q123_incremental_dedup",
-    """
-    WITH existing AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
-    delta AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
-    intra AS (
-        SELECT d.* FROM delta d
-        WHERE d.doc_id = (SELECT min(d2.doc_id) FROM delta d2
-                          WHERE md5(trim(regexp_replace(lower(d2.text), '\\s+', ' ', 'g')))
-                              = md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))))
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_survivors,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars
-    FROM intra i
-    WHERE NOT EXISTS (SELECT 1 FROM existing e
-                      WHERE md5(trim(regexp_replace(lower(e.text), '\\s+', ' ', 'g')))
-                        = md5(trim(regexp_replace(lower(i.text), '\\s+', ' ', 'g'))))
-    """,
-)
-def q123_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-ingest dedup: a delta batch (doc_id % 4 = 0) lands
-    against the already-ingested corpus (the rest); survivors are delta
-    docs that are neither exact dups of the corpus nor intra-batch dups
-    (keep lowest id). This is the EVERY-BATCH operation of a growing
-    100 TB corpus — `dedup.dedup_incremental_exact` reduces both sides
-    to md5 fingerprints scan-side and anti-joins 16-byte hash-uniform
-    keys; at scale the corpus fingerprint set is maintained as its own
-    compact table (existing_is_fingerprints=True) so ingest cost is
-    |delta| + |fp set|, independent of corpus text bytes."""
-    docs = _t(spark, sf_dir, "documents")
-    delta = docs.filter(F.col("doc_id") % 4 == 0)
-    existing = docs.filter(F.col("doc_id") % 4 != 0)
-    survivors = DD.dedup_incremental_exact(delta, existing, "text", "doc_id")
-    return survivors.agg(
-        F.count(F.lit(1)).cast("long").alias("n_survivors"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-    )
-
-
-# ----------------------- 77. delta-vs-corpus near-dup candidates (LSH join)
-
-@q(
-    "q124_minhash_between",
-    """
-    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
-         delta AS (SELECT doc_id + 100000 AS doc_id, text FROM corpus
-                   WHERE doc_id < 100),
-         ck AS (SELECT doc_id,
-                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
-                FROM corpus),
-         dk AS (SELECT doc_id,
-                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
-                FROM delta)
-    SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
-           CAST(1.0 AS DOUBLE) AS est_jaccard
-    FROM dk d JOIN ck c ON d.key = c.key
-    """,
-)
-def q124_minhash_between(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates BETWEEN a delta batch and the corpus via the
-    cross-corpus banded-LSH join (`dedup.minhash_pairs_between`) —
-    the approximate companion to q123's exact path: one shuffle on
-    (band, bucket), signatures in-row, cross-side pairs only, capped
-    buckets. Value-checked on the PROVABLE subset (same construction
-    as q27): the delta is an id-shifted copy of the first 100 corpus
-    docs, so every delta doc has exactly one identical-text partner in
-    the corpus, each such pair MUST collide in every band (identical
-    signature — recall 1.0 by pigeonhole) with est_jaccard exactly
-    1.0, and candidates are filtered to fingerprint-equal pairs. The
-    DuckDB twin is the brute-force cross-side md5 join. Probabilistic
-    near-dup recall is unit-tested in test_text_dedup against
-    brute-force Jaccard."""
-    from ingestao_dados_poli_spark.functions.text import fingerprint
-
-    corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
-        "doc_id", "text"
-    )
-    delta = corpus.filter(F.col("doc_id") < 100).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
-    )
-    pairs = DD.minhash_pairs_between(
-        delta, corpus, "text", "doc_id", num_hashes=64, num_bands=16
-    )
-    dfp = delta.select(F.col("doc_id").alias("left_id"), fingerprint("text").alias("_fa"))
-    cfp = corpus.select(F.col("doc_id").alias("right_id"), fingerprint("text").alias("_fb"))
-    return (
-        pairs.join(dfp, "left_id")
-        .join(cfp, "right_id")
-        .filter(F.col("_fa") == F.col("_fb"))
-        .select(
-            F.col("left_id").alias("delta_id"),
-            F.col("right_id").alias("corpus_id"),
-            F.col("est_jaccard"),
-        )
-    )
-
-
-# ---------------- 78. TPC-H Q17 shape: correlated avg-quantity subquery
-
-@q(
-    "q125_small_qty_revenue",
-    """
-    WITH pavg AS (
-        SELECT l_partkey, count(*) AS n,
-               CAST(sum(l_quantity) AS BIGINT) AS s
-        FROM lineitem GROUP BY 1
-    )
-    SELECT p.p_brand,
-           CAST(round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-                      / 700.0, 2) AS DOUBLE) AS avg_yearly
-    FROM lineitem l
-    JOIN pavg a ON a.l_partkey = l.l_partkey
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE CAST(l.l_quantity AS BIGINT) * a.n * 5 < a.s
-    GROUP BY 1
-    """,
-)
-def q125_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape — revenue lost to small-quantity orders: lines
-    with quantity below 20% of their part's average, per brand. The
-    classic correlated scalar subquery DECORRELATED by hand into a
-    per-part aggregate joined back on the same hash-uniform key (what
-    Catalyst's RewriteCorrelatedScalarSubquery does to the SQL form;
-    stating it as DataFrame ops makes the one-extra-scan cost
-    explicit, and AQE broadcasts the part-level agg when small).
-    Cross-engine exactness: the 0.2·avg threshold is evaluated in
-    INTEGER form (5·qty·n < Σqty — quantities are integral) and
-    revenue sums in cents-as-long, so no float boundary can flip a row
-    between Spark and the oracle."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = F.broadcast(_t(spark, sf_dir, "part"))
-    pavg = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("l_quantity").cast("long").alias("s"),
-    )
-    return (
-        li.join(pavg, "l_partkey")
-        .filter(F.col("l_quantity").cast("long") * F.col("n") * 5 < F.col("s"))
-        .join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand")
-        .agg(
-            F.round(
-                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-                / 700.0,
-                2,
-            ).alias("avg_yearly")
-        )
-    )
-
-
-# ------------- 79. TPC-H Q22 shape: dormant high-balance customers
-
-@q(
-    "q126_dormant_rich_customers",
-    """
-    WITH avg_bal AS (
-        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
-    )
-    SELECT c.c_nationkey,
-           CAST(count(*) AS BIGINT) AS n_cust,
-           CAST(round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
-                AS DOUBLE) AS total_bal
-    FROM customer c, avg_bal
-    WHERE c.c_acctbal > avg_bal.a
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderdate >= DATE '2000-01-01')
-    GROUP BY 1
-    """,
-)
-def q126_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape — high-balance customers gone quiet: acctbal
-    above the positive-balance average AND no orders since 2000, per
-    nation. Two classic subquery forms in one plan: a scalar aggregate
-    (1-row table cross-joined broadcast — Spark's own decorrelation of
-    the scalar subquery) and an ANTI join against a date-pruned order
-    scan (the NOT EXISTS; the o_orderdate predicate pushes into the
-    parquet scan so the anti-join build side is the filtered tail, not
-    the fact table). Balance sums in cents-as-long for cross-engine
-    hash equality; the avg threshold itself is compared as double —
-    safe because acctbals are 2-dp values nowhere near the average's
-    ulp."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("a")
-    )
-    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
-    return (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("a"))
-        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
-        .groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_cust"),
-            F.round(
-                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
-            ).alias("total_bal"),
-        )
-    )
-
-
-# ---------------- 80. TPC-H Q18 shape: large-volume orders (HAVING semi)
-
-@q(
-    "q127_large_volume_orders",
-    """
-    WITH big AS (
-        SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
-    )
-    SELECT c.c_name, o.o_orderkey,
-           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
-           o.o_totalprice, b.sum_qty
-    FROM big b
-    JOIN orders o ON o.o_orderkey = b.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    ORDER BY o.o_totalprice DESC, o.o_orderkey
-    LIMIT 100
-    """,
-)
-def q127_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape — who places the bulk orders: orders whose line
-    quantities sum past a threshold, with customer attribution, top-100
-    by price. The HAVING aggregate runs FIRST on the fact table (map-
-    side combined, hash-uniform orderkey) so the expensive joins see
-    only qualifying orderkeys (~0.2% here) — aggregate-then-join, the
-    order Catalyst cannot derive itself when the threshold sits on the
-    aggregate. Top-k via TakeOrderedAndProject (per-partition heaps),
-    price-then-key tie-break for a deterministic oracle hash."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 150)
-    )
-    return (
-        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .select(
-            "c_name",
-            "o_orderkey",
-            F.col("o_orderdate").cast("string").alias("o_orderdate"),
-            "o_totalprice",
-            "sum_qty",
-        )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(100)
-    )
-
-
-# -------------- 81. TPC-H Q7 shape: nation-pair trade volume by year
-
-@q(
-    "q128_nation_pair_volume",
-    """
-    SELECT ns.n_name AS supp_nation,
-           nc.n_name AS cust_nation,
-           CAST(year(o.o_orderdate) AS INT) AS yr,
-           CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                               AS BIGINT)) / 100.0, 2) AS DOUBLE) AS revenue
-    FROM lineitem l
-    JOIN orders o    ON o.o_orderkey = l.l_orderkey
-    JOIN customer c  ON c.c_custkey = o.o_custkey
-    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
-    JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
-    JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
-    WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
-      AND ns.n_nationkey <> nc.n_nationkey
-    GROUP BY 1, 2, 3
-    """,
-)
-def q128_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape — trade volume between nation pairs by year: the
-    widest join tree in the registry (fact ⋈ orders ⋈ customer ⋈
-    supplier ⋈ nation ⋈ nation, two roles for the same dim). Spark
-    shape: the nation filters push into BOTH broadcast nation scans
-    BEFORE the joins, and because customer/supplier join through those
-    filtered broadcasts, AQE prunes most of the fact table at the
-    earliest shuffle. Revenue per row is a deterministic double
-    product rounded to cents ONCE, then summed as long — bitwise
-    cross-engine equality with no float-order sensitivity."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    ns = F.broadcast(
-        nation.filter(F.col("n_nationkey") < 3).select(
-            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-        )
-    )
-    nc = F.broadcast(
-        nation.filter(F.col("n_nationkey") < 3).select(
-            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-        )
-    )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
-        .join(nc, cust["c_nationkey"] == nc["c_nk"])
-        .join(ns, supp["s_nationkey"] == ns["s_nk"])
-        .filter(F.col("s_nk") != F.col("c_nk"))
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("o_orderdate").cast("int").alias("yr"),
-        )
-        .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
-    )
-
-
-# -------- 82. streaming under RocksDB state store (large-state path)
-
-@q(
-    "q129_streaming_rocksdb",
-    """
-    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
-               AS window_start,
-           event_type,
-           count(*) AS n_events
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q129_streaming_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q46's streaming plan with the state held in ROCKSDB instead of
-    the heap-backed default — the provider a 100 TB/day stream needs
-    once state outgrows executor memory. Oracle-checked against plain
-    batch SQL like every streaming twin, AND self-asserting: if the
-    provider silently fell back to HDFS-backed (no rocksdb custom
-    metrics in the query progress), the query raises — the gate goes
-    red rather than green-by-accident on the wrong store."""
-    import os as _os
-    import shutil as _shutil
-    import uuid
-
-    from ingestao_dados_poli_spark.session import scoped_conf
-    from ingestao_dados_poli_spark.streaming.stream_ops import (
-        rocksdb_state,
-        state_partitions,
-        tumbling_counts,
-    )
-
-    # Scoped, unlike _t()'s session-wide set: a batch DataFrame from _t
-    # executes after _t returns so its conf must outlive the call, but
-    # this stream runs to completion inside the block — the flag can be
-    # restored the moment the last micro-batch commits.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        src = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .transform(_events_ts)
-        )
-        agg = tumbling_counts(src, window_len="1 day", watermark="10 minutes")
-        name = f"q129_sink_{uuid.uuid4().hex[:8]}"
-        # pid-scoped checkpoint dir, cleared on entry (a reused checkpoint
-        # would resume from committed offsets and emit nothing; a mkdtemp
-        # per call leaked one dir per run)
-        ck = f"/tmp/q129_ck_{_os.getpid()}"
-        _shutil.rmtree(ck, ignore_errors=True)
-        with state_partitions(spark, 8), rocksdb_state(
-            spark, bounded_memory_mb=512
-        ):
-            query = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("complete")
-                .option("checkpointLocation", ck)
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination(300)
-            progress = query.lastProgress
-    ops = (progress or {}).get("stateOperators") or []
-    custom = ops[0].get("customMetrics", {}) if ops else {}
-    if not any(k.startswith("rocksdb") for k in custom):
-        raise RuntimeError(
-            f"RocksDB state store did not engage: {sorted(custom)[:5]}"
-        )
-    return spark.table(name).select(
-        F.col("window_start").cast("string").alias("window_start"),
-        "event_type",
-        "n_events",
-    )
-
-
-# ----------------- 83. TPC-H Q5 shape: local-supplier volume by nation
-
-@q(
-    "q130_local_supplier_volume",
-    """
-    SELECT n.n_name,
-           CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                               AS BIGINT)) / 100.0, 2) AS DOUBLE) AS revenue
-    FROM lineitem l
-    JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-                   AND s.s_nationkey = c.c_nationkey
-    JOIN nation n   ON n.n_nationkey = c.c_nationkey
-    JOIN region r   ON r.r_regionkey = n.n_regionkey
-    WHERE o.o_orderdate >= DATE '1996-01-01'
-      AND o.o_orderdate <  DATE '1998-01-01'
-    GROUP BY 1
-    """,
-)
-def q130_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape — revenue served by LOCAL suppliers per nation:
-    the signature is the join-through equality s_nationkey =
-    c_nationkey, which is not a star-schema edge but a constraint
-    BETWEEN two dimension branches; Spark evaluates it as a residual
-    condition on the supplier hash join, so no extra shuffle appears.
-    Date range prunes orders at the scan; nation/region broadcast;
-    revenue in cents-as-long (cross-engine exact)."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
-    )
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    region = F.broadcast(_t(spark, sf_dir, "region"))
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(
-            supp,
-            (li["l_suppkey"] == supp["s_suppkey"])
-            & (supp["s_nationkey"] == cust["c_nationkey"]),
-        )
-        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
-        .join(region, nation["n_regionkey"] == region["r_regionkey"])
-        .groupBy("n_name")
-        .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
-    )
-
-
-# ------------- 84. iterative PageRank, exactly oracled (integer mass)
-
-@q(
-    "q131_pagerank",
-    """
-    WITH edges AS (
-        SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
-        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-        UNION
-        SELECT DISTINCT o_custkey + 1000000 AS src, l_suppkey AS dst
-        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-    ),
-    nodes AS (SELECT DISTINCT src AS node FROM edges
-              UNION SELECT DISTINCT dst FROM edges),
-    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
-    nn AS (SELECT count(*) AS n FROM nodes),
-    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
-    g1 AS (SELECT r.node, r.mass, coalesce(d.deg, 0) AS deg,
-                  CASE WHEN d.deg IS NOT NULL
-                       THEN (r.mass * 17) // (20 * d.deg) ELSE 0 END AS give
-           FROM r0 r LEFT JOIN deg d USING (node)),
-    c1 AS (SELECT e.dst AS node, sum(g.give) AS cin
-           FROM edges e JOIN g1 g ON g.node = e.src GROUP BY 1),
-    p1 AS (SELECT sum(mass - give * deg) AS pool FROM g1),
-    r1 AS (SELECT nd.node, CAST(coalesce(c.cin, 0) + pool // n AS BIGINT) AS mass
-           FROM nodes nd LEFT JOIN c1 c USING (node) CROSS JOIN p1 CROSS JOIN nn),
-    g2 AS (SELECT r.node, r.mass, coalesce(d.deg, 0) AS deg,
-                  CASE WHEN d.deg IS NOT NULL
-                       THEN (r.mass * 17) // (20 * d.deg) ELSE 0 END AS give
-           FROM r1 r LEFT JOIN deg d USING (node)),
-    c2 AS (SELECT e.dst AS node, sum(g.give) AS cin
-           FROM edges e JOIN g2 g ON g.node = e.src GROUP BY 1),
-    p2 AS (SELECT sum(mass - give * deg) AS pool FROM g2),
-    r2 AS (SELECT nd.node, CAST(coalesce(c.cin, 0) + pool // n AS BIGINT) AS mass
-           FROM nodes nd LEFT JOIN c2 c USING (node) CROSS JOIN p2 CROSS JOIN nn),
-    g3 AS (SELECT r.node, r.mass, coalesce(d.deg, 0) AS deg,
-                  CASE WHEN d.deg IS NOT NULL
-                       THEN (r.mass * 17) // (20 * d.deg) ELSE 0 END AS give
-           FROM r2 r LEFT JOIN deg d USING (node)),
-    c3 AS (SELECT e.dst AS node, sum(g.give) AS cin
-           FROM edges e JOIN g3 g ON g.node = e.src GROUP BY 1),
-    p3 AS (SELECT sum(mass - give * deg) AS pool FROM g3),
-    r3 AS (SELECT nd.node, CAST(coalesce(c.cin, 0) + pool // n AS BIGINT) AS mass
-           FROM nodes nd LEFT JOIN c3 c USING (node) CROSS JOIN p3 CROSS JOIN nn)
-    SELECT CAST(node AS BIGINT) AS node, mass
-    FROM r3 ORDER BY mass DESC, node LIMIT 20
-    """,
-)
-def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative PageRank over the supplier↔customer shipment graph
-    (bipartite, both directions), 3 rounds of
-    ``graph.pagerank_integer`` — the INTEGER mass-passing formulation
-    whose floor-division arithmetic is bit-identical across engines,
-    so an ITERATIVE algorithm (the category usually stuck with
-    rows-only checks, like q65's closure) gets a full value-hash
-    oracle: the DuckDB twin unrolls the same three rounds as chained
-    CTEs. Top-20 most-central nodes by final mass."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    pairs = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.col("l_suppkey").cast("long").alias("src"),
-            (F.col("o_custkey") + 1000000).cast("long").alias("dst"),
-        )
-        .distinct()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    ranks = G.pagerank_integer(edges, iterations=3)
-    return ranks.orderBy(F.col("mass").desc(), F.col("node")).limit(20)
-
-
-# ---------- 85. versioned-publish round-trip through the oracle gate
-
-@q(
-    "q132_versioned_publish",
-    """
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(*) AS BIGINT) AS n_pinned,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           CAST(1 AS BIGINT) AS live_version
-    FROM documents
-    """,
-)
-def q132_versioned_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ties `sources/versioned.py` to the gate: publish documents as
-    snapshot v=1, then attempt a SCHEMA-DRIFTED candidate — the schema
-    contract recorded in v=1's commit marker refuses it DRIVER-SIDE
-    (SchemaDriftError before any write job: no executor work, no
-    abandoned v-dir, and no stack-trace noise in benchmark logs), then
-    read back BOTH the live (max committed) version and the pinned
-    version and prove they are the same complete snapshot. A missing
-    commit marker, a half-published table, a pinned read seeing later
-    data, or a drifted publish slipping through each turns the row
-    red. The oracle is the source table itself: lossless publish means
-    identical count/sum, live_version stays 1 because the drifted
-    candidate was refused before writing."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.sources import versioned as V
-
-    docs = _t(spark, sf_dir, "documents")
-    # pid-scoped, cleared on entry: bounds /tmp to one copy per process
-    base = f"/tmp/q132_tbl_{_os.getpid()}"
-    _shutil.rmtree(base, ignore_errors=True)
-    path = base + "/t"
-    v1 = V.publish(spark, docs, path)
-    # drifted publish: wrong column set → refused before the write
-    # starts; nothing (not even an uncommitted dir) is left behind
-    drift_refused = False
-    try:
-        V.publish(
-            spark,
-            docs.select(F.col("doc_id").alias("boom")),
-            path,
-        )
-    except V.SchemaDriftError:
-        drift_refused = True
-    if not drift_refused or V._version_dirs(spark, path) != [1]:
-        raise AssertionError("schema-drift gate failed to refuse cleanly")
-    live = V.read_latest(spark, path)
-    pinned = V.read_version(spark, path, v1)
-    return (
-        live.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-        .crossJoin(
-            pinned.agg(F.count(F.lit(1)).cast("long").alias("n_pinned"))
-        )
-        .select(
-            "n_rows",
-            "n_pinned",
-            "total_chars",
-            F.lit(V.latest_version(spark, path)).cast("long").alias("live_version"),
-        )
-    )
-
-
-# ------- 86. multi-batch incremental dedup via the versioned fp store
-
-@q(
-    "q133_fp_store_lifecycle",
-    """
-    WITH dn AS (SELECT doc_id, text,
-                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-                FROM documents),
-    b1 AS (SELECT doc_id, fp FROM dn WHERE doc_id < 150),
-    b2 AS (SELECT doc_id, fp FROM dn WHERE doc_id >= 150 AND doc_id < 300
-           UNION ALL
-           SELECT doc_id + 10000 AS doc_id, fp FROM dn WHERE doc_id < 40),
-    b3 AS (SELECT doc_id, fp FROM dn WHERE doc_id >= 300 AND doc_id < 450
-           UNION ALL
-           SELECT doc_id + 20000 AS doc_id, fp FROM dn
-           WHERE doc_id >= 50 AND doc_id < 90
-           UNION ALL
-           SELECT doc_id + 30000 AS doc_id, fp FROM dn
-           WHERE doc_id >= 200 AND doc_id < 240),
-    seen AS (SELECT fp FROM b1 UNION SELECT fp FROM b2),
-    s3 AS (SELECT fp, min(doc_id) AS doc_id FROM b3 GROUP BY fp)
-    SELECT s3.doc_id, s3.fp
-    FROM s3 WHERE s3.fp NOT IN (SELECT fp FROM seen)
-    """,
-)
-def q133_fp_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three ingest batches deduped through the VERSIONED fingerprint
-    store (`operators/dedup.py` `dedup_ingest_batch` /
-    `fingerprint_store_compact`): batch 1 seeds the store, batch 2
-    (with planted cross-batch dups of batch 1) appends a delta, the
-    store is compacted to one snapshot, and batch 3 (with planted dups
-    of batches 1 AND 2) dedups against ONLY the compacted+delta
-    fingerprints — its plan never touches batch-1/2 text bytes, which
-    is the property that makes per-ingest cost |batch| + |fp set| at
-    100 TB. The oracle recomputes the same set algebra from raw text
-    in DuckDB, so a store that lost a fingerprint (survivor leaks
-    through) or invented one (survivor wrongly dropped) hash-fails.
-    Version lifecycle is asserted in-line: ingest, ingest, compact
-    (vacuum to 1), ingest must leave exactly committed versions
-    [3, 4]."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.operators.dedup import fingerprint_exact
-    from ingestao_dados_poli_spark.sources import versioned as V
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    did = F.col("doc_id")
-    b1 = docs.filter(did < 150)
-    b2 = docs.filter((did >= 150) & (did < 300)).unionByName(
-        docs.filter(did < 40).select((did + 10000).alias("doc_id"), "text")
-    )
-    b3 = (
-        docs.filter((did >= 300) & (did < 450))
-        .unionByName(
-            docs.filter((did >= 50) & (did < 90)).select(
-                (did + 20000).alias("doc_id"), "text"
-            )
-        )
-        .unionByName(
-            docs.filter((did >= 200) & (did < 240)).select(
-                (did + 30000).alias("doc_id"), "text"
-            )
-        )
-    )
-    store = f"/tmp/q133_fp_{_os.getpid()}"
-    _shutil.rmtree(store, ignore_errors=True)
-    DD.dedup_ingest_batch(spark, b1, store, "text", "doc_id")
-    DD.dedup_ingest_batch(spark, b2, store, "text", "doc_id")
-    DD.fingerprint_store_compact(spark, store, keep=1)
-    survivors, _ = DD.dedup_ingest_batch(spark, b3, store, "text", "doc_id")
-    got = V.committed_versions(spark, store)
-    if got != [3, 4]:
-        raise AssertionError(f"fp store lifecycle drifted: versions {got}")
-    return survivors.select("doc_id", fingerprint_exact("text").alias("fp"))
-
-
-# --------- 87. reproducible data mixing (hash-threshold sampling)
-
-@q(
-    "q134_deterministic_mix",
-    """
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_sampled,
-           CAST(sum(doc_id) AS BIGINT) AS id_sum
-    FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-          CASE source
-              WHEN 'src0' THEN 'g'
-              WHEN 'src1' THEN '80000000'
-              WHEN 'src2' THEN '40000000'
-              ELSE '1999999a'
-          END
-    GROUP BY source
-    """,
-)
-def q134_deterministic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible training-data mixing
-    (`operators/relational.py` `stratified_sample_deterministic`):
-    keep all of src0, half of src1, a quarter of src2, 10% of the rest,
-    with membership a pure function of md5(doc_id) — the same rows
-    survive on any engine, any partitioning, any rerun, which is what
-    makes a data mix auditable (q49 keeps the engine-RNG `sampleBy`
-    variant, rows-only by nature). FULLY value-oracled: DuckDB computes
-    the identical md5-prefix threshold test, so Spark and the oracle
-    must select the exact same doc_ids (id_sum pins membership, not
-    just counts)."""
-    docs = _t(spark, sf_dir, "documents")
-    sampled = R.stratified_sample_deterministic(
-        docs,
-        "source",
-        "doc_id",
-        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
-        default=0.1,
-    )
-    return sampled.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sampled"),
-        F.sum("doc_id").cast("long").alias("id_sum"),
-    )
-
-
-# ------- 88. cross-job bloom pruning (persisted runtime filter)
-
-@q(
-    "q135_bloom_pruned_join",
-    """
-    SELECT o.o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
-    FROM lineitem l
-    JOIN orders o ON o.o_orderkey = l.l_orderkey
-    WHERE o.o_orderdate >= DATE '1997-01-01'
-      AND o.o_orderdate <  DATE '1997-04-01'
-    GROUP BY o.o_orderpriority
-    """,
-)
-def q135_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-job runtime filtering (`operators/bloom.py`): build a
-    bloom over one quarter's order keys, PERSIST it (save + load — the
-    artifact round-trip an incremental pipeline does between jobs),
-    prune the lineitem scan with an Arrow-vectorized probe BEFORE the
-    join shuffle, then join and aggregate. The bloom admits ~selected
-    fraction + fpp of lineitem into the exchange instead of 100% — at
-    100 TB that is the difference between shuffling the whole fact
-    table and shuffling the quarter you need; Catalyst's own runtime
-    bloom can't be saved across jobs. Oracled against the PLAIN join:
-    no-false-negatives means pruning must not change a single group or
-    sum (false positives are absorbed by the join)."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.operators import bloom as B
-
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1997-01-01")
-        & (F.col("o_orderdate") < "1997-04-01")
-    )
-    bf = B.build_key_bloom(orders, "o_orderkey", num_bits=1 << 21)
-    bpath = f"/tmp/q135_bloom_{_os.getpid()}"
-    _shutil.rmtree(bpath, ignore_errors=True)
-    B.save_bloom(spark, bf, bpath)
-    loaded, nh = B.load_bloom(spark, bpath)
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    pruned = B.bloom_prune(li, "l_orderkey", loaded, nh)
-    return (
-        pruned.join(
-            orders.select("o_orderkey", "o_orderpriority"),
-            pruned.l_orderkey == F.col("o_orderkey"),
-        )
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
-        )
-    )
-
-
-# --------------------- 78. bucketed co-located join (zero-exchange fact⋈fact)
-
-def q136_table_names() -> tuple[str, str, str]:
-    """(orders_table, lineitem_table, base_dir) — pid-scoped so parallel
-    test/driver processes never collide in the shared session catalog
-    or /tmp. Exposed so the plan test can rebuild the join on the
-    registered tables."""
-    import os as _os
-
-    pid = _os.getpid()
-    return (
-        f"q136_orders_b{pid}",
-        f"q136_lineitem_b{pid}",
-        f"/tmp/q136_bkt_{pid}",
-    )
-
-
-@q(
-    "q136_bucketed_join",
-    """
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
-    FROM lineitem
-    JOIN orders ON o_orderkey = l_orderkey
-    GROUP BY o_orderpriority
-    """,
-)
-def q136_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-pruned fact⋈fact: write orders and lineitem as EXTERNAL
-    bucketed tables (`sources/writers.py:write_bucketed_table`), both
-    bucketed AND sorted by the join key with equal bucket counts, then
-    join + aggregate on that key. With bucketing the sort-merge join
-    needs NO Exchange and NO per-task Sort on either side — the
-    layout, not the engine, pays the shuffle once at write time; every
-    later join/agg ON THE BUCKET KEY rides it free (locked by
-    test_plans.test_q136_bucketed_join_zero_exchange: 0 exchanges, 0
-    sorts for a bucket-key join+agg under a disabled-broadcast conf).
-    The write repartitions to exactly num_buckets tasks on the bucket
-    key (same Murmur3 hash) so each bucket is ONE sorted file — the
-    precondition for Spark to also elide the merge-join Sort; multiple
-    files per bucket would re-sort at read. (Sort-elision additionally
-    requires `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
-    — Spark keeps it off by default because proving one-file-per-bucket
-    means listing files at PLANNING time; exchange-elision is always
-    on. The right setting for a table maintained one-file-per-bucket,
-    the wrong one for ad-hoc bucketed dirs.) The final per-priority
-    rollup here still exchanges on ITS key — bucketing buys the join,
-    not unrelated group-bys. Oracled against
-    the PLAIN join on the raw parquet — the bucketed copy is lossless,
-    so results are identical by construction."""
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.sources.writers import write_bucketed_table
-
-    ord_t, li_t, base = q136_table_names()
-    # idempotent re-entry: drop catalog entries AND external files —
-    # saveAsTable(overwrite) alone would CTAS into a non-empty dir when
-    # a fresh session inherits a previous run's /tmp artifacts.
-    spark.sql(f"DROP TABLE IF EXISTS {ord_t}")
-    spark.sql(f"DROP TABLE IF EXISTS {li_t}")
-    _shutil.rmtree(base, ignore_errors=True)
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .repartition(8, "o_orderkey")
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_quantity")
-        .repartition(8, "l_orderkey")
-    )
-    write_bucketed_table(
-        orders, ord_t, ["o_orderkey"], 8,
-        sort_cols=["o_orderkey"], path=f"{base}/orders",
-    )
-    write_bucketed_table(
-        li, li_t, ["l_orderkey"], 8,
-        sort_cols=["l_orderkey"], path=f"{base}/lineitem",
-    )
-    o = spark.table(ord_t)
-    l = spark.table(li_t)
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
-            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
-        )
-    )
-
-
-# ------------------- 79. span-level exact dedup with document reassembly
-
-@q(
-    "q137_span_dedup",
-    """
-    WITH nsp AS (
-        SELECT doc_id,
-               CAST(ceil(len(string_split(text, ' ')) / 3.0) AS BIGINT)
-                   AS n_spans,
-               string_split(text, ' ') AS toks
-        FROM documents
-    ),
-    spans AS (
-        SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
-               array_to_string(
-                   list_slice(toks, (i - 1) * 3 + 1, (i - 1) * 3 + 3), ' '
-               ) AS span
-        FROM nsp, unnest(generate_series(1, n_spans)) AS g(i)
-    ),
-    dup AS (
-        SELECT span FROM spans GROUP BY span
-        HAVING count(DISTINCT doc_id) > 1
-    ),
-    kept AS (
-        SELECT s.doc_id, s.idx, s.span
-        FROM spans s ANTI JOIN dup d ON s.span = d.span
-    ),
-    re AS (
-        SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS clean_text,
-               count(*) AS n_kept
-        FROM kept GROUP BY doc_id
-    )
-    SELECT n.doc_id, coalesce(re.clean_text, '') AS clean_text,
-           n.n_spans,
-           CAST(n.n_spans - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed
-    FROM nsp n LEFT JOIN re ON n.doc_id = re.doc_id
-    """,
-)
-def q137_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring dedup at span granularity
-    (`operators/corpus.py:dedup_spans`): every 3-word span occurring in
-    >1 document is deleted from ALL documents and the survivors are
-    stitched back in order — the passage-level cousin of whole-doc
-    dedup that strips shared boilerplate while keeping each doc's
-    unique remainder. 3 map-side-combined shuffles, duplicated-span set
-    anti-joined (AQE broadcasts it when small), reassembly via in-row
-    array_sort — no windows, no global sort, text never collected.
-    Fully value-oracled per document including the reassembled text."""
-    docs = _t(spark, sf_dir, "documents")
-    return CO.dedup_spans(docs, span_words=3, max_doc_freq=1)
-
-
-# -------------- 80. incremental aggregate maintenance (MV delta refresh)
-
-@q(
-    "q138_incremental_agg",
-    """
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total,
-           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS o_totalprice_min,
-           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS o_totalprice_max,
-           CAST(round(sum(o_totalprice) / count(*), 4) AS DOUBLE)
-               AS o_totalprice_avg
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-)
-def q138_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized-view maintenance (`operators/incremental.py`):
-    aggregate the pre-cutoff base ONCE into mergeable per-group state
-    (cnt/sum/min/max), publish it as a versioned snapshot, then refresh
-    with only the post-cutoff delta — merge cost is O(|delta| +
-    |state|), the base is NEVER rescanned (locked by
-    test_plans.test_q138_incremental_never_rescans_base: the refresh
-    plan's only orders scan carries the cutoff filter pushed down). The
-    refreshed state publishes as snapshot v=2 — atomic and
-    time-travelable like any table publish. Oracled against the
-    full-table aggregate: incremental fold must equal one-shot compute
-    exactly (counts/extrema) and to rounding (float sums: addition
-    order differs by construction — THE ulp-level caveat of algebraic
-    MV maintenance, surfaced here by rounding both engines to 2/4 dp).
-    """
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.operators import incremental as IC
-    from ingestao_dados_poli_spark.sources import versioned as V
-
-    base_path = f"/tmp/q138_mv_{_os.getpid()}"
-    _shutil.rmtree(base_path, ignore_errors=True)
-    cutoff = "1997-06-01"
-    keys, measures = ["o_orderpriority"], ["o_totalprice"]
-    orders = _t(spark, sf_dir, "orders")
-    base_state = IC.partial_aggregate(
-        orders.filter(F.col("o_orderdate") < cutoff), keys, measures
-    )
-    V.publish(spark, base_state, base_path)
-    delta_state = IC.partial_aggregate(
-        orders.filter(F.col("o_orderdate") >= cutoff), keys, measures
-    )
-    merged = IC.merge_aggregates(
-        V.read_latest(spark, base_path), delta_state, keys, measures
-    )
-    V.publish(spark, merged, base_path)
-    out = IC.finalize(V.read_latest(spark, base_path), measures, avg_scale=4)
-    return out.select(
-        "o_orderpriority",
-        F.col("n").cast("long").alias("n"),
-        F.round("o_totalprice_sum", 2).alias("total"),
-        F.round("o_totalprice_min", 2).alias("o_totalprice_min"),
-        F.round("o_totalprice_max", 2).alias("o_totalprice_max"),
-        F.col("o_totalprice_avg"),
-    )
-
-
-# --------------------- 81. k-anonymity / l-diversity privacy audit
-
-@q(
-    "q139_k_anonymity",
-    """
-    SELECT c_mktsegment, c_nationkey,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
-                AS BIGINT) AS l_div,
-           count(*) >= 10 AS satisfies_k
-    FROM customer
-    GROUP BY c_mktsegment, c_nationkey
-    """,
-)
-def q139_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical re-identification audit (`operators/privacy.py`):
-    k-anonymity + l-diversity per quasi-identifier group over customer
-    (QI = segment x nation, sensitive = banded account balance). One
-    map-side-combined shuffle; the companion suppress_below_k drops
-    whole violating groups (k-anonymous by construction — proven in
-    test_privacy). Complements q53's literal PII scrub: scrubbing
-    removes identifiers, this measures the JOIN-attack surface of what
-    remains — the check a training-data release gate runs."""
-    from ingestao_dados_poli_spark.operators import privacy as PV
-
-    cust = _t(spark, sf_dir, "customer").withColumn(
-        "acct_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
-    )
-    rep = PV.k_anonymity_report(
-        cust, ["c_mktsegment", "c_nationkey"], k=10, sensitive_col="acct_band"
-    )
-    return rep.select(
-        "c_mktsegment",
-        "c_nationkey",
-        F.col("n").cast("long").alias("n"),
-        F.col("l_div").cast("long").alias("l_div"),
-        "satisfies_k",
-    )
-
-
-# ----------------------- 82. Python UDTF (lateral row generator)
-
-@q(
-    "q140_udtf_windows",
-    """
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks,
-               len(string_split(text, ' ')) AS n
-        FROM documents
-    )
-    SELECT doc_id, CAST(g.i AS BIGINT) AS win_idx,
-           array_to_string(
-               list_slice(toks, g.i * 3 + 1, g.i * 3 + 5), ' '
-           ) AS window_text,
-           5 AS n_words
-    FROM t, unnest(generate_series(0, CAST(floor((n - 5) / 3.0) AS BIGINT)))
-            AS g(i)
-    WHERE n >= 5
-    """,
-)
-def q140_udtf_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched Python UDTF via SQL LATERAL
-    (`functions/udtfs.py:SlidingWindows`): overlapping 5-word windows
-    every 3 words over documents — the chunk-for-embedding primitive
-    where adjacent chunks share context. Exercises the engine's
-    row-generator extension point end-to-end (typed struct output,
-    Arrow transfer, LATERAL correlation) on a generator simple enough
-    for a full DuckDB value oracle; stateful parsers swap the eval
-    body, not the wiring. The UDTF is the contained slow path: one
-    Python worker pass over the doc partition, no shuffle at all."""
-    from ingestao_dados_poli_spark.functions.udtfs import register_udtfs
-
-    register_udtfs(spark)
-    docs = _t(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("q140_docs")
-    return spark.sql(
-        """
-        SELECT d.doc_id, w.win_idx, w.window_text, w.n_words
-        FROM q140_docs d, LATERAL sliding_windows(d.text, 5, 3) w
-        """
-    )
-
-
-# ------------- 83. disjunctive multi-side predicate join (TPC-H Q19 shape)
-
-@q(
-    "q141_disjunctive_join",
-    """
-    SELECT CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
-               AS revenue
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-           AND l_quantity BETWEEN 1 AND 11)
-       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
-           AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
-           AND l_quantity BETWEEN 20 AND 30)
-    """,
-)
-def q141_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19's optimizer stress: an OR-of-ANDs predicate that mixes
-    columns from BOTH join sides. Expressed declaratively — no manual
-    split into three unioned joins — because Catalyst's CNF conversion
-    derives the per-side implications itself: the part scan receives
-    In(p_brand, [12,23,34]) + the p_size bound, the lineitem scan the
-    l_quantity envelope [1,30], BEFORE the join (locked by
-    test_plans.test_q141_disjunction_pushes_both_sides). At 100 TB the
-    derived lineitem bound is the whole game: without it every line
-    row joins first and filters after. Dim side broadcasts; the resid-
-    ual disjunction evaluates post-join inside codegen. Brand#34 keeps
-    a deliberately-empty branch honest (exists in data domains, may
-    match zero rows at small SF)."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 15)
-            & F.col("l_quantity").between(1, 11)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 25)
-            & F.col("l_quantity").between(10, 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#34")
-            & F.col("p_size").between(1, 35)
-            & F.col("l_quantity").between(20, 30)
-        )
-    )
-    return joined.filter(cond).agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
-    )
-
-
-# ---------------- 84. int8-quantized embedding top-k (compressed ANN)
-
-@q(
-    "q142_quantized_topk",
-    """
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         qz AS (
-           SELECT vec_id,
-                  list_transform(
-                    v,
-                    x -> CASE
-                           WHEN list_max(list_transform(v, y -> abs(y))) = 0
-                           THEN 0
-                           ELSE CAST(floor(
-                             x / (list_max(list_transform(v, y -> abs(y)))
-                                  / 127.0) + 0.5) AS BIGINT)
-                         END) AS q
-           FROM base),
-         qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 3),
-         scored AS (
-           SELECT qs.query_id, c.vec_id,
-                  round(
-                    list_inner_product(c.q, qs.qq)
-                    / (sqrt(list_inner_product(c.q, c.q))
-                       * sqrt(list_inner_product(qs.qq, qs.qq))), 6
-                  ) AS qcos_sim
-           FROM qz c CROSS JOIN qs)
-    SELECT query_id, vec_id, CAST(qcos_sim AS DOUBLE) AS qcos_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY qcos_sim DESC, vec_id ASC) AS rn
-          FROM scored)
-    WHERE rn <= 5
-    """,
-)
-def q142_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-domain ANN (`functions/vectors.py:quantize_int8`):
-    symmetric per-vector int8 codes (4x smaller than float32 — 4x less
-    scan/shuffle/broadcast at 100 TB), cosine computed DIRECTLY on the
-    codes with exact long accumulation (the per-vector scale cancels in
-    the ratio, so no dequantization pass exists at all). Same
-    plan shape as the exact baseline q26: quantized queries broadcast,
-    corpus never shuffles, rank by 6-dp-rounded score + id tie-break.
-    Fully value-oracled — quantization uses floor-based round-half-up,
-    which DuckDB reproduces bit-for-bit; recall vs the exact baseline
-    is measured in test_similarity_multimodal."""
-    from ingestao_dados_poli_spark.functions.vectors import (
-        int8_cosine,
-        quantize_int8,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
-    )
-    scored = emb.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "vec_id",
-        F.round(int8_cosine("q", "qq"), 6).alias("qcos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("qcos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .drop("rn")
-    )
-
-
-# ------------- 85. file-level min/max stats skipping (manifest pruning)
-
-@q(
-    "q144_stats_pruned_scan",
-    """
-    SELECT l_returnflag,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue
-    FROM lineitem
-    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-02-01'
-    GROUP BY l_returnflag
-    """,
-)
-def q144_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Manifest-style data skipping (`sources/stats.py`): cluster
-    lineitem by ship date (repartitionByRange + sortWithinPartitions —
-    the write-time layout), harvest per-FILE min/max from parquet
-    footers via pyarrow (metadata-only, zero rows scanned), then answer
-    a one-month query by handing Spark ONLY the overlapping files —
-    the Delta/Iceberg pruning move that turns 20 000 scheduled scan
-    tasks into 20 at 100 TB; Spark's own row-group pruning then works
-    WITHIN the chosen files. File pruning is a superset guarantee, so
-    the exact row predicate still applies and the result is
-    value-identical to the full scan (the oracle). Pruning
-    effectiveness (files_read < files_total) is locked in
-    test_sources.test_stats_pruning_skips_files."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.sources import stats as ST
-
-    base = f"/tmp/q144_cluster_{_os.getpid()}"
-    clustered = base + "/lineitem"
-    if not _os.path.exists(clustered):
-        _shutil.rmtree(base, ignore_errors=True)
-        li = _t(spark, sf_dir, "lineitem")
-        (
-            li.repartitionByRange(8, "l_shipdate")
-            .sortWithinPartitions("l_shipdate")
-            .write.mode("overwrite")
-            .parquet(clustered)
-        )
-    stats = ST.collect_file_stats(spark, clustered, ["l_shipdate"])
-    # footer stats stringify DATE as 'YYYY-MM-DD HH:MM:SS'; normalize
-    # the bounds to the same precision so ISO prefix-compare is exact
-    df, _read, _total = ST.pruned_read(
-        spark, stats, "l_shipdate",
-        "1997-01-01 00:00:00", "1997-01-31 23:59:59",
-    )
-    return (
-        df.filter(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1997-02-01")
-        )
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
-        )
-    )
-
-
-# --------------- 86. order-insensitive table fingerprint (anti-entropy)
-
-@q(
-    "q143_table_fingerprint",
-    """
-    WITH h AS (
-      SELECT o_orderpriority,
-             CAST(('0x' || substr(md5(concat_ws(chr(31),
-                 coalesce(CAST(o_orderkey AS VARCHAR),
-                          chr(0) || 'null' || chr(0)),
-                 coalesce(o_orderpriority, chr(0) || 'null' || chr(0)),
-                 coalesce(CAST(o_orderdate AS VARCHAR),
-                          chr(0) || 'null' || chr(0)),
-                 coalesce(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
-                               AS VARCHAR),
-                          chr(0) || 'null' || chr(0))
-             )), 1, 15)) AS BIGINT) AS hh
-      FROM orders)
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           bit_xor(hh) AS xor_fp,
-           CAST(sum(CAST(hh AS HUGEINT)) % 1152921504606846976 AS BIGINT)
-               AS sum_fp
-    FROM h GROUP BY o_orderpriority
-    """,
-)
-def q143_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-entropy digest (`operators/audit.py`): per-priority
-    (count, bit_xor, modular-sum) fingerprints of orders — the
-    replica-verification exchange that compares 100 TB copies by
-    sending O(groups) hashes instead of rows, with xor catching any
-    single-row drift and the modular sum catching the duplicate-pair
-    cancellation xor misses. THE cross-engine subtlety is row
-    canonicalization: doubles are rounded + cast to DECIMAL before
-    hashing because double→string formatting is engine-specific —
-    exactly the discipline a real cross-system migration check needs,
-    and the oracle proves DuckDB derives the IDENTICAL 60-bit hashes
-    from the same canonical strings."""
-    from ingestao_dados_poli_spark.operators import audit as AU
-
-    orders = _t(spark, sf_dir, "orders")
-    cols = [
-        F.col("o_orderkey"),
-        F.col("o_orderpriority"),
-        F.col("o_orderdate"),
-        F.round("o_totalprice", 2).cast("decimal(18,2)"),
-    ]
-    return AU.table_fingerprint(orders, cols, group_by=["o_orderpriority"])
-
-
-# ------------- 87. correlated EXISTS / NOT EXISTS (TPC-H Q21 shape)
-
-@q(
-    "q145_sole_blame_supplier",
-    """
-    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM lineitem l1
-    JOIN supplier ON s_suppkey = l1.l_suppkey
-    WHERE l1.l_returnflag = 'R'
-      AND EXISTS (
-            SELECT 1 FROM lineitem l2
-            WHERE l2.l_orderkey = l1.l_orderkey
-              AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (
-            SELECT 1 FROM lineitem l3
-            WHERE l3.l_orderkey = l1.l_orderkey
-              AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_returnflag = 'R')
-    GROUP BY s_name
-    """,
-)
-def q145_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21's join topology on the testdata schema: per returned
-    ('R') line, a correlated EXISTS (the order had OTHER suppliers) and
-    NOT EXISTS (none of the others was also 'R') — the sole-blame
-    supplier count. Declared as a left_semi + left_anti join pair with
-    a COMPOUND condition (equi on l_orderkey + non-equi suppkey guard):
-    Catalyst keeps both as hash/sort-merge joins keyed on the equi part
-    — never a BNLJ — and the 10-row supplier dim broadcasts. The anti
-    side pre-filters to 'R' lines before joining, so the heavy stream
-    is scanned once per exists-branch with the filter pushed to
-    parquet. Oracled against DuckDB's native correlated subqueries —
-    same semantics through a completely different decorrelation path."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_returnflag"
-    )
-    sup = _t(spark, sf_dir, "supplier")
-    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
-    l2 = li.alias("l2")
-    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
-    has_other = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
-    )
-    sole_r = has_other.alias("l1").join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
-    )
-    return (
-        sole_r.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-    )
-
-
-# ---------------- 88. Z-order two-dimensional file skipping
-
-@q(
-    "q146_zorder_skipping",
-    """
-    SELECT l_returnflag,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue
-    FROM lineitem
-    WHERE l_quantity >= 45
-    GROUP BY l_returnflag
-    """,
-)
-def q146_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-dimensional skipping: lineitem rewritten Z-order-clustered
-    on (ship-day, quantity) (`sources/writers.py:write_clustered` —
-    Morton interleave, ONE range shuffle), then a quantity-only query
-    reads through `sources/stats.py` footer pruning. 1-D range
-    clustering (q144) skips on ITS column only; the Z-layout keeps
-    both dimensions' footer ranges tight, so EITHER predicate prunes
-    files (both directions asserted in
-    test_sources.test_zorder_prunes_both_dimensions). File pruning
-    stays a superset guarantee — the exact predicate reapplies, and
-    the result is value-identical to a full scan (the oracle)."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.sources import stats as ST
-    from ingestao_dados_poli_spark.sources.writers import write_clustered
-
-    base = f"/tmp/q146_z_{_os.getpid()}"
-    clustered = base + "/lineitem"
-    if not _os.path.exists(clustered):
-        _shutil.rmtree(base, ignore_errors=True)
-        li = _t(spark, sf_dir, "lineitem").withColumn(
-            "_days", F.datediff(F.col("l_shipdate"), F.lit("1995-01-01"))
-        )
-        write_clustered(li, clustered, ["_days", "l_quantity"], num_files=8)
-    stats = ST.collect_file_stats(spark, clustered, ["l_quantity"])
-    df, _read, _total = ST.pruned_read(
-        spark, stats, "l_quantity", "45", "50", numeric=True
-    )
-    return (
-        df.filter(F.col("l_quantity") >= 45)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
-        )
-    )
-
-
-# ---------------- 89. lakehouse OPTIMIZE, losslessness fingerprint-proven
-
-@q(
-    "q147_optimize_lossless",
-    """
-    WITH h AS (
-      SELECT o_orderpriority,
-             CAST(('0x' || substr(md5(concat_ws(chr(31),
-                 coalesce(CAST(o_orderkey AS VARCHAR),
-                          chr(0) || 'null' || chr(0)),
-                 coalesce(o_orderpriority, chr(0) || 'null' || chr(0)),
-                 coalesce(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
-                               AS VARCHAR),
-                          chr(0) || 'null' || chr(0))
-             )), 1, 15)) AS BIGINT) AS hh
-      FROM orders)
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           bit_xor(hh) AS xor_fp,
-           CAST(sum(CAST(hh AS HUGEINT)) % 1152921504606846976 AS BIGINT)
-               AS sum_fp
-    FROM h GROUP BY o_orderpriority
-    """,
-)
-def q147_optimize_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maintenance op end-to-end (`sources/writers.py:optimize_table`):
-    shatter orders into 64 tiny files (the streaming-sink reality),
-    OPTIMIZE into a compacted Z-clustered copy, and return the
-    per-priority anti-entropy digest (`operators/audit.py`) OF THE
-    OPTIMIZED COPY. The oracle computes the digest from the raw orders
-    table in DuckDB — equality proves the rewrite lost and invented
-    nothing, cross-engine, which is the invariant every compaction job
-    must ship with. File-count reduction is asserted in
-    test_sources.test_optimize_compacts_and_clusters."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.operators import audit as AU
-    from ingestao_dados_poli_spark.sources.writers import optimize_table
-
-    base = f"/tmp/q147_opt_{_os.getpid()}"
-    src, dst = base + "/src", base + "/opt"
-    if not _os.path.exists(dst):
-        _shutil.rmtree(base, ignore_errors=True)
-        orders = _t(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderpriority", "o_totalprice"
-        )
-        orders.repartition(64).write.mode("overwrite").parquet(src)
-        optimize_table(
-            spark, src, dst, ["o_orderkey"], target_file_bytes=1 << 20
-        )
-    opt = spark.read.parquet(dst)
-    cols = [
-        F.col("o_orderkey"),
-        F.col("o_orderpriority"),
-        F.round("o_totalprice", 2).cast("decimal(18,2)"),
-    ]
-    return AU.table_fingerprint(opt, cols, group_by=["o_orderpriority"])
-
-
-# ------------- 90. persisted IVF index lifecycle (ingest -> search)
-
-@q(
-    "q148_ivf_index_lifecycle",
-    """
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id IN (7, 42)),
-         scored AS (
-           SELECT q.query_id, c.vec_id,
-                  round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6)
-                      AS cos_sim
-           FROM embeddings c CROSS JOIN q)
-    SELECT query_id, vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
-          FROM scored)
-    WHERE rn <= 6
-    """,
-)
-def q148_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted-index maintenance (`operators/similarity.py:
-    ivf_index_ingest/read/search`): the corpus arrives in TWO batches,
-    each assigned to the FIXED codebook scan-side and published as an
-    atomic delta snapshot hive-partitioned by centroid_id — per-ingest
-    cost is |batch|, no re-clustering, no index rewrite (the codebook
-    is the index's stable contract). Search unions the committed
-    deltas and probes partitions; run here with nprobe == nlist so the
-    whole lifecycle — two ingests, delta union, probe join, top-k
-    merge — degrades exactly to brute force and value-checks against
-    the exact-cosine oracle. Batching-invariance (index built in 2
-    batches == built in 1) is pinned in test_similarity_ivf."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.operators.similarity import (
-        ivf_index_ingest,
-        ivf_index_search,
-    )
-
-    idx = f"/tmp/q148_ivf_{_os.getpid()}/index"
-    _shutil.rmtree(f"/tmp/q148_ivf_{_os.getpid()}", ignore_errors=True)
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    ivf_index_ingest(
-        spark, emb.filter(F.col("vec_id") < 250), _CENTROIDS, idx,
-        score_round=6,
-    )
-    ivf_index_ingest(
-        spark, emb.filter(F.col("vec_id") >= 250), _CENTROIDS, idx,
-        score_round=6,
-    )
-    queries = emb.filter(F.col("vec_id").isin(7, 42)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    return ivf_index_search(
-        spark, idx, queries, _CENTROIDS,
-        k=6, nprobe=len(_CENTROIDS), score_round=6,
-    )
-
-
-# ------------- 91. SCD2 point-in-time resolution via as-of join
-
-@q(
-    "q149_scd2_pit_join",
-    """
-    WITH dim0 AS (
-        SELECT o_custkey, o_orderdate AS valid_from,
-               arg_max(o_orderstatus, o_orderkey) AS status
-        FROM orders WHERE o_custkey < 200
-        GROUP BY o_custkey, o_orderdate),
-    dim AS (
-        SELECT o_custkey, valid_from, status,
-               lead(valid_from) OVER (PARTITION BY o_custkey
-                                      ORDER BY valid_from) AS valid_to
-        FROM dim0),
-    fact AS (
-        SELECT o.o_custkey, l.l_shipdate, l.l_quantity
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        WHERE o.o_custkey < 200),
-    resolved AS (
-        SELECT f.l_quantity, d.status
-        FROM fact f LEFT JOIN dim d
-          ON f.o_custkey = d.o_custkey
-         AND f.l_shipdate >= d.valid_from
-         AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to))
-    SELECT coalesce(status, 'none') AS status,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
-    FROM resolved GROUP BY coalesce(status, 'none')
-    """,
-)
-def q149_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time dimension resolution — the READ side of SCD2
-    (q69 is the build side): each shipment line resolves the customer
-    status version valid at its ship date. Expressed as
-    `relational.asof_join` (union + per-key window carry-forward, ONE
-    shuffle on the key) instead of the textbook BETWEEN range join the
-    oracle uses — the formulation that survives 100 TB, where a
-    version-interval join would shuffle fact rows against every
-    candidate version (and degrade to BNLJ without an equi bound).
-    Gap-free SCD2 intervals (valid_to = next valid_from) make backward
-    as-of and interval containment provably identical — which is
-    exactly what the cross-formulation oracle certifies."""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
-    dim = (
-        orders.groupBy("o_custkey", "o_orderdate")
-        .agg(F.max_by("o_orderstatus", "o_orderkey").alias("status"))
-        .withColumnRenamed("o_orderdate", "valid_from")
-    )
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate", "l_quantity"
-    )
-    fact = li.join(
-        orders.select("o_orderkey", "o_custkey"),
-        li.l_orderkey == F.col("o_orderkey"),
-    ).select("o_custkey", "l_shipdate", "l_quantity")
-    resolved = R.asof_join(
-        fact,
-        dim,
-        key="o_custkey",
-        left_ts="l_shipdate",
-        right_ts="valid_from",
-        right_cols=["status"],
-        slim=True,
-    )
-    return (
-        resolved.groupBy(
-            F.coalesce(F.col("asof_status"), F.lit("none")).alias("status")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
-        )
-    )
-
-
-# ------------- 92. intentional schema evolution: pinned vs live reads
-
-@q(
-    "q150_schema_evolution",
-    """
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs_v1,
-           CAST(count(*) AS BIGINT) AS n_docs_live,
-           CAST(round(avg(n_chars / 100.0), 2) AS DOUBLE) AS avg_quality
-    FROM documents GROUP BY source
-    """,
-)
-def q150_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The evolution contract of `sources/versioned.py`: v=1 publishes
-    documents' slim schema, v=2 adds a quality column — refused by the
-    drift gate until the caller states intent (allow_schema_change=
-    True), after which the NEW schema becomes the contract. A pinned
-    v=1 read still serves exactly the old columns (reproducibility for
-    the training run that shipped against it) while read_latest serves
-    the evolved schema; both reads must carry identical row
-    populations, which is what the per-source oracle certifies
-    (n_docs_v1 from the pinned read == n_docs_live from the live read
-    == the source table). The column-level assertions (pinned read has
-    no quality column; unstated drift still raises) live in
-    test_versioned."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.sources import versioned as V
-
-    base = f"/tmp/q150_evo_{_os.getpid()}"
-    _shutil.rmtree(base, ignore_errors=True)
-    path = base + "/docs"
-    docs = _t(spark, sf_dir, "documents")
-    slim = docs.select("doc_id", "source", "n_chars")
-    V.publish(spark, slim, path)
-    evolved = slim.withColumn(
-        "quality", F.round(F.col("n_chars") / 100.0, 6)
-    )
-    V.publish(spark, evolved, path, allow_schema_change=True)
-    pinned = V.read_version(spark, path, 1)
-    live = V.read_latest(spark, path)
-    a = pinned.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs_v1")
-    )
-    b = live.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs_live"),
-        F.round(F.avg("quality"), 2).alias("avg_quality"),
-    )
-    return a.join(b, "source")
-
-
-# ------------- 93. dynamic partition overwrite (surgical backfill)
-
-@q(
-    "q151_dynamic_partition_overwrite",
-    """
-    WITH t AS (SELECT CAST(min(ts) AS DATE) AS d FROM events),
-    adj AS (SELECT event_type,
-                   CASE WHEN CAST(ts AS DATE) = (SELECT d FROM t)
-                        THEN round(value * 2, 2) ELSE value END AS v
-            FROM events)
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(round(sum(v), 2) AS DOUBLE) AS sum_value
-    FROM adj GROUP BY event_type
-    """,
-)
-def q151_dynamic_partition_overwrite(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The surgical-backfill primitive
-    (`sources/writers.py:overwrite_partitions_dynamic`): events land
-    day-partitioned, one day turns out wrong, the corrected day is
-    rewritten with partitionOverwriteMode=dynamic — ONLY that
-    partition's files change; every other day's files are untouched
-    (mtime-pinned in test_sources). Spark's default static overwrite
-    would truncate the whole table first — at 100 TB that is the
-    difference between rewriting one day and 3 649. The oracle
-    recomputes the expected post-correction table from the source:
-    doubled values on the corrected day, originals elsewhere. The
-    1-row min-day collect is driver-side CONFIG derivation (which day
-    to fix), not data movement."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.sources.writers import (
-        overwrite_partitions_dynamic,
-    )
-
-    base = f"/tmp/q151_dpo_{_os.getpid()}"
-    path = base + "/events"
-    _shutil.rmtree(base, ignore_errors=True)
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "day", F.col("ts").cast("date")
-    )
-    ev.write.partitionBy("day").parquet(path)
-    target = ev.agg(F.min("day")).collect()[0][0]
-    corrected = ev.filter(F.col("day") == F.lit(target)).withColumn(
-        "value", F.round(F.col("value") * 2, 2)
-    )
-    overwrite_partitions_dynamic(corrected, path, ["day"])
-    back = spark.read.parquet(path)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
-
-
-# ------------- 94. streaming native session windows (q104's stream twin)
-
-@q(
-    "q152_streaming_session_window",
-    """
-    WITH flagged AS (
-        SELECT user_id, ts, event_id, value,
-               CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), numbered AS (
-        SELECT *, sum(new_session) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) AS sid
-        FROM flagged)
-    SELECT user_id,
-           CAST(min(ts) AS VARCHAR) AS session_start,
-           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
-           count(*) AS n_events,
-           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
-    FROM numbered GROUP BY user_id, sid
-    """,
-)
-def q152_streaming_session_window(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Built-in session_window run through the ACTUAL streaming engine
-    (readStream → availableNow → memory sink) — the streaming twin of
-    batch q104, completing the engine's sessionize matrix: lag+cumsum
-    SQL (q20), custom applyInPandasWithState (q46-family), batch
-    session_window (q104), and now MERGING session windows with
-    watermark state eviction on a real stream. Bounded single-batch
-    source + complete mode means the watermark drops nothing, so the
-    streaming result must hash-equal the batch oracle — the
-    batch/stream parity contract, again."""
-    import tempfile
-    import uuid
-
-    from ingestao_dados_poli_spark.streaming.stream_ops import (
-        session_window_counts,
-        state_partitions,
-    )
-
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        path = f"{sf_dir}/events.parquet"
-        raw_schema = spark.read.parquet(path).schema
-        src = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .transform(_events_ts)
-        )
-        agg = session_window_counts(src, gap="30 minutes", watermark="10 minutes")
-        name = f"q152_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
-            query = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("complete")
-                .option("checkpointLocation", tempfile.mkdtemp(prefix="q152_ck_"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination(300)
-        return spark.table(name).select(
-            "user_id",
-            F.col("session_start").cast("string").alias("session_start"),
-            F.col("session_end").cast("string").alias("session_end"),
-            "n_events",
-            F.round("sum_value", 2).alias("sum_value"),
-        )
-
-
-# ------------- 95. keep-best-duplicate dedup (quality-ranked survivor)
-
-@q(
-    "q153_dedup_keep_best",
-    """
-    WITH fp AS (
-        SELECT doc_id, source, n_chars,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-        FROM documents),
-    ranked AS (
-        SELECT *, row_number() OVER (
-            PARTITION BY f ORDER BY source ASC, doc_id ASC) AS rn
-        FROM fp)
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_kept,
-           CAST(sum(n_chars) AS BIGINT) AS kept_chars
-    FROM ranked WHERE rn = 1 GROUP BY source
-    """,
-)
-def q153_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-ranked dedup survivor selection: exact-duplicate groups
-    (normalized-text md5) keep the copy from the PREFERRED source
-    (lowest source id here; in production, a source-priority ranking —
-    the RefinedWeb 'keep the highest-quality duplicate' policy) rather
-    than an arbitrary or min-id row. One shuffle on the fingerprint
-    (`relational.dedup_keep_first` with an explicit priority order);
-    per-source survivor counts are the mixing-relevant output."""
-    docs = _t(spark, sf_dir, "documents")
-    fp = docs.withColumn(
-        "f",
-        F.md5(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-        ),
-    )
-    kept = R.dedup_keep_first(
-        fp, ["f"], [F.col("source").asc(), F.col("doc_id").asc()]
-    )
-    return kept.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sum("n_chars").cast("long").alias("kept_chars"),
-    )
-
-
-# ------------- 96. streaming materialized-view maintenance
-
-@q(
-    "q154_streaming_mv",
-    """
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total,
-           CAST(round(min(value), 2) AS DOUBLE) AS value_min,
-           CAST(round(max(value), 2) AS DOUBLE) AS value_max
-    FROM events GROUP BY event_type
-    """,
-)
-def q154_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming aggregate-state maintenance: the changelog streams in
-    4 real micro-batches (maxFilesPerTrigger=1) and foreachBatch folds
-    each batch's PARTIAL aggregate into a running state table via
-    `operators/incremental.py:merge_aggregates` — the aggregate twin
-    of q91's row-level streaming MERGE. Per batch the work is
-    O(|batch| + |state|); event history is NEVER re-aggregated, which
-    is the only viable shape for a 100 TB running dashboard. The final
-    state must equal the one-shot batch aggregate REGARDLESS of how
-    rows were batched (count/sum/min/max are associative+commutative)
-    — exactly what the oracle hash-checks."""
-    import tempfile
-
-    from ingestao_dados_poli_spark.operators import incremental as IC
-    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
-
-    keys, measures = ["event_type"], ["value"]
-    ev = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="q154_")
-    shard_dir = f"{work}/shards"
-    ev.repartition(4).write.mode("overwrite").parquet(shard_dir)
-
-    state: list[DataFrame] = []
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        delta = IC.partial_aggregate(batch_df, keys, measures)
-        merged = (
-            IC.merge_aggregates(state[-1], delta, keys, measures)
-            if state
-            else delta
-        )
-        out = f"{work}/state_v{batch_id}"
-        merged.write.mode("overwrite").parquet(out)
-        state.append(batch_df.sparkSession.read.parquet(out))
-
-    src = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(shard_dir)
-    )
-    with state_partitions(spark, 8):
-        q_ = (
-            src.writeStream.foreachBatch(fold)
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
-    final = IC.finalize(state[-1], measures)
-    return final.select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.round("value_sum", 2).alias("total"),
-        F.round("value_min", 2).alias("value_min"),
-        F.round("value_max", 2).alias("value_max"),
-    )
-
-
-# ------------- 97. cross-table reconciliation report
-
-@q(
-    "q155_order_reconciliation",
-    """
-    WITH li AS (
-        SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS li_net,
-               count(*) AS n_lines
-        FROM lineitem GROUP BY l_orderkey),
-    classed AS (
-        SELECT o.o_orderkey,
-               CASE
-                 WHEN li.l_orderkey IS NULL THEN 'no_lines'
-                 WHEN abs(o.o_totalprice - li.li_net) <= 0.01 * o.o_totalprice
-                      THEN 'reconciled'
-                 ELSE 'mismatch'
-               END AS status
-        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
-    SELECT status, CAST(count(*) AS BIGINT) AS n_orders
-    FROM classed GROUP BY status
-    """,
-)
-def q155_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-table financial reconciliation — the referential CONTENT
-    check beyond q105's key-existence FK check: every order's header
-    total against the sum of its lines' net amounts, classified
-    reconciled / mismatch / no_lines with a relative tolerance. One
-    map-side-combined pre-aggregation of the fact side, then a join at
-    ORDER grain (never line grain) — the pre-agg-before-join ordering
-    that keeps the join input |orders|, not |lineitem|, at 100 TB. The
-    report is the per-status count a close-of-books gate consumes
-    (whatever the synthetic data's actual reconciliation rate, the
-    CLASSIFICATION is deterministic — that is what the oracle checks).
-    """
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    li_net = li.groupBy("l_orderkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("li_net")
-    )
-    classed = orders.join(
-        li_net, orders.o_orderkey == li_net.l_orderkey, "left"
-    ).select(
-        F.when(F.col("l_orderkey").isNull(), "no_lines")
-        .when(
-            F.abs(F.col("o_totalprice") - F.col("li_net"))
-            <= 0.01 * F.col("o_totalprice"),
-            "reconciled",
-        )
-        .otherwise("mismatch")
-        .alias("status")
-    )
-    return classed.groupBy("status").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
-    )
-
-
-# ------------- 98. multi-format federation union (parquet + csv + jsonl)
-
-@q(
-    "q156_multi_format_union",
-    """
-    WITH h AS (
-      SELECT source, n_chars,
-             CAST(('0x' || substr(md5(concat_ws(chr(31),
-                 CAST(doc_id AS VARCHAR), text)), 1, 15)) AS BIGINT) AS hh
-      FROM documents)
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           bit_xor(hh) AS text_fp
-    FROM h GROUP BY source
-    """,
-)
-def q156_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Format federation: the same logical table arrives as parquet,
-    pipe-CSV, and JSONL shards (the landing reality the reference's
-    three CSV dialects hint at, 0a:26-52); each shard reads through
-    its typed reader (`sources/readers.py`), schema-aligns, unions,
-    and aggregates. Losslessness across serialization round-trips is
-    the point: the per-source digest includes an order-insensitive
-    (doc_id, text) fingerprint (`operators/audit.py`), so a CSV
-    quoting bug or JSON escaping difference flips the hash — the
-    oracle computes the digest from the parquet original."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.functions.cleaning import align_union
-    from ingestao_dados_poli_spark.operators import audit as AU
-    from ingestao_dados_poli_spark.sources.readers import read_csv, read_json
-
-    base = f"/tmp/q156_fmt_{_os.getpid()}"
-    docs = _t(spark, sf_dir, "documents")
-    if not _os.path.exists(base):
-        _shutil.rmtree(base, ignore_errors=True)
-        docs.filter(F.col("doc_id") % 3 == 1).write.option(
-            "header", "true"
-        ).option("sep", "|").mode("overwrite").csv(base + "/csv")
-        docs.filter(F.col("doc_id") % 3 == 2).write.mode("overwrite").json(
-            base + "/jsonl"
-        )
-    part0 = docs.filter(F.col("doc_id") % 3 == 0)
-    part1 = read_csv(
-        spark, base + "/csv", schema=docs.schema, sep="|"
-    ).drop("_corrupt_record")
-    part2 = read_json(spark, base + "/jsonl", schema=docs.schema).drop(
-        "_corrupt_record"
-    )
-    u = align_union([part0, part1, part2])
-    return (
-        u.withColumn("_h", AU.row_fingerprint(["doc_id", "text"]))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-            F.expr("bit_xor(_h)").alias("text_fp"),
-        )
-    )
-
-
-# ------------- 99. inverted index build + AND-semantics lookup
-
-@q(
-    "q157_inverted_index",
-    """
-    WITH posting AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
-        FROM documents),
-    hits AS (
-        SELECT doc_id FROM posting WHERE term IN ('spark', 'join')
-        GROUP BY doc_id HAVING count(DISTINCT term) = 2)
-    SELECT d.doc_id, d.source
-    FROM documents d JOIN hits USING (doc_id)
-    """,
-)
-def q157_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Secondary-index keyword search
-    (`operators/corpus.py:build_inverted_index` / `lookup_all_terms`):
-    a distinct (term, doc) posting table answers 'docs containing ALL
-    of [spark, join]' via scan-side term filter + ONE having-count
-    group-by — no k-way posting joins, no skew from a hot term's long
-    posting list on a join side, no corpus text touched at query time.
-    At 100 TB the index lives term-hash-partitioned on disk (build =
-    one scan + one map-side-combined shuffle) and maintains
-    incrementally like the fingerprint store."""
-    from ingestao_dados_poli_spark.operators.corpus import (
-        build_inverted_index,
-        lookup_all_terms,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    index = build_inverted_index(docs)
-    hits = lookup_all_terms(index, ["spark", "join"])
-    return hits.join(docs.select("doc_id", "source"), "doc_id")
-
-
-# ------------- 100. tokenize to vocabulary ids
-
-@q(
-    "q158_tokenize_ids",
-    """
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        FROM documents),
-    vocab AS (
-        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS id
-        FROM tok GROUP BY w
-        ORDER BY count(*) DESC, w ASC LIMIT 10),
-    mapped AS (
-        SELECT t.doc_id, coalesce(v.id, 0) AS id
-        FROM tok t LEFT JOIN vocab v ON t.w = v.w)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
-           CAST(sum(id) AS BIGINT) AS ids_checksum
-    FROM mapped GROUP BY doc_id
-    """,
-)
-def q158_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The tokenize-to-ids step between corpus prep and sequence
-    packing: build a frequency-ranked vocabulary (top-10 here so the
-    unknown path is exercised; production vocabs just raise the
-    limit), broadcast it, and map every token to its id with unknowns
-    at 0. Two shuffles total — the vocab count and the per-doc
-    rollup; the token->id join is a broadcast of the (tiny by
-    definition) vocab, so the corpus never shuffles for the mapping.
-    Output is per-doc (n_tokens, n_unk, ids_checksum) — the checksum
-    form keeps the oracle order-insensitive."""
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    )
-    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
-    vocab = (
-        tok.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("id", F.row_number().over(w_rank))
-        .filter(F.col("id") <= 10)
-        .select("w", "id")
-    )
-    mapped = tok.join(F.broadcast(vocab), "w", "left").select(
-        "doc_id", F.coalesce(F.col("id"), F.lit(0)).alias("id")
-    )
-    return mapped.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_unk"),
-        F.sum("id").cast("long").alias("ids_checksum"),
-    )
-
-
-# ------------- 101. cogroup applyInPandas reconciliation
-
-@q(
-    "q159_cogroup_recon",
-    """
-    WITH li AS (
-        SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS li_net
-        FROM lineitem GROUP BY l_orderkey),
-    classed AS (
-        SELECT o.o_totalprice,
-               CASE
-                 WHEN li.l_orderkey IS NULL THEN 'no_lines'
-                 WHEN abs(o.o_totalprice - li.li_net) <= 0.01 * o.o_totalprice
-                      THEN 'reconciled'
-                 ELSE 'mismatch'
-               END AS status
-        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
-    SELECT status,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS header_total
-    FROM classed GROUP BY status
-    """,
-)
-def q159_cogroup_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COGROUP extension point (`groupBy().cogroup().applyInPandas`)
-    — two tables grouped by the same key land in ONE Python worker call
-    as aligned pandas frames. Probed here with the q155 reconciliation
-    semantics so the declarative twin oracles it: grouping is by a
-    64-way key BUCKET, not by order (one worker call per bucket with
-    vectorized pandas inside — per-entity cogroup at 150k groups would
-    drown in per-group overhead), which is the shape any custom
-    two-sided merge logic should copy. Use the built-in join/agg path
-    (q155) when SQL can express the logic; cogroup is for when it
-    can't (bitemporal merges, per-key model scoring against reference
-    curves)."""
-    import pandas as pd
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice",
-        (F.col("o_orderkey") % 64).alias("b"),
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("li_net")
-        )
-        .select("l_orderkey", "li_net", (F.col("l_orderkey") % 64).alias("b"))
-    )
-
-    def recon(key, o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
-        m = o_pdf.merge(
-            l_pdf, how="left", left_on="o_orderkey", right_on="l_orderkey"
-        )
-        no_lines = m["l_orderkey"].isna()
-        ok = (m["o_totalprice"] - m["li_net"]).abs() <= 0.01 * m["o_totalprice"]
-        status = pd.Series("mismatch", index=m.index)
-        status[ok.fillna(False)] = "reconciled"
-        status[no_lines] = "no_lines"
-        out = pd.DataFrame(
-            {"status": status, "o_totalprice": m["o_totalprice"]}
-        )
-        return (
-            out.groupby("status", as_index=False)
-            .agg(n_orders=("status", "size"), header_total=("o_totalprice", "sum"))
-        )
-
-    partial = (
-        orders.groupBy("b")
-        .cogroup(li.groupBy("b"))
-        .applyInPandas(
-            recon, "status string, n_orders long, header_total double"
-        )
-    )
-    return partial.groupBy("status").agg(
-        F.sum("n_orders").cast("long").alias("n_orders"),
-        F.round(F.sum("header_total"), 2).alias("header_total"),
-    )
-
-
-# ------------- 102. GDPR erasure on the versioned store
-
-@q(
-    "q160_gdpr_erasure",
-    """
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events
-    WHERE user_id NOT IN (1, 2, 3)
-    GROUP BY event_type
-    """,
-)
-def q160_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-be-forgotten on the versioned store
-    (`sources/versioned.py:erase_rows`): events publish as v=1, users
-    {1,2,3} are erased into v=2 with one filtered rewrite, and the
-    LIVE read immediately and atomically stops serving them — which is
-    what the oracle checks (live agg == source minus the erased
-    users). The deliberate tension: pinned v=1 STILL serves the rows
-    (reproducibility) until `vacuum` retires it — erasure is only
-    complete after retention-policy vacuum, and test_versioned pins
-    exactly that sequence (pinned-still-there, then vacuum, then
-    pinned-read raises)."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.sources import versioned as V
-
-    base = f"/tmp/q160_gdpr_{_os.getpid()}"
-    path = base + "/events"
-    _shutil.rmtree(base, ignore_errors=True)
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    V.publish(spark, ev, path)
-    V.erase_rows(spark, path, F.col("user_id").isin(1, 2, 3))
-    live = V.read_latest(spark, path)
-    return live.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.count_distinct("user_id").cast("long").alias("n_users"),
-    )
-
-
-# ------------- 103. analytic-window completeness (rank family + frames)
-
-@q(
-    "q161_window_suite",
-    """
-    WITH w AS (
-        SELECT c_mktsegment, c_custkey, c_acctbal,
-               round(percent_rank() OVER win, 6) AS pct_rank,
-               round(cume_dist() OVER win, 6) AS cume,
-               nth_value(c_custkey, 3) OVER (
-                   win ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND UNBOUNDED FOLLOWING) AS third_richest,
-               first_value(c_acctbal) OVER (
-                   win ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND UNBOUNDED FOLLOWING) AS top_bal
-        FROM customer
-        WINDOW win AS (PARTITION BY c_mktsegment
-                       ORDER BY c_acctbal DESC, c_custkey ASC))
-    SELECT c_mktsegment,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(round(avg(pct_rank), 6) AS DOUBLE) AS avg_pct_rank,
-           CAST(round(avg(cume), 6) AS DOUBLE) AS avg_cume,
-           CAST(max(third_richest) AS BIGINT) AS third_richest,
-           CAST(round(max(top_bal), 2) AS DOUBLE) AS top_bal
-    FROM w GROUP BY c_mktsegment
-    """,
-)
-def q161_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The remaining analytic-window surface in one oracled pass:
-    percent_rank / cume_dist (relative standing — the feature-scaling
-    primitives), nth_value and first_value over an explicit
-    full-partition frame (default frames END AT CURRENT ROW — the
-    classic silent-wrong-answer; the explicit frame is the point).
-    One shuffle on the partition key, tie-broken ordering so engines
-    agree on every rank. Rolled up per segment to keep the oracle
-    surface dense."""
-    cust = _t(spark, sf_dir, "customer")
-    win = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
-    )
-    full = win.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    w = cust.select(
-        "c_mktsegment",
-        F.round(F.percent_rank().over(win), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(win), 6).alias("cume"),
-        F.nth_value("c_custkey", 3).over(full).alias("third_richest"),
-        F.first_value("c_acctbal").over(full).alias("top_bal"),
-    )
-    return w.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.avg("pct_rank"), 6).alias("avg_pct_rank"),
-        F.round(F.avg("cume"), 6).alias("avg_cume"),
-        F.max("third_richest").cast("long").alias("third_richest"),
-        F.round(F.max("top_bal"), 2).alias("top_bal"),
-    )
-
-
-# ------------- 104. outer generators (empty/null rows must survive)
-
-@q(
-    "q162_outer_generators",
-    """
-    WITH base AS (
-        SELECT o_orderkey,
-               CASE WHEN o_orderkey % 3 = 0 THEN []
-                    WHEN o_orderkey % 3 = 1 THEN NULL
-                    ELSE [o_orderkey % 7, o_orderkey % 5] END AS xs
-        FROM orders WHERE o_orderkey < 3000),
-    ex AS (
-        SELECT o_orderkey, u.x AS x
-        FROM base LEFT JOIN LATERAL unnest(xs) AS u(x) ON TRUE)
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(x) AS BIGINT) AS n_elems,
-           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
-           CAST(sum(coalesce(x, -1)) AS BIGINT) AS checksum
-    FROM ex
-    """,
-)
-def q162_outer_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """explode_outer semantics, pinned: rows whose array is EMPTY or
-    NULL survive the explode as a single null-element row — plain
-    explode silently DROPS them, the classic row-loss bug when a fact
-    table's optional list column feeds a flatten (an LLM pipeline's
-    doc->chunks explode loses every empty doc the same way). The
-    oracle mirrors it with DuckDB's LEFT JOIN LATERAL unnest. Summary
-    counts prove: n_orders == all source rows (nothing lost),
-    n_rows > n_elems (the null-preserved rows), checksum pins element
-    values."""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
-    base = orders.select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 3 == 0, F.array().cast("array<bigint>"))
-        .when(F.col("o_orderkey") % 3 == 1, F.lit(None).cast("array<bigint>"))
-        .otherwise(
-            F.array(F.col("o_orderkey") % 7, F.col("o_orderkey") % 5)
-        )
-        .alias("xs"),
-    )
-    ex = base.select(
-        "o_orderkey", F.explode_outer("xs").alias("x")
-    )
-    return ex.agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.count("x").cast("long").alias("n_elems"),
-        F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
-        F.sum(F.coalesce(F.col("x"), F.lit(-1))).cast("long").alias("checksum"),
-    )
-
-
-# ------------- 105. triangle counting (co-supply graph)
-
-@q(
-    "q163_triangle_count",
-    """
-    WITH pairs AS (
-        SELECT least(a.l_suppkey, b.l_suppkey) AS lo,
-               greatest(a.l_suppkey, b.l_suppkey) AS hi
-        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        WHERE a.l_suppkey < b.l_suppkey
-        GROUP BY lo, hi HAVING count(*) >= 5),
-    tri AS (
-        SELECT 1
-        FROM pairs ab
-        JOIN pairs bc ON ab.hi = bc.lo
-        JOIN pairs ac ON ac.lo = ab.lo AND ac.hi = bc.hi)
-    SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri
-    """,
-)
-def q163_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph analytics #3 (after components and PageRank): triangles
-    in the FREQUENT-co-supply graph (supplier pairs sharing >= 5
-    orders), via `operators/graph.py:triangle_count` — canonical a<b<c
-    orientation so each triangle matches exactly once and wedge
-    fan-out is bounded by ORIENTED degrees (the Suri-Vassilvitskii
-    trick that stops hub vertices exploding the intermediate at
-    scale). The weight threshold is the OTHER density lever: raw
-    co-occurrence on this data is a near-complete graph (453k edges
-    over 1k suppliers at sf0.1 — 160M wedges, measured 26s), while
-    strong ties keep ~50k edges and ~2M wedges; thresholding before
-    triangle enumeration is exactly what production co-occurrence
-    analyses (market-basket, co-citation) do, because triangles in a
-    near-clique carry no signal anyway. Value-oracled against DuckDB's
-    three-way join formulation."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 5)
-        .select("src", "dst")
-    )
-    return G.triangle_count(edges)
-
-
-# ------------- 106. join strategy hints (the engine's control surface)
-
-@q(
-    "q164_join_hints",
-    """
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
-    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-    GROUP BY o_orderpriority
-    """,
-)
-def q164_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-strategy control surface: the same fact-fact join forced
-    through SHUFFLE_HASH instead of the planner's default sort-merge.
-    Shuffled-hash skips both sort passes — the right call when one
-    side comfortably builds an in-memory hash table per partition and
-    spilling risk is low (sort-merge remains the robust default; AQE
-    can also make this switch at runtime from observed sizes). The
-    hint changes the PHYSICAL plan only (ShuffledHashJoin, asserted in
-    test_plans) — results are oracle-identical to the unhinted join by
-    definition."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
-    )
-    joined = li.join(
-        orders.hint("shuffle_hash"),
-        li.l_orderkey == orders.o_orderkey,
-    )
-    return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
-    )
-
-
-# ------------- 107. EXISTS-gated priority count (TPC-H Q4 shape)
-
-@q(
-    "q165_priority_count",
-    """
-    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
-    FROM orders o
-    WHERE o_orderdate >= DATE '1997-01-01'
-      AND o_orderdate < DATE '1997-04-01'
-      AND EXISTS (
-            SELECT 1 FROM lineitem l
-            WHERE l.l_orderkey = o.o_orderkey
-              AND l.l_shipdate > o.o_orderdate)
-    GROUP BY o_orderpriority
-    """,
-)
-def q165_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4's shape: orders in a quarter having at least one line
-    shipped after the order date, counted per priority. The correlated
-    EXISTS with a cross-table comparison becomes a left_semi join with
-    compound condition (equi on orderkey + the l_shipdate >
-    o_orderdate residual) — semi join means the fact side's multiple
-    matching lines can't double-count an order, and the quarter filter
-    pushes into the orders scan before the join."""
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1997-01-01")
-        & (F.col("o_orderdate") < "1997-04-01")
-    )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    gated = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > orders.o_orderdate),
-        "left_semi",
-    )
-    return gated.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
-    )
-
-
-# ------------- 108. returned-revenue customer ranking (TPC-H Q10 shape)
-
-@q(
-    "q166_returned_revenue_topk",
-    """
-    SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                AS DOUBLE) AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE o.o_orderdate >= DATE '1997-01-01'
-      AND o.o_orderdate < DATE '1997-04-01'
-      AND l.l_returnflag = 'R'
-    GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
-    """,
-)
-def q166_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: customers who returned the most revenue in a quarter
-    — 4-table join with the date filter pushed to orders, the 'R' flag
-    pushed to lineitem, nation broadcast, and the final top-20 via
-    TakeOrderedAndProject (rounded-revenue + custkey tie-break so
-    float noise can't flip rank 20 across engines)."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1997-01-01")
-        & (F.col("o_orderdate") < "1997-04-01")
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    nation = _t(spark, sf_dir, "nation")
-    j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-    )
-    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
-    )
-    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
-
-
-# ------------- 109. conditional revenue share (TPC-H Q14 shape)
-
-@q(
-    "q167_promo_share",
-    """
-    SELECT CAST(round(
-             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS DOUBLE)
-               AS promo_share_pct,
-           CAST(count(*) AS BIGINT) AS n_lines
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE l.l_shipdate >= DATE '1997-03-01'
-      AND l.l_shipdate < DATE '1997-04-01'
-    GROUP BY ALL
-    """,
-)
-def q167_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share for one month — the
-    conditional-aggregate ratio computed in a SINGLE pass (sum(CASE)
-    over the same scan, never two filtered subqueries joined back),
-    with the month filter pushed to the lineitem scan and part
-    broadcast. The ratio divides unrounded sums and rounds once at the
-    end — rounding the numerator and denominator separately is the
-    classic cross-engine parity bug."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1997-03-01")
-        & (F.col("l_shipdate") < "1997-04-01")
-    )
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return j.agg(
-        F.round(
-            100.0
-            * F.sum(F.when(F.col("p_type").like("PROMO%"), net).otherwise(0.0))
-            / F.sum(net),
-            4,
-        ).alias("promo_share_pct"),
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-    )
-
-
-# ------------- 110. declarative pipeline end-to-end (zone hop as data)
-
-@q(
-    "q168_pipeline_end_to_end",
-    """
-    WITH silver AS (
-        SELECT doc_id, source,
-               len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
-                   ' ')) AS n_tokens
-        FROM documents WHERE n_chars >= 50)
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-    FROM silver GROUP BY source
-    """,
-)
-def q168_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The declarative zone hop (`plans/pipeline.py`) run END TO END
-    inside the oracle gate: Source(parquet) → transforms (length gate,
-    whitespace normalize, token count) → quality suite validated on
-    the SAME cached plan → Sink(parquet) → read the written zone back
-    and aggregate. What the oracle certifies is the whole hop —
-    config-described steps compile to one Catalyst plan, the suite
-    passes, and the SINK's bytes (not the in-memory frame) carry
-    exactly the transformed population. The reference's notebook hop
-    (etl/1:44-186) as six lines of configuration."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.plans.pipeline import (
-        Pipeline,
-        Sink,
-        Source,
-    )
-    from ingestao_dados_poli_spark.quality import Suite, not_null
-
-    base = f"/tmp/q168_pipe_{_os.getpid()}"
-    _shutil.rmtree(base, ignore_errors=True)
-    out = base + "/silver"
-
-    def gate(df: DataFrame) -> DataFrame:
-        return df.filter(F.col("n_chars") >= 50)
-
-    def tokenize(df: DataFrame) -> DataFrame:
-        norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-        return df.select(
-            "doc_id", "source",
-            F.size(F.split(norm, " ")).alias("n_tokens"),
-        )
-
-    pipe = Pipeline(
-        name="docs_silver",
-        source=Source(path=f"{sf_dir}/documents.parquet"),
-        transforms=[gate, tokenize],
-        suite=Suite("docs_silver", [not_null("doc_id"), not_null("n_tokens")]),
-        sink=Sink(path=out, target_file_partitions=4),
-    )
-    report = pipe.run(spark)
-    assert report["validation"]["success"], report
-    silver = spark.read.parquet(out)
-    return silver.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-    )
-
-
-# ------------- 111. calendar-hierarchy rollup with grouping_id
-
-@q(
-    "q169_time_hierarchy_rollup",
-    """
-    SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
-           coalesce(CAST(quarter(o_orderdate) AS VARCHAR), 'ALL') AS qtr,
-           CAST(GROUPING(year(o_orderdate)) * 2
-                + GROUPING(quarter(o_orderdate)) AS BIGINT) AS gid,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
-    FROM orders
-    GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
-    """,
-)
-def q169_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar-hierarchy rollup (year → quarter → grand total) with
-    grouping_id disambiguation: a NULL produced by the rollup's
-    subtotal levels is NOT a NULL in the data — GROUPING()/grouping_id
-    is the only correct discriminator, surfaced here as the gid column
-    and used to label subtotal rows 'ALL'. One Expand + one shuffle —
-    the rollup never rescans per level."""
-    orders = _t(spark, sf_dir, "orders")
-    yr = F.year("o_orderdate")
-    qtr = F.quarter("o_orderdate")
-    return (
-        orders.rollup(yr.alias("y"), qtr.alias("q"))
-        .agg(
-            F.grouping_id().cast("long").alias("gid"),
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-        .select(
-            F.coalesce(F.col("y").cast("string"), F.lit("ALL")).alias("yr"),
-            F.coalesce(F.col("q").cast("string"), F.lit("ALL")).alias("qtr"),
-            "gid", "n_orders", "total",
-        )
-    )
-
-
-# ------------- 112. array set algebra on aggregated sets
-
-@q(
-    "q170_array_set_ops",
-    """
-    WITH h1 AS (
-        SELECT o_custkey, list_sort(list_distinct(list(o_orderpriority)))
-                   AS p1
-        FROM orders WHERE o_orderdate < DATE '1997-01-01'
-        GROUP BY o_custkey),
-    h2 AS (
-        SELECT o_custkey, list_sort(list_distinct(list(o_orderpriority)))
-                   AS p2
-        FROM orders WHERE o_orderdate >= DATE '1997-01-01'
-        GROUP BY o_custkey),
-    j AS (
-        SELECT coalesce(h1.o_custkey, h2.o_custkey) AS o_custkey,
-               coalesce(p1, []) AS p1, coalesce(p2, []) AS p2
-        FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey)
-    SELECT CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(len(list_intersect(p1, p2))) AS BIGINT) AS common,
-           CAST(sum(len(list_filter(p1, x -> NOT list_contains(p2, x))))
-                AS BIGINT) AS dropped,
-           CAST(sum(len(list_filter(p2, x -> NOT list_contains(p1, x))))
-                AS BIGINT) AS gained
-    FROM j
-    """,
-)
-def q170_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array set algebra over AGGREGATED sets: each customer's distinct
-    order-priority set before/after a date split, then intersect /
-    except in-row to measure behavior change (common, dropped, gained
-    priorities). collect_set builds the sets in the grouped agg (one
-    shuffle per period), the set ops run in-row with no further
-    shuffle, and the full-outer join on the hash-uniform key aligns
-    the two periods. The per-customer set-valued state stays bounded
-    by the domain (5 priorities), the property that makes
-    collect_set-based profiles safe at scale."""
-    orders = _t(spark, sf_dir, "orders")
-    before = (
-        orders.filter(F.col("o_orderdate") < "1997-01-01")
-        .groupBy("o_custkey")
-        .agg(F.array_sort(F.collect_set("o_orderpriority")).alias("p1"))
-    )
-    after = (
-        orders.filter(F.col("o_orderdate") >= "1997-01-01")
-        .groupBy("o_custkey")
-        .agg(F.array_sort(F.collect_set("o_orderpriority")).alias("p2"))
-    )
-    j = before.join(after, "o_custkey", "full_outer").select(
-        F.coalesce(F.col("p1"), F.array().cast("array<string>")).alias("p1"),
-        F.coalesce(F.col("p2"), F.array().cast("array<string>")).alias("p2"),
-    )
-    return j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum(F.size(F.array_intersect("p1", "p2"))).cast("long").alias("common"),
-        F.sum(F.size(F.array_except("p1", "p2"))).cast("long").alias("dropped"),
-        F.sum(F.size(F.array_except("p2", "p1"))).cast("long").alias("gained"),
-    )
-
-
-# ------------- 113. Python DataSource in the gate (pushdown-pruned read)
-
-@q(
-    "q171_python_datasource",
-    """
-    SELECT 'src_' || CAST(i % 5 AS VARCHAR) AS source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(i) AS BIGINT) AS id_sum
-    FROM range(1000, 3000) t(i)
-    GROUP BY 1
-    """,
-)
-def q171_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Spark 4 Python DataSource (`sources/pyds.py`) inside the
-    oracle gate: a doc_id range predicate is PUSHED into the source
-    (pushFilters shrinks the generation interval, pruning whole
-    partitions before a single row exists), and the id/source algebra
-    of what survives is value-checked against DuckDB's range() — the
-    cross-engine proof that pushdown-pruned reads are consistent with
-    the full read. The custom-connector contract (partition planning,
-    Arrow batches, filter pushdown) exercised where the driver can see
-    it, not just in pytest."""
-    from ingestao_dados_poli_spark.sources.pyds import SynthDocsDataSource
-
-    # planning (where pushFilters runs) happens at the caller's collect,
-    # after this function returns — so the conf must outlive this frame
-    # (same precedent as the nanosAsLong reader flag in _t). Scope-safe:
-    # it only affects Python DataSource scans, which opt in per-reader.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        spark.dataSource.register(SynthDocsDataSource)
-    except Exception:
-        pass  # already registered in this session
-    docs = (
-        spark.read.format("synthdocs")
-        .option("rows", "5000")
-        .option("partitions", "8")
-        .load()
-    )
-    pruned = docs.filter(
-        (F.col("doc_id") >= 1000) & (F.col("doc_id") < 3000)
-    )
-    return pruned.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("doc_id").cast("long").alias("id_sum"),
-    )
-
-
-# ------------- 114. equi-depth histogram (quantile-bounded profiling)
-
-@q(
-    "q172_equidepth_histogram",
-    """
-    WITH b AS (
-        SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS b1,
-               round(quantile_cont(o_totalprice, 0.50), 2) AS b2,
-               round(quantile_cont(o_totalprice, 0.75), 2) AS b3
-        FROM orders)
-    SELECT CAST(sum(CASE WHEN o_totalprice <= b1 THEN 1 ELSE 0 END)
-                AS BIGINT) AS q1_n,
-           CAST(sum(CASE WHEN o_totalprice > b1 AND o_totalprice <= b2
-                         THEN 1 ELSE 0 END) AS BIGINT) AS q2_n,
-           CAST(sum(CASE WHEN o_totalprice > b2 AND o_totalprice <= b3
-                         THEN 1 ELSE 0 END) AS BIGINT) AS q3_n,
-           CAST(sum(CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END)
-                AS BIGINT) AS q4_n,
-           CAST(max(b1) AS DOUBLE) AS b1,
-           CAST(max(b2) AS DOUBLE) AS b2,
-           CAST(max(b3) AS DOUBLE) AS b3
-    FROM orders, b
-    """,
-)
-def q172_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile-bounded) histogram — the profiling shape
-    optimizers and drift monitors want when fixed-width bins (q56)
-    would dump 90% of a skewed column into one bucket. Exact quartile
-    boundaries in one aggregate pass, broadcast back as a 1-row
-    literal, bucket membership as sum(CASE) in a second pass — two
-    passes total, no per-row window. Boundaries are rounded to the
-    data's own 2-decimal grain in BOTH engines before classification,
-    making the bucket edges ulp-insensitive (linear-interpolation
-    quantiles are engine-deterministic but not bit-promised). The
-    100 TB variant swaps percentile for percentile_approx and accepts
-    the documented rank error (q64's trade, same shape)."""
-    orders = _t(spark, sf_dir, "orders")
-    b = orders.agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("b1"),
-        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("b2"),
-        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("b3"),
-    )
-    j = orders.crossJoin(F.broadcast(b))
-    v = F.col("o_totalprice")
-    return j.agg(
-        F.sum(F.when(v <= F.col("b1"), 1).otherwise(0)).cast("long").alias("q1_n"),
-        F.sum(F.when((v > F.col("b1")) & (v <= F.col("b2")), 1).otherwise(0))
-        .cast("long")
-        .alias("q2_n"),
-        F.sum(F.when((v > F.col("b2")) & (v <= F.col("b3")), 1).otherwise(0))
-        .cast("long")
-        .alias("q3_n"),
-        F.sum(F.when(v > F.col("b3"), 1).otherwise(0)).cast("long").alias("q4_n"),
-        F.max("b1").alias("b1"),
-        F.max("b2").alias("b2"),
-        F.max("b3").alias("b3"),
-    )
-
-
-# ------------- 115. per-group winsorization (outlier capping)
-
-@q(
-    "q173_winsorize",
-    """
-    WITH caps AS (
-        SELECT o_orderpriority,
-               round(quantile_cont(o_totalprice, 0.05), 2) AS lo,
-               round(quantile_cont(o_totalprice, 0.95), 2) AS hi
-        FROM orders GROUP BY o_orderpriority)
-    SELECT o.o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CASE WHEN o.o_totalprice < c.lo
-                         OR o.o_totalprice > c.hi THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_capped,
-           CAST(round(sum(least(greatest(o.o_totalprice, c.lo), c.hi)), 2)
-                AS DOUBLE) AS winsorized_sum
-    FROM orders o JOIN caps c ON o.o_orderpriority = c.o_orderpriority
-    GROUP BY o.o_orderpriority
-    """,
-)
-def q173_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group winsorization — the robust-statistics data-cleaning
-    primitive (cap each group's values at its own p05/p95 instead of
-    deleting outliers): per-group caps in ONE grouped percentile pass,
-    broadcast join back (group count is small by definition), clamp
-    in-row with least/greatest. Caps round to the data's 2-decimal
-    grain in both engines (same ulp-insensitivity argument as q172).
-    Never a per-row window over the full table — the caps table is the
-    only state that moves."""
-    orders = _t(spark, sf_dir, "orders")
-    caps = orders.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.05)), 2).alias("lo"),
-        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("hi"),
-    )
-    j = orders.join(F.broadcast(caps), "o_orderpriority")
-    v = F.col("o_totalprice")
-    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
-    return j.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(
-            F.when((v < F.col("lo")) | (v > F.col("hi")), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_capped"),
-        F.round(F.sum(clamped), 2).alias("winsorized_sum"),
-    )
-
-
-# ------------- 116. observe() in-flight metrics (monitoring surface)
-
-@q(
-    "q174_observed_metrics",
-    """
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total,
-           CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_large
-    FROM orders
-    """,
-)
-def q174_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production monitoring surface: `Observation`/`df.observe`
-    attaches named aggregate metrics to a flowing query — they are
-    computed DURING the main action's single pass (an accumulator-style
-    side channel, visible to listeners), not by a second scan the way
-    a metrics afterthought usually costs. Here the observed metrics ARE
-    the result under test: the query's real work is a throwaway write
-    to a noop-style count, the metrics come back through the
-    observation, and the oracle recomputes them declaratively —
-    proving the side channel reports exactly what a dedicated
-    aggregation would. The 1-row createDataFrame is metric publication
-    (config-sized), not data movement."""
-    from pyspark.sql import Observation
-
-    orders = _t(spark, sf_dir, "orders")
-    obs = Observation("q174")
-    observed = orders.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).alias(
-            "n_large"
-        ),
-    )
-    # the main action: one pass; metrics ride it
-    observed.write.format("noop").mode("overwrite").save()
-    m = obs.get
-    return spark.createDataFrame(
-        [(int(m["n_rows"]), float(m["total"]), int(m["n_large"]))],
-        "n_rows long, total double, n_large long",
-    )
-
-
-# ------------- 117. exact DECIMAL money arithmetic (no rounding anywhere)
-
-@q(
-    "q175_decimal_exact",
-    """
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)))
-                AS VARCHAR) AS total_exact
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q175_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Money arithmetic done right: cast prices to DECIMAL(18,2) at the
-    scan and sum in decimal — the result is EXACT, so the oracle
-    compares it with NO rounding anywhere (every float-summing query
-    in this registry needs a round(...) guard; this one, stringified
-    to dodge engine decimal-width metadata, matches to the last cent
-    by construction). The 100 TB relevance: decimal aggregation is
-    whole-stage-codegen'd 128-bit integer math — order-independent,
-    re-partition-independent, audit-grade — which float money columns
-    can never be. Sums are widened to DECIMAL(38,2) explicitly so both
-    engines overflow-check the same bound."""
-    orders = _t(spark, sf_dir, "orders")
-    dec = orders.select(
-        "o_orderpriority",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
-    )
-    return dec.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("p").cast("decimal(38,2)"))
-        .cast("decimal(38,2)")
-        .cast("string")
-        .alias("total_exact"),
-    )
-
-
-# ------------- 118. change-data-feed between committed snapshots
-
-@q(
-    "q176_snapshot_cdf",
-    """
-    WITH v1 AS (
-        SELECT doc_id, source, n_chars FROM documents),
-    v2 AS (
-        SELECT doc_id, source,
-               CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
-                    ELSE n_chars END AS n_chars
-        FROM documents WHERE doc_id % 7 <> 0
-        UNION ALL
-        SELECT doc_id + 100000 AS doc_id, 'src_new' AS source,
-               doc_id AS n_chars
-        FROM documents WHERE doc_id < 10),
-    d AS (
-        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
-               CASE WHEN v1.doc_id IS NULL THEN 'added'
-                    WHEN v2.doc_id IS NULL THEN 'removed'
-                    WHEN v1.source = v2.source AND v1.n_chars = v2.n_chars
-                         THEN 'unchanged'
-                    ELSE 'changed' END AS change_type
-        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
-    SELECT change_type, CAST(count(*) AS BIGINT) AS n
-    FROM d GROUP BY change_type
-    """,
-)
-def q176_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change data feed between VERSIONED snapshots: publish documents
-    as v=1, apply a deterministic edit wave (delete every 7th doc,
-    bump every 10th's n_chars, append 10 new docs), publish v=2, then
-    derive the CDF with `relational.table_diff` over `read_version(1)`
-    vs `read_version(2)` — added/removed/changed/unchanged per key
-    from ONE full-outer join on the snapshot bytes (struct-collapsed
-    compare, no per-column join fanout). This is the Delta
-    'change data feed' read pattern built from plain committed
-    snapshots: downstream incremental consumers pull the classified
-    delta instead of re-reading either version in full. The oracle
-    recomputes the same classification from the source table's
-    algebra."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark.sources import versioned as V
-
-    base = f"/tmp/q176_cdf_{_os.getpid()}"
-    path = base + "/docs"
-    _shutil.rmtree(base, ignore_errors=True)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    V.publish(spark, docs, path)
-    edited = (
-        docs.filter(F.col("doc_id") % 7 != 0)
-        .withColumn(
-            "n_chars",
-            F.when(
-                F.col("doc_id") % 10 == 0, F.col("n_chars") + 1000
-            ).otherwise(F.col("n_chars")),
-        )
-    )
-    appended = (
-        docs.filter(F.col("doc_id") < 10)
-        .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.lit("src_new").alias("source"),
-            F.col("doc_id").cast("long").alias("n_chars"),
-        )
-    )
-    V.publish(spark, edited.unionByName(appended), path)
-    v1 = V.read_version(spark, path, 1)
-    v2 = V.read_version(spark, path, 2)
-    cdf = R.table_diff(v1, v2, keys=["doc_id"])
-    return cdf.groupBy("change_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-
-
-# ------------- 119. rank vs row_number tie semantics
-
-@q(
-    "q177_rank_tie_semantics",
-    """
-    WITH r AS (
-        SELECT c_mktsegment, c_custkey,
-               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
-               rank() OVER w AS rnk,
-               dense_rank() OVER w AS drnk,
-               row_number() OVER (PARTITION BY c_mktsegment
-                                  ORDER BY floor(c_acctbal / 1000) DESC,
-                                           c_custkey ASC) AS rn
-        FROM customer
-        WINDOW w AS (PARTITION BY c_mktsegment
-                     ORDER BY floor(c_acctbal / 1000) DESC))
-    SELECT c_mktsegment,
-           CAST(sum(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
-               AS topk_with_ties,
-           CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
-               AS topk_exact,
-           CAST(max(drnk) AS BIGINT) AS n_distinct_bands
-    FROM r GROUP BY c_mktsegment
-    """,
-)
-def q177_rank_tie_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / row_number disambiguated on REAL ties
-    (banded balances): 'top 3 WITH ties' (rank — returns more than 3
-    when band boundaries tie), 'exactly 3' (row_number with an
-    explicit tie-break — the only deterministic choice), and distinct
-    tie-group count (dense_rank's max). Choosing the wrong one is the
-    classic leaderboard bug; all three share ONE window shuffle. The
-    deliberately tie-heavy ordering makes the engines' agreement on
-    every count the proof that tie semantics match exactly."""
-    cust = _t(spark, sf_dir, "customer").withColumn(
-        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
-    )
-    w_ties = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("bal_band").desc()
-    )
-    w_exact = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("bal_band").desc(), F.col("c_custkey").asc()
-    )
-    r = cust.select(
-        "c_mktsegment",
-        F.rank().over(w_ties).alias("rnk"),
-        F.dense_rank().over(w_ties).alias("drnk"),
-        F.row_number().over(w_exact).alias("rn"),
-    )
-    return r.groupBy("c_mktsegment").agg(
-        F.sum(F.when(F.col("rnk") <= 3, 1).otherwise(0))
-        .cast("long")
-        .alias("topk_with_ties"),
-        F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0))
-        .cast("long")
-        .alias("topk_exact"),
-        F.max("drnk").cast("long").alias("n_distinct_bands"),
-    )
-
-
-# ------------- 120. nested document model (two-level HOF processing)
-
-@q(
-    "q178_nested_model",
-    """
-    WITH per_order AS (
-        SELECT o.o_custkey, o.o_orderkey,
-               count(*) AS n_lines,
-               sum(CAST(l.l_quantity AS BIGINT)) AS order_qty,
-               round(sum(l.l_extendedprice), 2) AS order_value
-        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE o.o_custkey < 100
-        GROUP BY o.o_custkey, o.o_orderkey)
-    SELECT o_custkey,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(n_lines) AS BIGINT) AS n_lines,
-           CAST(sum(order_qty) AS BIGINT) AS total_qty,
-           CAST(round(max(order_value), 2) AS DOUBLE) AS max_order_value
-    FROM per_order GROUP BY o_custkey
-    """,
-)
-def q178_nested_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The document-model shape: customer -> array<order> ->
-    array<line> built with two grouped collect_lists, then EVERY
-    metric computed by higher-order functions walking the nested value
-    IN-ROW — size, two-level aggregate lambdas, transform + array_max
-    — with no explode and no re-shuffle after assembly. This is how a
-    serving/feature store consumes nested payloads: assembling costs
-    two shuffles once, every downstream metric is then shuffle-free.
-    The oracle computes the same metrics from the FLAT relational
-    form — nesting and flat algebra must agree exactly, which is the
-    document model's consistency contract. (Per-entity state is
-    bounded: a customer's own orders/lines — the collect_list safety
-    rule this registry applies everywhere.)"""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    li = _t(spark, sf_dir, "lineitem")
-    lines = (
-        li.join(
-            orders.select("o_orderkey", "o_custkey"),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
-        .groupBy("o_custkey", "o_orderkey")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("l_quantity").cast("long").alias("qty"),
-                    F.col("l_extendedprice").alias("price"),
-                )
-            ).alias("lines")
-        )
-    )
-    nested = lines.groupBy("o_custkey").agg(
-        F.collect_list(
-            F.struct(F.col("o_orderkey").alias("okey"), F.col("lines"))
-        ).alias("orders")
-    )
-    o = F.col("orders")
-    n_lines = F.aggregate(
-        o, F.lit(0).cast("long"), lambda acc, x: acc + F.size(x["lines"])
-    )
-    total_qty = F.aggregate(
-        o,
-        F.lit(0).cast("long"),
-        lambda acc, x: acc
-        + F.aggregate(
-            x["lines"], F.lit(0).cast("long"), lambda a2, ln: a2 + ln["qty"]
-        ),
-    )
-    order_vals = F.transform(
-        o,
-        lambda x: F.round(
-            F.aggregate(
-                x["lines"], F.lit(0.0), lambda a2, ln: a2 + ln["price"]
-            ),
-            2,
-        ),
-    )
-    return nested.select(
-        "o_custkey",
-        F.size(o).cast("long").alias("n_orders"),
-        n_lines.alias("n_lines"),
-        total_qty.alias("total_qty"),
-        F.round(F.array_max(order_vals), 2).alias("max_order_value"),
-    )
-
-
-# ------------- 121. grouped-aggregate pandas UDAF (custom aggregate)
-
-@q(
-    "q179_grouped_agg_udaf",
-    """
-    WITH ranked AS (
-        SELECT o_orderpriority, o_totalprice,
-               row_number() OVER (PARTITION BY o_orderpriority
-                                  ORDER BY o_totalprice ASC,
-                                           o_orderkey ASC) AS rn,
-               count(*) OVER (PARTITION BY o_orderpriority) AS n
-        FROM orders)
-    SELECT o_orderpriority,
-           CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS trimmed_mean,
-           CAST(count(*) AS BIGINT) AS n_used
-    FROM ranked
-    WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
-      AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
-    GROUP BY o_orderpriority
-    """,
-)
-def q179_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The custom-aggregate extension point: a GROUPED_AGG pandas UDF
-    (vectorized UDAF — whole group arrives as one numpy-backed Series,
-    one Python call per group, Arrow transfer) computing a 10%-trimmed
-    mean, the robust-statistics aggregate SQL lacks. Count-based
-    trimming (drop floor(n*0.1) rows from each sorted end) makes the
-    semantics exactly reproducible in SQL — which is what the oracle
-    does with a rank-window formulation. Same contract as avg: usable
-    in groupBy here; the 100 TB note is that a grouped-agg UDF has no
-    partial aggregation — the full group shuffles to one task, so keep
-    groups bounded (5 here) or decompose into algebraic pieces
-    (operators/incremental.py) when they aren't."""
-    import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # explicit functionType: queries.py's `from __future__ import
-    # annotations` stringifies hints, so pandas_udf can't infer
-    # GROUPED_AGG from a signature here
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def trimmed_mean(v):
-        x = np.sort(v.to_numpy(dtype=np.float64))
-        k = int(len(x) // 10)
-        kept = x[k : len(x) - k] if len(x) > 2 * k else x
-        return float(kept.mean())
-
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def trimmed_n(v):
-        n = len(v)
-        return int(n - 2 * (n // 10))
-
-    orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.round(trimmed_mean("o_totalprice"), 2).alias("trimmed_mean"),
-        trimmed_n("o_totalprice").alias("n_used"),
-    )
-
-
-# ------------- 122. SQL-registered vectorized UDF (Python kernel via SQL)
-
-@q(
-    "q180_sql_registered_udf",
-    """
-    SELECT source,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-           CAST(count(*) AS BIGINT) AS n_docs
-    FROM documents GROUP BY source
-    """,
-)
-def q180_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python kernels behind the SQL front door: a VECTORIZED
-    (Arrow-batched) pandas UDF registered with spark.udf.register and
-    called from plain SQL text — the shape that lets SQL-only users
-    reach Python logic without ever seeing a DataFrame API, at
-    pandas-batch speed rather than row-at-a-time (the registry's
-    standing rule: no scalar Python UDFs in hot paths; registration
-    changes the CALLER, not the execution model). The kernel is
-    deliberately SQL-replicable (whitespace token count) so the oracle
-    proves the registered path computes exactly what the declarative
-    twin does."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    @pandas_udf("long", PandasUDFType.SCALAR)
-    def ws_tokens(texts):
-        return texts.str.split(" ").str.len().astype("int64")
-
-    spark.udf.register("ws_tokens", ws_tokens)
-    docs = _t(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("q180_docs")
-    return spark.sql(
-        """
-        SELECT source,
-               CAST(sum(ws_tokens(text)) AS BIGINT) AS total_tokens,
-               count(*) AS n_docs
-        FROM q180_docs GROUP BY source
-        """
-    )
-
-
-# ------------- 123. partitioned + bucketed layout (both levers at once)
-
-@q(
-    "q181_partitioned_bucketed",
-    """
-    SELECT CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
-    FROM lineitem
-    JOIN orders ON o_orderkey = l_orderkey
-    WHERE o_orderpriority = '1-URGENT'
-    """,
-)
-def q181_partitioned_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both layout levers on ONE table: orders written hive-PARTITIONED
-    by priority AND bucketed+sorted by orderkey
-    (`writers.write_bucketed_table` with partition_by via the writer's
-    native combination). A priority-filtered join then (a) partition-
-    prunes to 1/5 of the directories BEFORE listing files and (b)
-    joins bucket-aligned against the bucketed lineitem copy —
-    PartitionFilters and zero-Exchange bucketing in the same plan
-    (locked by test_plans.test_q181_partition_prune_plus_bucket_join).
-    This is the canonical 100 TB fact-table layout: partition by the
-    coarse filter dimension, bucket by the join key; neither lever
-    alone gives both prunes. Oracled against the plain join on raw
-    parquet."""
-    import os as _os
-    import shutil as _shutil
-
-    pid = _os.getpid()
-    ord_t, li_t = f"q181_orders_{pid}", f"q181_lineitem_{pid}"
-    base = f"/tmp/q181_pb_{pid}"
-    spark.sql(f"DROP TABLE IF EXISTS {ord_t}")
-    spark.sql(f"DROP TABLE IF EXISTS {li_t}")
-    _shutil.rmtree(base, ignore_errors=True)
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .repartition(8, "o_orderkey")
-    )
-    (
-        orders.write.mode("overwrite")
-        .partitionBy("o_orderpriority")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", f"{base}/orders")
-        .format("parquet")
-        .saveAsTable(ord_t)
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_quantity")
-        .repartition(8, "l_orderkey")
-    )
-    (
-        li.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", f"{base}/lineitem")
-        .format("parquet")
-        .saveAsTable(li_t)
-    )
-    o = spark.table(ord_t).filter(F.col("o_orderpriority") == "1-URGENT")
-    l = spark.table(li_t)
-    j = l.join(o, l.l_orderkey == o.o_orderkey)
-    return j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
-        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
-    )
-
-
-# ------------- 124. streaming as-of enrichment (event-time reference data)
-
-@q(
-    "q182_streaming_asof_enrich",
-    """
-    WITH ref AS (
-        SELECT o_custkey AS user_id, o_orderdate AS eff_date, o_totalprice
-        FROM orders
-        WHERE o_custkey < 500 AND o_orderkey % 3 = 0),
-    dedup_ref AS (
-        SELECT user_id, eff_date, max(o_totalprice) AS ref_price
-        FROM ref GROUP BY user_id, eff_date),
-    enriched AS (
-        SELECT e.user_id, e.value,
-               (SELECT r.ref_price FROM dedup_ref r
-                WHERE r.user_id = e.user_id
-                  AND r.eff_date <= CAST(e.ts AS DATE)
-                ORDER BY r.eff_date DESC LIMIT 1) AS asof_price
-        FROM events e WHERE e.user_id < 500)
-    SELECT CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(asof_price) AS BIGINT) AS n_enriched,
-           CAST(round(sum(coalesce(asof_price, 0)), 2) AS DOUBLE)
-               AS enriched_total
-    FROM enriched
-    """,
-)
-def q182_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time reference enrichment on a REAL stream: each
-    micro-batch as-of joins its events against a slowly-changing
-    reference table (latest version effective AT the event's time —
-    not the current version, which back-dated events must not see).
-    Correct under any batching because the as-of lookup is a pure
-    per-row function of (key, ts, static reference) — foreachBatch
-    applies `relational.asof_join` per batch and the union over 4 real
-    micro-batches must equal the one-shot batch as-of, which is what
-    the oracle (a correlated LIMIT 1 subquery — DuckDB's decorrelated
-    formulation of the same lookup) certifies. The streaming shape a
-    price/fx/config enrichment job runs forever."""
-    import tempfile
-
-    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 500)
-    orders = _t(spark, sf_dir, "orders")
-    ref = (
-        orders.filter((F.col("o_custkey") < 500) & (F.col("o_orderkey") % 3 == 0))
-        .groupBy(
-            F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").alias("eff_date"),
-        )
-        .agg(F.max("o_totalprice").alias("ref_price"))
-    )
-    work = tempfile.mkdtemp(prefix="q182_")
-    shard_dir = f"{work}/shards"
-    ev.repartition(4).write.mode("overwrite").parquet(shard_dir)
-    outs: list[str] = []
-
-    def enrich(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.withColumn("ev_date", F.col("ts").cast("date"))
-        joined = R.asof_join(
-            b,
-            ref,
-            key="user_id",
-            left_ts="ev_date",
-            right_ts="eff_date",
-            right_cols=["ref_price"],
-            slim=True,
-        )
-        out = f"{work}/out_b{batch_id}"
-        joined.select("user_id", "value", "asof_ref_price").write.mode(
-            "overwrite"
-        ).parquet(out)
-        outs.append(out)
-
-    src = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(shard_dir)
-    )
-    with state_partitions(spark, 8):
-        q_ = (
-            src.writeStream.foreachBatch(enrich)
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
-    res = spark.read.parquet(*outs)
-    return res.agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.count("asof_ref_price").cast("long").alias("n_enriched"),
-        F.round(F.sum(F.coalesce(F.col("asof_ref_price"), F.lit(0.0))), 2).alias(
-            "enriched_total"
-        ),
-    )
-
-
-# ------------- 125. out-of-order arrival observability
-
-@q(
-    "q183_out_of_order_stats",
-    """
-    WITH seq AS (
-        SELECT user_id, ts,
-               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
-                             ROWS UNBOUNDED PRECEDING) AS high_water
-        FROM events),
-    lateness AS (
-        SELECT user_id,
-               CASE WHEN ts < high_water
-                    THEN CAST(date_diff('second', ts, high_water) AS BIGINT)
-                    ELSE 0 END AS late_s
-        FROM seq)
-    SELECT CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_late,
-           CAST(max(late_s) AS BIGINT) AS max_late_s,
-           CAST(round(avg(late_s), 2) AS DOUBLE) AS avg_late_s
-    FROM lateness
-    """,
-)
-def q183_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark SIZING observability: per user, replay events in
-    arrival order (event_id) and measure each event's lateness behind
-    the running event-time high-water mark — the distribution that
-    tells you what `withWatermark` delay actually covers your data
-    (max_late_s too big → rows silently drop, cf. the late-drop test;
-    too generous → state lingers). One per-key window over arrival
-    order, no self-join; the running-max frame is the batch replica of
-    exactly what the streaming engine's watermark tracker computes."""
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    seq = ev.select(
-        "user_id",
-        "ts",
-        F.max("ts").over(w).alias("high_water"),
-    )
-    late = seq.select(
-        F.when(
-            F.col("ts") < F.col("high_water"),
-            (F.unix_timestamp("high_water") - F.unix_timestamp("ts")).cast(
-                "long"
-            ),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("late_s")
-    )
-    return late.agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_late"),
-        F.max("late_s").cast("long").alias("max_late_s"),
-        F.round(F.avg("late_s"), 2).alias("avg_late_s"),
-    )
-
-
-# ------------- 126. mergeSchema evolution read (heterogeneous parquet)
-
-@q(
-    "q184_mergeschema_read",
-    """
-    WITH old_part AS (
-        SELECT doc_id, source, n_chars, NULL AS quality
-        FROM documents WHERE doc_id % 2 = 0),
-    new_part AS (
-        SELECT doc_id, source, n_chars,
-               round(n_chars / 100.0, 4) AS quality
-        FROM documents WHERE doc_id % 2 = 1),
-    unioned AS (
-        SELECT * FROM old_part UNION ALL SELECT * FROM new_part)
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(quality) AS BIGINT) AS n_with_quality,
-           CAST(round(avg(quality), 4) AS DOUBLE) AS avg_quality
-    FROM unioned GROUP BY source
-    """,
-)
-def q184_mergeschema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heterogeneous-file schema evolution at READ time: half the table
-    was written before the `quality` column existed, half after, in the
-    SAME directory — `mergeSchema=true` unifies the footers into the
-    superset schema and null-fills the old files' missing column,
-    exactly the migration-window reality of a table whose writer
-    evolved mid-stream. (Default reads take ONE file's schema — the
-    silent column-loss trap; merge costs a footer pass over files, so
-    lakehouse tables record the contract in the commit log instead —
-    q150's versioned approach. Both belong in the engine.) The oracle
-    rebuilds the same union with an explicit NULL column."""
-    import os as _os
-    import shutil as _shutil
-
-    base = f"/tmp/q184_ms_{_os.getpid()}"
-    path = base + "/docs"
-    if not _os.path.exists(path):
-        _shutil.rmtree(base, ignore_errors=True)
-        docs = _t(spark, sf_dir, "documents").select(
-            "doc_id", "source", "n_chars"
-        )
-        docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(path)
-        docs.filter(F.col("doc_id") % 2 == 1).withColumn(
-            "quality", F.round(F.col("n_chars") / 100.0, 4)
-        ).write.mode("append").parquet(path)
-    merged = spark.read.option("mergeSchema", "true").parquet(path)
-    return merged.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count("quality").cast("long").alias("n_with_quality"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
-    )
-
-
-# ------------- 127. quality-history trend over versioned report snapshots
-
-@q(
-    "q185_quality_trend",
-    """
-    WITH v1 AS (
-        SELECT count(*) FILTER (WHERE lang IS NULL) AS null_lang,
-               count(*) FILTER (WHERE n_chars < 30) AS short_docs,
-               count(*) AS row_count
-        FROM documents),
-    v2 AS (
-        SELECT count(*) FILTER (WHERE doc_id % 5 = 0 OR lang IS NULL)
-                   AS null_lang,
-               count(*) FILTER (WHERE n_chars < 30) AS short_docs,
-               count(*) AS row_count
-        FROM documents)
-    SELECT 'null_lang' AS metric,
-           CAST(v1.null_lang AS BIGINT) AS v1_violations,
-           CAST(v2.null_lang AS BIGINT) AS v2_violations,
-           CAST(v2.null_lang - v1.null_lang AS BIGINT) AS delta
-    FROM v1, v2
-    UNION ALL
-    SELECT 'short_docs',
-           CAST(v1.short_docs AS BIGINT),
-           CAST(v2.short_docs AS BIGINT),
-           CAST(v2.short_docs - v1.short_docs AS BIGINT)
-    FROM v1, v2
-    """,
-)
-def q185_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality HISTORY, not just a point-in-time report: run the suite
-    against two data versions (v2 simulates an upstream regression —
-    every 5th doc loses its lang tag), persist each GX-shaped report
-    as a snapshot of a versioned quality-history table, then read the
-    history back and emit the per-metric violation TREND — the
-    time-series a data-SLO dashboard alerts on, derived entirely from
-    committed report snapshots (one tiny config-sized DataFrame per
-    run, never a rescan of the data). Oracled against direct
-    recomputation of both versions' violation counts."""
-    import os as _os
-    import shutil as _shutil
-
-    from ingestao_dados_poli_spark import quality as Q_
-    from ingestao_dados_poli_spark.sources import versioned as V
-
-    base = f"/tmp/q185_qh_{_os.getpid()}"
-    hist = base + "/quality_history"
-    _shutil.rmtree(base, ignore_errors=True)
-    docs = _t(spark, sf_dir, "documents")
-    degraded = docs.withColumn(
-        "lang",
-        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("lang")),
-    )
-    suite = Q_.Suite(
-        "docs_slo",
-        [Q_.not_null("lang"), Q_.between("n_chars", 30, float("inf"))],
-    )
-    metric_names = ["null_lang", "short_docs"]
-    for ver, frame in ((1, docs), (2, degraded)):
-        report = Q_.validate(frame, suite)
-        rows = [
-            (ver, metric_names[i], int(res.get("unexpected_count", 0)))
-            for i, res in enumerate(report["results"])
-        ]
-        snap = spark.createDataFrame(
-            rows, "run long, metric string, violations long"
-        )
-        V.publish(spark, snap, hist)
-    history = V.read_version(spark, hist, 1).unionByName(
-        V.read_version(spark, hist, 2)
-    )
-    pivoted = (
-        history.groupBy("metric")
-        .pivot("run", [1, 2])
-        .agg(F.first("violations"))
-        .select(
-            "metric",
-            F.col("1").cast("long").alias("v1_violations"),
-            F.col("2").cast("long").alias("v2_violations"),
-            (F.col("2") - F.col("1")).cast("long").alias("delta"),
-        )
-    )
-    return pivoted
-
-
-# ------------- 128. per-source phrase profile (grouped bigram top-k)
-
-@q(
-    "q186_source_top_bigrams",
-    """
-    WITH toks AS (
-        SELECT source, doc_id, string_split(text, ' ') AS ws
-        FROM documents),
-    bg AS (
-        SELECT source,
-               ws[i] || ' ' || ws[i + 1] AS bigram
-        FROM toks, unnest(generate_series(1, len(ws) - 1)) AS g(i)),
-    counted AS (
-        SELECT source, bigram, count(*) AS n
-        FROM bg GROUP BY source, bigram),
-    ranked AS (
-        SELECT *, row_number() OVER (PARTITION BY source
-                                     ORDER BY n DESC, bigram ASC) AS rn
-        FROM counted)
-    SELECT source, bigram, CAST(n AS BIGINT) AS n
-    FROM ranked WHERE rn <= 3
-    """,
-)
-def q186_source_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source phrase profiling: top-3 bigrams per source — the
-    per-domain signature a corpus-mixing report shows next to the
-    GLOBAL vocabulary (q71). In-row bigram expansion via
-    transform(sequence) — no posexplode+lead self-alignment — then one
-    map-side-combined (source, bigram) count shuffle and a window over
-    the already-aggregated counts (window input is |distinct bigrams|,
-    never |tokens|). Exact lexicographic tie-break, same as DuckDB's."""
-    docs = _t(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
-        ),
-    )
-    counted = (
-        docs.select("source", F.explode(bigrams).alias("bigram"))
-        .groupBy("source", "bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy("source").orderBy(
-        F.col("n").desc(), F.col("bigram").asc()
-    )
-    return (
-        counted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("source", "bigram", F.col("n").cast("long").alias("n"))
-    )
-
-
-# ------------- 129. monthly median trend per priority (grouped quantiles)
-
-@q(
-    "q187_monthly_median_trend",
-    """
-    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
-               AS month,
-           o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
-                AS DOUBLE) AS median_cents
-    FROM orders
-    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
-    GROUP BY 1, 2
-    """,
-)
-def q187_monthly_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust central-tendency trend: monthly MEDIAN order value per
-    priority (medians don't chase the heavy tail averages do — the
-    metric a pricing dashboard actually wants). A plain grouped exact
-    percentile — one map-side-combined shuffle on (month, priority),
-    NO window — with the year filter pushed to the scan. Computed over
-    INTEGER CENTS: an even-count median interpolates to k or exactly
-    k.5, both binary-exact doubles, so the engines match with NO
-    rounding guard (rounding a 2-dp-valued midpoint is the one place
-    round(x, 2) itself is ulp-unstable — found by this query's first
-    oracle run). The 100 TB swap is percentile_approx (q64's
-    documented trade)."""
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1997-01-01")
-        & (F.col("o_orderdate") < "1998-01-01")
-    )
-    return (
-        orders.groupBy(
-            F.date_trunc("month", "o_orderdate")
-            .cast("date")
-            .cast("string")
-            .alias("month"),
-            "o_orderpriority",
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.percentile(
-                F.round(F.col("o_totalprice") * 100).cast("long"), F.lit(0.5)
-            )
-            .cast("double")
-            .alias("median_cents"),
-        )
-    )
-
-
-# ------------- 130. event-transition analysis (product funnel edges)
-
-@q(
-    "q188_event_transitions",
-    """
-    WITH seq AS (
-        SELECT user_id, event_type, ts, event_id,
-               lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS next_type,
-               lead(ts) OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id) AS next_ts
-        FROM events),
-    transitions AS (
-        SELECT event_type AS from_type, next_type AS to_type
-        FROM seq
-        WHERE next_type IS NOT NULL
-          AND next_ts - ts <= INTERVAL 30 MINUTE)
-    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-    FROM transitions GROUP BY from_type, to_type
-    ORDER BY n DESC, from_type, to_type LIMIT 15
-    """,
-)
-def q188_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Behavioral-graph edges: consecutive event-type transitions per
-    user within a 30-minute gap (the same gap bound the sessionizers
-    use), counted into the top-15 transition matrix a product-analytics
-    funnel is built from. One window shuffle on user_id produces every
-    adjacent pair via lead() — never a self-join of events on
-    'next event after mine' (an inequality join that degrades
-    quadratically in per-user event count). Top-15 by count with full
-    tie-break so rank boundaries are engine-stable."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type",
-        "ts",
-        F.lead("event_type").over(w).alias("next_type"),
-        F.lead("ts").over(w).alias("next_ts"),
-    )
-    trans = seq.filter(
-        F.col("next_type").isNotNull()
-        & (
-            F.col("next_ts").cast("long") - F.col("ts").cast("long")
-            <= 30 * 60
-        )
-    )
-    return (
-        trans.groupBy(
-            F.col("event_type").alias("from_type"),
-            F.col("next_type").alias("to_type"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.col("n").desc(), "from_type", "to_type")
-        .limit(15)
-    )
-
-
-# ------------- 131. dormancy / resurrection cohort (monthly set algebra)
-
-@q(
-    "q189_resurrected_users",
-    """
-    WITH weekly AS (
-        SELECT DISTINCT user_id, date_trunc('week', ts) AS w
-        FROM events),
-    w1 AS (SELECT user_id FROM weekly
-           WHERE w = TIMESTAMP '2024-01-01 00:00:00'),
-    w2 AS (SELECT user_id FROM weekly
-           WHERE w = TIMESTAMP '2024-01-08 00:00:00'),
-    w3 AS (SELECT user_id FROM weekly
-           WHERE w = TIMESTAMP '2024-01-15 00:00:00')
-    SELECT CAST((SELECT count(*) FROM w1) AS BIGINT) AS w1_active,
-           CAST((SELECT count(*) FROM w1
-                 WHERE user_id NOT IN (SELECT user_id FROM w2)) AS BIGINT)
-               AS churned_w2,
-           CAST((SELECT count(*) FROM w1
-                 WHERE user_id NOT IN (SELECT user_id FROM w2)
-                   AND user_id IN (SELECT user_id FROM w3)) AS BIGINT)
-               AS resurrected_w3
-    """,
-)
-def q189_resurrected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dormancy/resurrection cohort: of week 1's active users, how
-    many skipped week 2 entirely and came back in week 3 — the churn
-    signal a retention team watches beyond simple cohort retention
-    (q107). ONE distinct (user, week) pre-aggregation feeds every
-    week set; membership algebra is then semi/anti joins on the
-    deduplicated sets (never EXISTS probes against raw events — the
-    weekly distinct is what bounds the join inputs at 100 TB). The
-    oracle expresses the same algebra with correlated IN/NOT IN. The
-    three tiny count aggregates crossJoin into one row (1-row sides —
-    the allowlisted scalar-broadcast shape)."""
-    ev = _t(spark, sf_dir, "events")
-    weekly = ev.select(
-        "user_id", F.date_trunc("week", "ts").alias("w")
-    ).distinct()
-
-    def week(ts: str) -> DataFrame:
-        return weekly.filter(F.col("w") == ts).select("user_id")
-
-    w1, w2, w3 = (
-        week("2024-01-01"),
-        week("2024-01-08"),
-        week("2024-01-15"),
-    )
-    churned = w1.join(w2, "user_id", "left_anti")
-    resurrected = churned.join(w3, "user_id", "left_semi")
-    return (
-        w1.agg(F.count(F.lit(1)).cast("long").alias("w1_active"))
-        .crossJoin(
-            churned.agg(F.count(F.lit(1)).cast("long").alias("churned_w2"))
-        )
-        .crossJoin(
-            resurrected.agg(
-                F.count(F.lit(1)).cast("long").alias("resurrected_w3")
-            )
-        )
-    )
-
-
-# ------------- 132. streaming MV maintenance behind the quality publish gate
-
-@q(
-    "q190_streaming_gated_mv",
-    """
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total
-    FROM events
-    WHERE event_id % 4 <> 2
-    GROUP BY event_type
-    """,
-)
-def q190_streaming_gated_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q154's aggregate-state maintenance with the batch publish gate's
-    quality discipline wired into the stream
-    (`streaming.quality_gated_foreach_batch`): each micro-batch stages
-    once with the suite's aggregates riding the write (observe_suite —
-    zero extra passes), and only a `certified` batch folds into the MV
-    state; a degraded batch moves to quarantine with its report. The
-    changelog is sharded on event_id % 4 and shard 2 is corrupted
-    (event_type nulled), so exactly one micro-batch must quarantine and
-    the final MV must equal the batch aggregate over the OTHER three
-    shards — which is what the oracle computes. Self-asserting (q129
-    pattern): the query itself fails if the quarantine row count
-    doesn't equal shard 2's, so a silently-published degraded batch
-    can't return plausible rows."""
-    import tempfile
-
-    from ingestao_dados_poli_spark.operators import incremental as IC
-    from ingestao_dados_poli_spark.quality import Rule, Suite
-    from ingestao_dados_poli_spark.streaming.stream_ops import (
-        quality_gated_foreach_batch,
-        state_partitions,
-    )
-
-    keys, measures = ["event_type"], ["value"]
-    ev = _t(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="q190_")
-    shard_dir = f"{work}/shards"
-    shard = F.pmod(F.col("event_id"), F.lit(4))
-    for i in range(4):
-        part = ev.filter(shard == i)
-        if i == 2:  # the planted degraded batch
-            part = part.withColumn("event_type", F.lit(None).cast("string"))
-        part.coalesce(1).write.mode("overwrite").parquet(f"{shard_dir}/s={i}")
-    n_bad = ev.filter(shard == 2).count()
-
-    state: list[DataFrame] = []
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        delta = IC.partial_aggregate(batch_df, keys, measures)
-        merged = (
-            IC.merge_aggregates(state[-1], delta, keys, measures)
-            if state
-            else delta
-        )
-        out = f"{work}/state_v{batch_id}"
-        merged.write.mode("overwrite").parquet(out)
-        state.append(batch_df.sparkSession.read.parquet(out))
-
-    body = quality_gated_foreach_batch(
-        Suite("gated_mv", [Rule("not_null", "event_type")]),
-        fold,
-        quarantine_dir=f"{work}/quarantine",
-        staging_dir=f"{work}/staging",
-    )
-    src = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{shard_dir}/s=*")
-    )
-    with state_partitions(spark, 8):
-        q_ = (
-            src.writeStream.foreachBatch(body)
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination(300)
-    quarantined = spark.read.parquet(f"{work}/quarantine/batch_id=*").count()
-    if quarantined != n_bad:
-        raise AssertionError(
-            f"publish gate leaked: quarantined {quarantined} rows, "
-            f"expected the whole degraded shard ({n_bad})"
-        )
-    final = IC.finalize(state[-1], measures)
-    return final.select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.round("value_sum", 2).alias("total"),
-    )
+from ingestao_dados_poli_spark.registry._base import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.relational import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.analytics import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.text import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.similarity import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.streaming import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.layout import *  # noqa: F401,F403

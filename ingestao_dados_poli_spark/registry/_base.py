@@ -1,0 +1,254 @@
+"""Shared registry infrastructure: the QUERIES/ORACLES dicts, the
+`q` registration decorator, table readers (`_t`, `_events_ts`) and
+the cross-domain oracle constants. Domain modules star-import this
+(underscore names included via the explicit __all__), register their
+queries into the SAME dict objects, and `queries.py` re-exports the
+assembled registry.
+"""
+
+
+from __future__ import annotations
+
+
+from collections.abc import Callable
+
+
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pyspark.sql import functions as F
+
+
+from ingestao_dados_poli_spark.functions import text as TX
+
+from ingestao_dados_poli_spark.functions.cleaning import align_union
+
+from ingestao_dados_poli_spark.functions.locale import (
+    compat_int_index,
+    parse_decimal_comma,
+)
+
+from ingestao_dados_poli_spark.functions.vectors import cosine
+
+from ingestao_dados_poli_spark.operators import corpus as CO
+
+from ingestao_dados_poli_spark.operators import dedup as DD
+
+from ingestao_dados_poli_spark.operators import fuzzy as FZ
+
+from ingestao_dados_poli_spark.operators import graph as G
+
+from ingestao_dados_poli_spark.operators import multimodal as MM
+
+from ingestao_dados_poli_spark.operators import relational as R
+
+from ingestao_dados_poli_spark.operators import similarity as SIM
+
+from ingestao_dados_poli_spark.partitioning import fan_out
+
+from ingestao_dados_poli_spark.session import scoped_conf
+
+from ingestao_dados_poli_spark import quality as Q
+
+from ingestao_dados_poli_spark.quality import null_counts
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+ORACLES: dict[str, str] = {}
+
+
+
+def _events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP (UTC instant) across testdata
+    vintages. Older driver data wrote TIMESTAMP(NANOS), which Spark's
+    parquet reader only surfaces as long (``nanosAsLong``); newer data
+    writes micro-precision naive timestamps that arrive as TIMESTAMP_NTZ.
+    Works on batch and streaming DataFrames alike (dtype branch happens
+    at plan-build time, not per row).
+    """
+    dt = df.schema["ts"].dataType.typeName()
+    if dt == "long":
+        # integer div — a double division here loses microsecond precision
+        # on 1.7e18-scale nano values (52-bit mantissa).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        # session tz is pinned UTC, so the naive wall-clock maps to the
+        # identical instant the DuckDB oracle computes on.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver owns the session; date_trunc/year/cast-to-string on
+    # timestamps all convert through the SESSION timezone, while the
+    # DuckDB oracle computes on naive (UTC-equivalent) timestamps — so
+    # pin UTC here, not only in our own session factory.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # nanosAsLong is a no-op on micro-precision files; needed only for
+        # the TIMESTAMP(NANOS) vintage the reader would otherwise reject.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return _events_ts(df)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+
+# ------------------------------------- 13. rows-only (non-SQL-expressible)
+
+# Shared CTE fragment: word 5-shingle SETS of normalized text, as
+# DuckDB SQL — the string-side mirror of the engine's hashed-shingle
+# pipeline (shingle_hashes_udf). Docs shorter than 5 tokens yield one
+# shingle over all tokens, mirroring shingles()' fallback.
+_SHINGLE5_SQL = """
+         tok AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 FROM u),
+         sh AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(toks) - 4, 1) + 1),
+                         i -> array_to_string(toks[i:i+4], ' '))) AS ss
+                FROM tok)
+"""
+
+
+
+# --------------------------------------------- 15. language ID / tokens
+
+# Derived from the ENGINE's marker lists so oracle and Spark can never
+# drift; construction mirrors text.stopword_count's rf"\b({words})\b".
+_LANG_RE = {
+    lang: r"\b(" + "|".join(words) + r")\b"
+    for lang, words in TX._LANG_MARKERS.items()
+}
+
+
+
+# ------------------------------------------------ 20. IVF quantization
+
+# 4 deterministic orthogonal-block centroids over the 64-dim space:
+# centroid c is 1.0 on dims [16c, 16c+16). Shared by Spark and the SQL
+# oracle below.
+_CENTROIDS = [
+    [1.0 if 16 * c <= i < 16 * (c + 1) else 0.0 for i in range(64)] for c in range(4)
+]
+
+_CENTROID_SQL = ", ".join(
+    f"round(list_cosine_similarity(embedding::DOUBLE[], {c}::DOUBLE[]), 6)"
+    for c in _CENTROIDS
+)
+
+
+
+# The data-mixing recipe is CONFIGURATION (known ahead of any run), not
+# something derived by scanning the corpus: discovering strata with a
+# distinct().collect() would add a full extra scan plus a driver
+# round-trip per run at 100 TB. Strata absent from the table are simply
+# never sampled; strata absent from the dict default to fraction 0.
+Q49_MIX_FRACTIONS = {
+    # src0 plays the rare high-quality source: keep everything; the
+    # rest (testdata has src0..src19) are thinned to 25%.
+    "src0": 1.0,
+    **{f"src{i}": 0.25 for i in range(1, 20)},
+}
+
+
+
+_STOPWORDS = ["the", "of", "and", "to", "in", "a", "is"]
+
+
+
+# ----------------------- 31. SQL interface / streaming sliding / IVF search
+
+_Q74_SQL = """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM {table})
+    SELECT o_orderpriority, o_orderkey,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS top_price
+    FROM ranked WHERE rn <= 3
+"""
+
+
+
+_PSI_PRIO_A = "1-URGENT"
+
+_PSI_PRIO_B = "5-LOW"
+
+_PSI_BINS = 10
+
+_PSI_WIDTH = 60000.0
+
+
+
+# --------------------- 78. bucketed co-located join (zero-exchange fact⋈fact)
+
+def q136_table_names() -> tuple[str, str, str]:
+    """(orders_table, lineitem_table, base_dir) — pid-scoped so parallel
+    test/driver processes never collide in the shared session catalog
+    or /tmp. Exposed so the plan test can rebuild the join on the
+    registered tables."""
+    import os as _os
+
+    pid = _os.getpid()
+    return (
+        f"q136_orders_b{pid}",
+        f"q136_lineitem_b{pid}",
+        f"/tmp/q136_bkt_{pid}",
+    )
+
+
+__all__ = [
+    "Callable",
+    "DataFrame",
+    "SparkSession",
+    "Window",
+    "F",
+    "TX",
+    "align_union",
+    "compat_int_index",
+    "parse_decimal_comma",
+    "cosine",
+    "CO",
+    "DD",
+    "FZ",
+    "G",
+    "MM",
+    "R",
+    "SIM",
+    "fan_out",
+    "scoped_conf",
+    "Q",
+    "null_counts",
+    "QUERIES",
+    "ORACLES",
+    "_events_ts",
+    "_t",
+    "q",
+    "_SHINGLE5_SQL",
+    "_LANG_RE",
+    "_CENTROIDS",
+    "_CENTROID_SQL",
+    "Q49_MIX_FRACTIONS",
+    "_STOPWORDS",
+    "_Q74_SQL",
+    "_PSI_PRIO_A",
+    "_PSI_PRIO_B",
+    "_PSI_BINS",
+    "_PSI_WIDTH",
+    "q136_table_names",
+]

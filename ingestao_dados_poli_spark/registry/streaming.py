@@ -1,0 +1,859 @@
+"""Streaming registry: Structured Streaming twins of the batch
+operators — windows, dedup, upsert, interval/as-of joins, MV
+maintenance (all oracled against batch equivalents).
+
+Split out of the former monolithic queries.py (round 5) — every
+block is verbatim; registration happens via the shared `q` decorator
+from `._base`, so importing this module populates QUERIES/ORACLES.
+"""
+
+from ingestao_dados_poli_spark.registry._base import *  # noqa: F401,F403
+
+
+
+# --------------------------------------------- 19. streaming end-to-end
+
+@q(
+    "q46_streaming_tumbling",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked tumbling-window plan run through the ACTUAL
+    Structured Streaming engine (readStream → availableNow → memory
+    sink), oracle-checked against plain batch SQL.
+
+    Sound because the bounded single-file source forms one micro-batch,
+    so the watermark never drops rows — the streaming result must equal
+    the batch group-by. Demonstrates the engine's batch/stream parity:
+    tumbling_counts() is the same code streaming/stream_ops.py ships for
+    unbounded sources.
+    """
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        state_partitions,
+        tumbling_counts,
+    )
+
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        path = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(path).schema
+        # FileStreamSource wants a DIRECTORY; glob-filter to the one table.
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(_events_ts)
+        )
+        agg = tumbling_counts(src, window_len="1 hour", watermark="10 minutes")
+        name = f"q46_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q46_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        return spark.table(name).select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+
+
+
+@q(
+    "q75_streaming_sliding",
+    """
+    WITH buck AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                   + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT))
+                   AS b,
+               event_type, value
+        FROM events),
+    ex AS (
+        SELECT unnest([b, b - INTERVAL 30 MINUTE]) AS window_start,
+               event_type, value
+        FROM buck)
+    SELECT CAST(window_start AS VARCHAR) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q75_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h window / 30 min slide) aggregate through the
+    REAL Structured Streaming engine (readStream → availableNow →
+    memory sink), like q46 but overlapping windows: each event lands in
+    exactly 2 windows. The oracle expands each row into its two window
+    starts and re-aggregates — semantically identical to Spark's
+    sliding window expansion. Compares count+sum, not avg: the data's
+    values have 2-decimal resolution, so sums never sit on the 2-dp
+    round boundary while averages (sum/count) routinely do — engine
+    summation-order ulps flipped ~2.5% of rounded avgs."""
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        sliding_avg,
+        state_partitions,
+    )
+
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        path = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(path).schema
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(_events_ts)
+        )
+        agg = sliding_avg(
+            src, window_len="1 hour", slide="30 minutes", watermark="10 minutes"
+        )
+        name = f"q75_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q75_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        return spark.table(name).select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+
+
+
+# -------------- 32. streaming dedup / contamination / drift / semantic dedup
+
+@q(
+    "q78_streaming_dedup",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q78_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through the REAL engine: the event stream
+    is unioned with itself (every event arrives twice — the
+    at-least-once-delivery worst case), dropDuplicates(event_id) runs
+    in the micro-batch engine, and the deduped append-mode sink must
+    aggregate back to exactly the single-copy batch numbers. State
+    eviction for unbounded streams (dropDuplicatesWithinWatermark) is
+    exercised in test_streaming."""
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        dedup_stream,
+        state_partitions,
+    )
+
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+        def src():
+            return (
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                .transform(_events_ts)
+            )
+
+        doubled = src().unionByName(src())
+        deduped = dedup_stream(doubled, ["event_id"])
+        name = f"q78_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q78_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+
+
+# ------------------------------- 42. streaming: stream-static enrich
+
+@q(
+    "q89_streaming_enrich",
+    """
+    SELECT CAST(TIMESTAMP '1970-01-01 00:00:00'
+                + to_seconds(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+                AS VARCHAR) AS window_start,
+           c_mktsegment,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q89_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: readStream(events) ⋈ broadcast static
+    customer dim → watermarked 6 h tumbling aggregate, through the
+    REAL Structured Streaming engine (availableNow → memory sink).
+    The static side re-broadcasts per micro-batch (Spark's documented
+    stream-static join model); at 100 TB/day the dim stays a
+    broadcast, the stream never shuffles before the windowed agg.
+    Oracle is the batch equivalent over the same tables."""
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
+
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        path = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(path).schema
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(_events_ts)
+        )
+        dim = F.broadcast(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        )
+        agg = (
+            src.withWatermark("ts", "10 minutes")
+            .join(dim, F.col("user_id") == F.col("c_custkey"))
+            .groupBy(F.window("ts", "6 hours"), "c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        name = f"q89_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q89_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        return spark.table(name).select(
+            F.col("window.start").cast("string").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+
+
+
+# --------------------------- 44. streaming: foreachBatch incremental upsert
+
+@q(
+    "q91_streaming_upsert",
+    """
+    SELECT user_id, event_id,
+           CAST(ts AS VARCHAR) AS last_ts,
+           CAST(round(value, 2) AS DOUBLE) AS last_value
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q91_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: the changelog is re-sharded into 4 files and
+    streamed with maxFilesPerTrigger=1, so foreachBatch runs 4 REAL
+    micro-batches, each compacting its batch to latest-per-key and
+    merging it into a versioned parquet snapshot (merge_upsert =
+    union + latest-wins window; the table-format-free MERGE INTO).
+    The final snapshot equals batch keep-latest over the whole
+    changelog REGARDLESS of how rows were batched — the merge order
+    key struct(ts, event_id) is a total order per user, so the fold is
+    associative; that batching-invariance is exactly what the oracle
+    hash-checks. At 100 TB the snapshot is a bucketed table on the
+    merge key and each micro-batch pays one co-located window, not a
+    rescan of history."""
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q91_")
+    shard_dir = f"{work}/shards"
+    ev.repartition(4).write.mode("overwrite").parquet(shard_dir)
+
+    snap_versions: list[str] = []
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        compact = R.dedup_keep_first(
+            batch_df,
+            ["user_id"],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        ).withColumn("_ord", F.struct("ts", "event_id"))
+        if snap_versions:
+            base = batch_df.sparkSession.read.parquet(snap_versions[-1])
+            merged = R.merge_upsert(base, compact, ["user_id"], "_ord")
+        else:
+            merged = compact
+        out = f"{work}/snap_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        snap_versions.append(out)
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(shard_dir)
+    )
+    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
+
+    with state_partitions(spark, 8):
+        query = (
+            src.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", f"{work}/ck_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    assert len(snap_versions) >= 2, "expected multiple micro-batches"
+    final = spark.read.parquet(snap_versions[-1])
+    return final.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("string").alias("last_ts"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+
+# --------------------------- 45. streaming: stream-stream interval join
+
+@q(
+    "q92_streaming_interval_join",
+    """
+    SELECT a.event_id AS err_id,
+           b.event_id AS click_id,
+           a.user_id AS user_id,
+           CAST(a.ts AS VARCHAR) AS err_ts,
+           CAST(b.ts AS VARCHAR) AS click_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'click'
+     AND b.ts BETWEEN a.ts - INTERVAL 60 MINUTE AND a.ts
+    """,
+)
+def q92_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (funnel/attribution): clicks within
+    the hour preceding an error by the same user, joined through the
+    REAL streaming engine — two file streams, watermarks on both
+    sides, event-time range condition, append sink. The watermark +
+    60 min lookback bound the join state, so buffered rows are evicted
+    as event time advances — the property that lets this run forever
+    at 100 TB/day while an unconstrained stream-stream join would
+    buffer both streams whole. Oracle is the identical batch join."""
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        interval_join_streams,
+        state_partitions,
+    )
+
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+        def ev_stream() -> DataFrame:
+            return (
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                .transform(_events_ts)
+            )
+
+        errors = ev_stream().filter(F.col("event_type") == "error").select(
+            "user_id", "ts", F.col("event_id").alias("err_id")
+        )
+        clicks = ev_stream().filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        joined = interval_join_streams(
+            errors, clicks, keys=["user_id"], lookback="60 minutes",
+            watermark="30 minutes",
+        )
+        name = f"q92_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q92_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        return spark.table(name).select(
+            "err_id",
+            "click_id",
+            F.col("l_user_id").alias("user_id"),
+            F.col("l_ts").cast("string").alias("err_ts"),
+            F.col("r_ts").cast("string").alias("click_ts"),
+        )
+
+
+
+# -------- 82. streaming under RocksDB state store (large-state path)
+
+@q(
+    "q129_streaming_rocksdb",
+    """
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+               AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q129_streaming_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q46's streaming plan with the state held in ROCKSDB instead of
+    the heap-backed default — the provider a 100 TB/day stream needs
+    once state outgrows executor memory. Oracle-checked against plain
+    batch SQL like every streaming twin, AND self-asserting: if the
+    provider silently fell back to HDFS-backed (no rocksdb custom
+    metrics in the query progress), the query raises — the gate goes
+    red rather than green-by-accident on the wrong store."""
+    import os as _os
+    import shutil as _shutil
+    import uuid
+
+    from ingestao_dados_poli_spark.session import scoped_conf
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        rocksdb_state,
+        state_partitions,
+        tumbling_counts,
+    )
+
+    # Scoped, unlike _t()'s session-wide set: a batch DataFrame from _t
+    # executes after _t returns so its conf must outlive the call, but
+    # this stream runs to completion inside the block — the flag can be
+    # restored the moment the last micro-batch commits.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(_events_ts)
+        )
+        agg = tumbling_counts(src, window_len="1 day", watermark="10 minutes")
+        name = f"q129_sink_{uuid.uuid4().hex[:8]}"
+        # pid-scoped checkpoint dir, cleared on entry (a reused checkpoint
+        # would resume from committed offsets and emit nothing; a mkdtemp
+        # per call leaked one dir per run)
+        ck = f"/tmp/q129_ck_{_os.getpid()}"
+        _shutil.rmtree(ck, ignore_errors=True)
+        with state_partitions(spark, 8), rocksdb_state(
+            spark, bounded_memory_mb=512
+        ):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+            progress = query.lastProgress
+    ops = (progress or {}).get("stateOperators") or []
+    custom = ops[0].get("customMetrics", {}) if ops else {}
+    if not any(k.startswith("rocksdb") for k in custom):
+        raise RuntimeError(
+            f"RocksDB state store did not engage: {sorted(custom)[:5]}"
+        )
+    return spark.table(name).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+
+# ------------- 94. streaming native session windows (q104's stream twin)
+
+@q(
+    "q152_streaming_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+    SELECT user_id,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q152_streaming_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Built-in session_window run through the ACTUAL streaming engine
+    (readStream → availableNow → memory sink) — the streaming twin of
+    batch q104, completing the engine's sessionize matrix: lag+cumsum
+    SQL (q20), custom applyInPandasWithState (q46-family), batch
+    session_window (q104), and now MERGING session windows with
+    watermark state eviction on a real stream. Bounded single-batch
+    source + complete mode means the watermark drops nothing, so the
+    streaming result must hash-equal the batch oracle — the
+    batch/stream parity contract, again."""
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        session_window_counts,
+        state_partitions,
+    )
+
+    # Scoped (q129 pattern): the stream runs to completion inside the
+    # block, so the legacy reader flag is restored the moment the
+    # last micro-batch commits instead of leaking into the session.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        path = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.parquet(path).schema
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(_events_ts)
+        )
+        agg = session_window_counts(src, gap="30 minutes", watermark="10 minutes")
+        name = f"q152_sink_{uuid.uuid4().hex[:8]}"
+        with state_partitions(spark, 8):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="q152_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        return spark.table(name).select(
+            "user_id",
+            F.col("session_start").cast("string").alias("session_start"),
+            F.col("session_end").cast("string").alias("session_end"),
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+
+
+
+# ------------- 96. streaming materialized-view maintenance
+
+@q(
+    "q154_streaming_mv",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total,
+           CAST(round(min(value), 2) AS DOUBLE) AS value_min,
+           CAST(round(max(value), 2) AS DOUBLE) AS value_max
+    FROM events GROUP BY event_type
+    """,
+)
+def q154_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregate-state maintenance: the changelog streams in
+    4 real micro-batches (maxFilesPerTrigger=1) and foreachBatch folds
+    each batch's PARTIAL aggregate into a running state table via
+    `operators/incremental.py:merge_aggregates` — the aggregate twin
+    of q91's row-level streaming MERGE. Per batch the work is
+    O(|batch| + |state|); event history is NEVER re-aggregated, which
+    is the only viable shape for a 100 TB running dashboard. The final
+    state must equal the one-shot batch aggregate REGARDLESS of how
+    rows were batched (count/sum/min/max are associative+commutative)
+    — exactly what the oracle hash-checks."""
+    import tempfile
+
+    from ingestao_dados_poli_spark.operators import incremental as IC
+    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
+
+    keys, measures = ["event_type"], ["value"]
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q154_")
+    shard_dir = f"{work}/shards"
+    ev.repartition(4).write.mode("overwrite").parquet(shard_dir)
+
+    state: list[DataFrame] = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = IC.partial_aggregate(batch_df, keys, measures)
+        merged = (
+            IC.merge_aggregates(state[-1], delta, keys, measures)
+            if state
+            else delta
+        )
+        out = f"{work}/state_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        state.append(batch_df.sparkSession.read.parquet(out))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(shard_dir)
+    )
+    with state_partitions(spark, 8):
+        q_ = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    final = IC.finalize(state[-1], measures)
+    return final.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("value_sum", 2).alias("total"),
+        F.round("value_min", 2).alias("value_min"),
+        F.round("value_max", 2).alias("value_max"),
+    )
+
+
+
+# ------------- 124. streaming as-of enrichment (event-time reference data)
+
+@q(
+    "q182_streaming_asof_enrich",
+    """
+    WITH ref AS (
+        SELECT o_custkey AS user_id, o_orderdate AS eff_date, o_totalprice
+        FROM orders
+        WHERE o_custkey < 500 AND o_orderkey % 3 = 0),
+    dedup_ref AS (
+        SELECT user_id, eff_date, max(o_totalprice) AS ref_price
+        FROM ref GROUP BY user_id, eff_date),
+    enriched AS (
+        SELECT e.user_id, e.value,
+               (SELECT r.ref_price FROM dedup_ref r
+                WHERE r.user_id = e.user_id
+                  AND r.eff_date <= CAST(e.ts AS DATE)
+                ORDER BY r.eff_date DESC LIMIT 1) AS asof_price
+        FROM events e WHERE e.user_id < 500)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(asof_price) AS BIGINT) AS n_enriched,
+           CAST(round(sum(coalesce(asof_price, 0)), 2) AS DOUBLE)
+               AS enriched_total
+    FROM enriched
+    """,
+)
+def q182_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time reference enrichment on a REAL stream: each
+    micro-batch as-of joins its events against a slowly-changing
+    reference table (latest version effective AT the event's time —
+    not the current version, which back-dated events must not see).
+    Correct under any batching because the as-of lookup is a pure
+    per-row function of (key, ts, static reference) — foreachBatch
+    applies `relational.asof_join` per batch and the union over 4 real
+    micro-batches must equal the one-shot batch as-of, which is what
+    the oracle (a correlated LIMIT 1 subquery — DuckDB's decorrelated
+    formulation of the same lookup) certifies. The streaming shape a
+    price/fx/config enrichment job runs forever."""
+    import tempfile
+
+    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 500)
+    orders = _t(spark, sf_dir, "orders")
+    ref = (
+        orders.filter((F.col("o_custkey") < 500) & (F.col("o_orderkey") % 3 == 0))
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("eff_date"),
+        )
+        .agg(F.max("o_totalprice").alias("ref_price"))
+    )
+    work = tempfile.mkdtemp(prefix="q182_")
+    shard_dir = f"{work}/shards"
+    ev.repartition(4).write.mode("overwrite").parquet(shard_dir)
+    outs: list[str] = []
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn("ev_date", F.col("ts").cast("date"))
+        joined = R.asof_join(
+            b,
+            ref,
+            key="user_id",
+            left_ts="ev_date",
+            right_ts="eff_date",
+            right_cols=["ref_price"],
+            slim=True,
+        )
+        out = f"{work}/out_b{batch_id}"
+        joined.select("user_id", "value", "asof_ref_price").write.mode(
+            "overwrite"
+        ).parquet(out)
+        outs.append(out)
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(shard_dir)
+    )
+    with state_partitions(spark, 8):
+        q_ = (
+            src.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    res = spark.read.parquet(*outs)
+    return res.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("asof_ref_price").cast("long").alias("n_enriched"),
+        F.round(F.sum(F.coalesce(F.col("asof_ref_price"), F.lit(0.0))), 2).alias(
+            "enriched_total"
+        ),
+    )
+
+
+
+# ------------- 132. streaming MV maintenance behind the quality publish gate
+
+@q(
+    "q190_streaming_gated_mv",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total
+    FROM events
+    WHERE event_id % 4 <> 2
+    GROUP BY event_type
+    """,
+)
+def q190_streaming_gated_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q154's aggregate-state maintenance with the batch publish gate's
+    quality discipline wired into the stream
+    (`streaming.quality_gated_foreach_batch`): each micro-batch stages
+    once with the suite's aggregates riding the write (observe_suite —
+    zero extra passes), and only a `certified` batch folds into the MV
+    state; a degraded batch moves to quarantine with its report. The
+    changelog is sharded on event_id % 4 and shard 2 is corrupted
+    (event_type nulled), so exactly one micro-batch must quarantine and
+    the final MV must equal the batch aggregate over the OTHER three
+    shards — which is what the oracle computes. Self-asserting (q129
+    pattern): the query itself fails if the quarantine row count
+    doesn't equal shard 2's, so a silently-published degraded batch
+    can't return plausible rows."""
+    import tempfile
+
+    from ingestao_dados_poli_spark.operators import incremental as IC
+    from ingestao_dados_poli_spark.quality import Rule, Suite
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        quality_gated_foreach_batch,
+        state_partitions,
+    )
+
+    keys, measures = ["event_type"], ["value"]
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q190_")
+    shard_dir = f"{work}/shards"
+    shard = F.pmod(F.col("event_id"), F.lit(4))
+    for i in range(4):
+        part = ev.filter(shard == i)
+        if i == 2:  # the planted degraded batch
+            part = part.withColumn("event_type", F.lit(None).cast("string"))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{shard_dir}/s={i}")
+    n_bad = ev.filter(shard == 2).count()
+
+    state: list[DataFrame] = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = IC.partial_aggregate(batch_df, keys, measures)
+        merged = (
+            IC.merge_aggregates(state[-1], delta, keys, measures)
+            if state
+            else delta
+        )
+        out = f"{work}/state_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        state.append(batch_df.sparkSession.read.parquet(out))
+
+    body = quality_gated_foreach_batch(
+        Suite("gated_mv", [Rule("not_null", "event_type")]),
+        fold,
+        quarantine_dir=f"{work}/quarantine",
+        staging_dir=f"{work}/staging",
+    )
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{shard_dir}/s=*")
+    )
+    with state_partitions(spark, 8):
+        q_ = (
+            src.writeStream.foreachBatch(body)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+    quarantined = spark.read.parquet(f"{work}/quarantine/batch_id=*").count()
+    if quarantined != n_bad:
+        raise AssertionError(
+            f"publish gate leaked: quarantined {quarantined} rows, "
+            f"expected the whole degraded shard ({n_bad})"
+        )
+    final = IC.finalize(state[-1], measures)
+    return final.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("value_sum", 2).alias("total"),
+    )

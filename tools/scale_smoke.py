@@ -6,6 +6,16 @@ operators must scale ~linearly in document count (bucket caps bound the
 quadratic tail), or they would not survive 100 TB. Usage:
 
     python tools/scale_smoke.py [small_n] [big_n]    # default 5000 50000
+    python tools/scale_smoke.py --huge               # + 100x rung (500k docs)
+
+``--huge`` adds a third tier at 100x the small size for the
+dedup/similarity family — the 100 TB design claim needs more than one
+10x data point — and the artifact gains ``time_ratio_huge`` (huge vs
+small, i.e. the 100x column). Every operator also records its SHUFFLE
+WRITE DELTA per tier: local wall-clock can't distinguish an in-process
+shuffle from a cluster network shuffle, so bytes are the honest scale
+signal (a superlinear shuffle-byte curve is a cluster bottleneck even
+when local time looks linear).
 """
 
 from __future__ import annotations
@@ -144,8 +154,11 @@ def shuffle_write_bytes(spark) -> int:
 
 
 def main() -> None:
-    small = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
-    big = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    args = [a for a in sys.argv[1:] if a != "--huge"]
+    huge_tier = "--huge" in sys.argv[1:]
+    small = int(args[0]) if args else 5_000
+    big = int(args[1]) if len(args) > 1 else 50_000
+    huge = small * 100
     # 12 operator families x 2 sizes in ONE session accumulate enough
     # listener/UI state that the default 16g driver heap OOMs near the
     # end (observed at the ~190th stage); default up unless the caller
@@ -181,49 +194,46 @@ def main() -> None:
     )
     warm_vecs.unpersist()
 
+    def run(res: dict, name: str, fn) -> None:
+        # time AND shuffle-write bytes per op: bytes are the honest
+        # cluster-scale signal (a narrow-pipe local shuffle hides cost)
+        b0 = shuffle_write_bytes(spark)
+        res[name] = time_op(fn)
+        b1 = shuffle_write_bytes(spark)
+        if b0 >= 0 and b1 >= 0:  # -1 sentinel (UI off) poisons the delta
+            res[f"{name}_shuffle_mb"] = round((b1 - b0) / 1e6, 2)
+
+    tiers = [("small", small), ("big", big)]
+    if huge_tier:
+        tiers.append(("huge", huge))
     results: dict[str, dict] = {}
-    for label, n in [("small", small), ("big", big)]:
+    for label, n in tiers:
+        res = results[label] = {"n_docs": n}
         docs = synth_docs(spark, n).cache()
         docs.count()  # materialize once; we time the operators, not synthesis
-        results[label] = {
-            "n_docs": n,
-            "exact": time_op(lambda: DD.dedup_exact(docs, "text", "doc_id")),
-            "minhash": time_op(
-                lambda: DD.minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=32, num_bands=8)
-            ),
-            "simhash": time_op(lambda: DD.simhash_pairs(docs, "text", "doc_id")),
-            "jaccard": time_op(
-                lambda: DD.jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.5)
-            ),
+        run(res, "exact", lambda: DD.dedup_exact(docs, "text", "doc_id"))
+        run(res, "minhash", lambda: DD.minhash_candidate_pairs(
+            docs, "text", "doc_id", num_hashes=32, num_bands=8))
+        run(res, "simhash", lambda: DD.simhash_pairs(docs, "text", "doc_id"))
+        run(res, "jaccard", lambda: DD.jaccard_pairs(
+            docs, "text", "doc_id", k=5, threshold=0.5))
+        if label != "huge":
             # span dedup reassembles EVERY doc, so cost is scan + 3
             # map-side-combined shuffles — must scale ~linearly like
             # whole-doc exact dedup, not with the duplicated-span count
-            "span_dedup": time_op(
-                lambda: CO.dedup_spans(docs, span_words=5)
-            ),
+            run(res, "span_dedup", lambda: CO.dedup_spans(docs, span_words=5))
             # posting build is one scan + one map-side-combined shuffle
             # of distinct (term, doc) pairs — linear in corpus size
-            "inverted_index": time_op(
-                lambda: CO.build_inverted_index(docs)
-            ),
-        }
-        # hash-keyed vs string-keyed boilerplate detection, timing AND
-        # shuffle bytes. Measured result (the reason hash_key is NOT
-        # the default): the hash plan's second scan costs ~1.8x wall
-        # locally while lz4 shuffle compression erases most of the
-        # 8-byte-key advantage on low-entropy text (~10% fewer bytes).
-        b0 = shuffle_write_bytes(spark)
-        results[label]["boiler_hash"] = time_op(
-            lambda: CO.boilerplate_ngrams(docs, n=5, top_k=20, hash_key=True)
-        )
-        b1 = shuffle_write_bytes(spark)
-        results[label]["boiler_str"] = time_op(
-            lambda: CO.boilerplate_ngrams(docs, n=5, top_k=20, hash_key=False)
-        )
-        b2 = shuffle_write_bytes(spark)
-        if b0 >= 0 and b1 >= 0 and b2 >= 0:  # any -1 sentinel poisons deltas
-            results[label]["boiler_hash_shuffle_mb"] = round((b1 - b0) / 1e6, 2)
-            results[label]["boiler_str_shuffle_mb"] = round((b2 - b1) / 1e6, 2)
+            run(res, "inverted_index", lambda: CO.build_inverted_index(docs))
+            # hash-keyed vs string-keyed boilerplate detection. Measured
+            # result (the reason hash_key is NOT the default): the hash
+            # plan's second scan costs ~1.8x wall locally while lz4
+            # shuffle compression erases most of the 8-byte-key
+            # advantage on low-entropy text (~10% fewer bytes).
+            run(res, "boiler_hash", lambda: CO.boilerplate_ngrams(
+                docs, n=5, top_k=20, hash_key=True))
+            run(res, "boiler_str", lambda: CO.boilerplate_ngrams(
+                docs, n=5, top_k=20, hash_key=False))
         docs.unpersist()
         # hot-bucket degradation: one identical-text bucket of ~n/3
         # members per band. Time must stay ~linear (sampled pairs are
@@ -232,11 +242,8 @@ def main() -> None:
         # chain construction — a dropped bucket would read 0.0 here).
         hotdocs = synth_boiler_docs(spark, n).cache()
         hotdocs.count()
-        results[label]["minhash_hotbucket"] = time_op(
-            lambda: DD.minhash_candidate_pairs(
-                hotdocs, "text", "doc_id", num_hashes=32, num_bands=8
-            )
-        )
+        run(res, "minhash_hotbucket", lambda: DD.minhash_candidate_pairs(
+            hotdocs, "text", "doc_id", num_hashes=32, num_bands=8))
         touched = (
             DD.minhash_candidate_pairs(
                 hotdocs, "text", "doc_id", num_hashes=32, num_bands=8
@@ -247,58 +254,73 @@ def main() -> None:
             .count()
         )
         n_boiler = (n + 2) // 3
-        results[label]["hot_member_recall"] = round(touched / n_boiler, 3)
+        res["hot_member_recall"] = round(touched / n_boiler, 3)
         hotdocs.unpersist()
         names = synth_names(spark, n).cache()
         names.count()
-        results[label]["fuzzy"] = time_op(
-            lambda: FZ.fuzzy_pairs(
-                names, "key", "name", block_col="block", max_dist=6, max_block_size=200
-            )
-        )
+        run(res, "fuzzy", lambda: FZ.fuzzy_pairs(
+            names, "key", "name", block_col="block", max_dist=6, max_block_size=200))
         names.unpersist()
         vecs = synth_vecs(spark, n).cache()
         vecs.count()
-        results[label]["embed_neardup"] = time_op(
-            lambda: SIM.embedding_near_dup_pairs(vecs, dim=32, threshold=0.9)
-        )
+        run(res, "embed_neardup", lambda: SIM.embedding_near_dup_pairs(
+            vecs, dim=32, threshold=0.9))
         vecs.unpersist()
-        # interval overlap: n intervals in n/20 key groups, width ~bucket;
-        # candidate pairs stay near-linear because the join is equi on
-        # (key, bucket), never an inequality nested loop
-        iv = (
-            spark.range(n)
-            .select(
-                (F.col("id") % (n // 20)).alias("k"),
-                (F.col("id") * 37 % 100000).alias("a_s"),
-                (F.col("id") * 37 % 100000 + 50 + F.col("id") % 100).alias("a_e"),
+        if label != "huge":
+            # interval overlap: n intervals in n/20 key groups, width
+            # ~bucket; candidate pairs stay near-linear because the join
+            # is equi on (key, bucket), never an inequality nested loop
+            iv = (
+                spark.range(n)
+                .select(
+                    (F.col("id") % (n // 20)).alias("k"),
+                    (F.col("id") * 37 % 100000).alias("a_s"),
+                    (F.col("id") * 37 % 100000 + 50 + F.col("id") % 100).alias("a_e"),
+                )
+                .cache()
             )
-            .cache()
-        )
-        iv.count()
-        iv2 = iv.select(
-            F.col("k"),
-            F.col("a_s").alias("b_s"),
-            F.col("a_e").alias("b_e"),
-        )
-        results[label]["interval_join"] = time_op(
-            lambda: R.interval_join(
+            iv.count()
+            iv2 = iv.select(
+                F.col("k"),
+                F.col("a_s").alias("b_s"),
+                F.col("a_e").alias("b_e"),
+            )
+            run(res, "interval_join", lambda: R.interval_join(
                 iv,
                 iv2,
                 left_range=("a_s", "a_e"),
                 right_range=("b_s", "b_e"),
                 bucket_width=128,
                 extra_keys=["k"],
-            )
-        )
-        iv.unpersist()
+            ))
+            iv.unpersist()
 
-    ratio_n = big / small
+    all_ops = ("exact", "span_dedup", "inverted_index", "minhash",
+               "minhash_hotbucket", "simhash", "jaccard", "boiler_hash",
+               "boiler_str", "fuzzy", "embed_neardup", "interval_join")
     scaling = {
         op: round(results["big"][op] / max(results["small"][op], 0.01), 1)
-        for op in ("exact", "span_dedup", "inverted_index", "minhash", "minhash_hotbucket", "simhash", "jaccard", "boiler_hash", "boiler_str", "fuzzy", "embed_neardup", "interval_join")
+        for op in all_ops
+        if op in results["big"]
     }
-    payload = {"results": results, "size_ratio": ratio_n, "time_ratio": scaling}
+    payload = {"results": results, "size_ratio": big / small, "time_ratio": scaling}
+    if huge_tier:
+        payload["size_ratio_huge"] = huge / small
+        payload["time_ratio_huge"] = {
+            op: round(results["huge"][op] / max(results["small"][op], 0.01), 1)
+            for op in all_ops
+            if op in results["huge"]
+        }
+        payload["shuffle_ratio_huge"] = {
+            op: round(
+                results["huge"][f"{op}_shuffle_mb"]
+                / max(results["small"][f"{op}_shuffle_mb"], 0.01),
+                1,
+            )
+            for op in all_ops
+            if f"{op}_shuffle_mb" in results["huge"]
+            and f"{op}_shuffle_mb" in results["small"]
+        }
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_local.json",
