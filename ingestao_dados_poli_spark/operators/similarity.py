@@ -409,7 +409,19 @@ def embedding_near_dup_pairs(
                 )
             ).alias("ts"),
         ).select("_id", "_v", "ts.tbl", "ts.sig")
-    cands = (
+    # The cosine verify runs IN-ROW on the expanded pair, BEFORE the
+    # cross-table dropDuplicates — its exchange then carries
+    # (id_a, id_b, score) at ~28 B/pair instead of two riding vectors
+    # (~0.5 KB/pair at dim 64). Measured at the 500k-vector scale rung:
+    # the score-after-dedup ordering shuffled 40 GB (3744x the 5k-row
+    # bytes); score-first is linear in pair count like the minhash and
+    # simhash paths, which already scored pre-dedup. Duplicate pairs
+    # from different tables carry identical scores, so dedup after
+    # scoring returns the same rows.
+    sim = cosine(F.col("p.id_a._v"), F.col("p.id_b._v")).cast("double")
+    if score_round is not None:
+        sim = F.round(sim, score_round)
+    return (
         salted_bucket_pairs(
             sigs.select(F.struct("_id", "_v").alias("doc"), "tbl", "sig"),
             ["tbl", "sig"],
@@ -419,16 +431,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("p.id_a._id").alias("id_a"),
             F.col("p.id_b._id").alias("id_b"),
-            F.col("p.id_a._v").alias("va"),
-            F.col("p.id_b._v").alias("vb"),
+            sim.alias("cos_sim"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    sim = cosine("va", "vb").cast("double")
-    if score_round is not None:
-        sim = F.round(sim, score_round)
-    return cands.select("id_a", "id_b", sim.alias("cos_sim")).filter(
-        F.col("cos_sim") >= threshold
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

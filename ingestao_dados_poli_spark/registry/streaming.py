@@ -857,3 +857,105 @@ def q190_streaming_gated_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("value_sum", 2).alias("total"),
     )
+
+
+# --------- 133. quarantine repair loop (gated MV → repair → re-admit)
+
+@q(
+    "q191_quarantine_repair",
+    """
+    SELECT CASE WHEN event_id % 4 = 2 THEN 'unknown' ELSE event_type END
+             AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q191_quarantine_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of q190's publish gate: quarantine is a WORK
+    QUEUE, not a graveyard. After the gated stream quarantines the
+    degraded shard, the repair loop reads the quarantined rows back,
+    applies a declared fix (null event_type → 'unknown'), RE-VALIDATES
+    the repaired batch through the same suite, and only then folds it
+    into the MV state — so the final MV covers the full changelog with
+    the repair visible in the keys, which is exactly what the oracle
+    computes (CASE WHEN on the corrupted shard). A repaired batch that
+    still fails the suite raises instead of folding — repair can't
+    become a bypass of the gate."""
+    import os
+    import tempfile
+
+    from ingestao_dados_poli_spark.operators import incremental as IC
+    from ingestao_dados_poli_spark.quality import Rule, Suite, validate
+    from ingestao_dados_poli_spark.streaming.stream_ops import (
+        quality_gated_foreach_batch,
+        state_partitions,
+    )
+
+    keys, measures = ["event_type"], ["value"]
+    suite = Suite("gated_mv", [Rule("not_null", "event_type")])
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q191_")
+    shard_dir = f"{work}/shards"
+    shard = F.pmod(F.col("event_id"), F.lit(4))
+    for i in range(4):
+        part = ev.filter(shard == i)
+        if i == 2:
+            part = part.withColumn("event_type", F.lit(None).cast("string"))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{shard_dir}/s={i}")
+
+    state: list[DataFrame] = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = IC.partial_aggregate(batch_df, keys, measures)
+        merged = (
+            IC.merge_aggregates(state[-1], delta, keys, measures)
+            if state
+            else delta
+        )
+        out = f"{work}/state_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        state.append(batch_df.sparkSession.read.parquet(out))
+
+    body = quality_gated_foreach_batch(
+        suite,
+        fold,
+        quarantine_dir=f"{work}/quarantine",
+        staging_dir=f"{work}/staging",
+    )
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{shard_dir}/s=*")
+    )
+    with state_partitions(spark, 8):
+        q_ = (
+            src.writeStream.foreachBatch(body)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+
+    # repair loop: quarantined rows -> declared fix -> RE-VALIDATE
+    # through the same suite -> fold as one more (batch_id-disjoint)
+    # delta. Validation failure raises: repair is not a gate bypass.
+    quarantined = spark.read.parquet(f"{work}/quarantine/batch_id=*")
+    repaired = quarantined.withColumn(
+        "event_type", F.coalesce(F.col("event_type"), F.lit("unknown"))
+    )
+    report = validate(repaired, suite)
+    if not report["certified"]:
+        raise AssertionError(f"repair did not certify: {report}")
+    fold(repaired, 1000 + len(state))
+    final = IC.finalize(state[-1], measures)
+    if os.path.isdir(f"{work}/staging") and any(
+        not d.startswith(("_", ".")) for d in os.listdir(f"{work}/staging")
+    ):
+        raise AssertionError("staging not drained after promotion")
+    return final.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("value_sum", 2).alias("total"),
+    )
