@@ -350,3 +350,58 @@ def triangle_count(
     ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     tri = wedges.join(ac, ["a", "c"], "left_semi")
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def bounded_reachability(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 4,
+) -> DataFrame:
+    """(src, dst, depth) — every pair reachable over DIRECTED edges in
+    at most ``max_depth`` hops, labeled with the MINIMAL hop count
+    (classic bounded BFS / transitive-closure prefix; the hierarchy
+    query behind org-chart rollups, BOM explosions and referral-chain
+    analytics).
+
+    Frontier-style expansion: round d joins the depth-(d-1) frontier
+    with the edge list, anti-joins the already-reached set so each pair
+    is emitted ONCE at its shortest depth (on general graphs the
+    recursive-CTE formulation would instead enumerate every PATH —
+    exponential on dense graphs; on out-degree-≤1 function graphs the
+    two agree, which is what q194's oracle exploits). Per round: one
+    equi-join on the frontier's dst (hash-uniform), one dropDuplicates
+    map-side-combined, one left_anti against reached; frontiers are
+    ``localCheckpoint``-ed so lineage stays flat, and the loop
+    early-exits on an empty frontier via ``isEmpty()`` (a 0/1-row
+    driver probe, not a data collect). Scale shape: cost is bounded by
+    the true k-hop neighborhood size — the anti-join keeps the
+    frontier from re-walking old ground, which is what makes BFS on a
+    100 TB edge list terminate instead of blowing up path-count-
+    exponentially.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = e.select(
+        F.col("_s").alias("src"), F.col("_d").alias("dst"), F.lit(1).alias("depth")
+    ).localCheckpoint(eager=True)
+    reached = frontier
+    for d in range(2, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["dst"] == e["_s"])
+            .select("src", F.col("_d").alias("dst"), F.lit(d).alias("depth"))
+            .join(reached.select("src", "dst"), ["src", "dst"], "left_anti")
+            .dropDuplicates(["src", "dst"])
+        )
+        # checkpoint BEFORE the empty-probe so the probe reads the
+        # materialized blocks instead of recomputing the join twice
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        frontier = nxt
+        reached = reached.unionByName(frontier)
+    return reached

@@ -1267,3 +1267,48 @@ def q177_rank_tie_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("topk_exact"),
         F.max("drnk").cast("long").alias("n_distinct_bands"),
     )
+
+
+# ---------------- 133. bounded transitive closure (iterative BFS)
+
+@q(
+    "q194_bounded_reachability",
+    """
+    WITH RECURSIVE e AS (
+        SELECT c_custkey AS s, c_custkey // 2 AS d
+        FROM customer WHERE c_custkey >= 2),
+    r AS (
+        SELECT s AS src, d AS dst, 1 AS depth FROM e
+        UNION ALL
+        SELECT r.src, e.d, r.depth + 1
+        FROM r JOIN e ON r.dst = e.s WHERE r.depth < 4)
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(src) AS BIGINT) AS sum_src,
+           CAST(sum(dst) AS BIGINT) AS sum_dst
+    FROM r GROUP BY 1
+    """,
+)
+def q194_bounded_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure (4-hop ancestry rollup) over a
+    derived referral tree — parent(k) = k div 2 over customer keys, the
+    org-chart/BOM-explosion query shape — via ``graph.
+    bounded_reachability``'s iterative frontier BFS (join + anti-join +
+    dropDuplicates per round, localCheckpoint lineage cuts, empty-
+    frontier early exit). The oracle is DuckDB's recursive CTE: on this
+    out-degree-≤1 function graph every (src, ancestor) pair has exactly
+    ONE path, so path enumeration (CTE) and min-depth BFS (engine)
+    provably coincide — giving an ITERATIVE distributed algorithm a
+    full value-hash check. Per-depth counts plus integer key-sum
+    checksums make the comparison exact with no float anywhere."""
+    customer = _t(spark, sf_dir, "customer")
+    edges = customer.filter(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("src"),
+        F.expr("c_custkey div 2").alias("dst"),
+    )
+    reach = G.bounded_reachability(edges, max_depth=4)
+    return reach.groupBy(F.col("depth").cast("int").alias("depth")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("src").cast("long").alias("sum_src"),
+        F.sum("dst").cast("long").alias("sum_dst"),
+    )

@@ -1259,3 +1259,312 @@ def q187_monthly_median_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("median_cents"),
         )
     )
+
+
+
+# --------- 132. LM-perplexity quality tiers / BPE merge induction
+
+# Perplexity-tier cut points, in millibits of mean per-token negative
+# log2-likelihood. CONFIGURATION (a real pipeline fixes these from a
+# held-out calibration run), shared verbatim by the Spark query and
+# the SQL oracle below.
+_Q192_VOCAB_K = 20
+
+_Q192_HEAD = 7800.0
+
+_Q192_TAIL = 8300.0
+
+
+@q(
+    "q192_perplexity_tiers",
+    f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    tok AS (SELECT doc_id, source, unnest(ws) AS word
+            FROM w WHERE len(ws) > 0),
+    wc AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM wc),
+    vocab AS (SELECT word, freq FROM wc
+              ORDER BY freq DESC, word LIMIT {_Q192_VOCAB_K}),
+    scored AS (
+        SELECT t.doc_id, t.source,
+               CASE WHEN v.word IS NOT NULL
+                    THEN CAST(round(1000 * log2(tot.total / v.freq)) AS BIGINT)
+                    ELSE CAST(round(1000 * log2(tot.total)) AS BIGINT)
+               END AS nll
+        FROM tok t CROSS JOIN tot LEFT JOIN vocab v USING (word)),
+    doc AS (SELECT doc_id, source, sum(nll) AS doc_nll, count(*) AS n_tok
+            FROM scored GROUP BY 1, 2),
+    tiered AS (
+        SELECT source,
+               CASE WHEN doc_nll::DOUBLE / n_tok < {_Q192_HEAD} THEN 'head'
+                    WHEN doc_nll::DOUBLE / n_tok < {_Q192_TAIL} THEN 'middle'
+                    ELSE 'tail' END AS tier,
+               doc_nll, n_tok
+        FROM doc)
+    SELECT source, tier,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_nll) AS BIGINT) AS sum_nll_millibits,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(round(sum(doc_nll)::DOUBLE / sum(n_tok), 2) AS DOUBLE)
+               AS mean_nll_millibits
+    FROM tiered GROUP BY 1, 2
+    """,
+)
+def q192_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality tiering (Wenzek et al. 2020):
+    score every document by mean per-token negative log-likelihood
+    under a unigram LM, cut the corpus into head/middle/tail tiers —
+    the standard pretraining-data quality split. Spark-first shape:
+    ONE tiny map-side-combined shuffle builds the word-frequency model,
+    the top-K vocab (20 rows) and the token total come back as a tiny
+    driver artifact, and scoring is then a PURE MAP — the vocab rides
+    into the plan as a literal map<word,freq> and per-doc NLL is an
+    in-row transform+aggregate over the token array, so the 100 TB
+    document scan is never exploded, joined, or re-shuffled per token
+    (vs the oracle's explode+join formulation). Final per-(source,
+    tier) rollup is the only other shuffle. Float discipline: NLL is
+    quantized to INTEGER millibits per token (round(1000*log2(...)))
+    so every downstream sum is exact integer math and the tier
+    comparison divides identical integers in both engines; the one
+    rounded double output divides two integer sums."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    tokens = docs.select(F.explode(ws).alias("word"))
+    wc = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # Two driver-side scalars off the vocab-sized agg result: the top-K
+    # model rows and the corpus token total (1 row) — tiny artifacts,
+    # same discipline as quality.py's checkpoint collect.
+    vocab_rows = (
+        wc.orderBy(F.col("freq").desc(), F.col("word")).limit(_Q192_VOCAB_K).collect()
+    )
+    total = float(wc.agg(F.sum("freq")).collect()[0][0])
+    model = F.create_map(
+        *[F.lit(x) for r in vocab_rows for x in (r["word"], r["freq"])]
+    )
+    oov_nll = F.round(F.log2(F.lit(total)) * 1000).cast("long")
+
+    def _tok_nll(t):
+        freq = F.element_at(model, t)
+        return F.when(
+            freq.isNotNull(),
+            F.round(F.log2(F.lit(total) / freq) * 1000).cast("long"),
+        ).otherwise(oov_nll)
+
+    scored = (
+        docs.select("source", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select(
+            "source",
+            F.aggregate(
+                F.transform(F.col("ws"), _tok_nll),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("doc_nll"),
+            F.size("ws").cast("long").alias("n_tok"),
+        )
+    )
+    mean_nll = F.col("doc_nll").cast("double") / F.col("n_tok")
+    tiered = scored.withColumn(
+        "tier",
+        F.when(mean_nll < _Q192_HEAD, "head")
+        .when(mean_nll < _Q192_TAIL, "middle")
+        .otherwise("tail"),
+    )
+    return tiered.groupBy("source", "tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_nll").cast("long").alias("sum_nll_millibits"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.round(
+            F.sum("doc_nll").cast("double") / F.sum("n_tok"), 2
+        ).cast("double").alias("mean_nll_millibits"),
+    )
+
+
+@q(
+    "q193_bpe_merge_pairs",
+    """
+    WITH w AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    tok AS (SELECT unnest(ws) AS word FROM w),
+    wc AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   range(1, length(word)),
+                   i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1)))
+                   AS pair,
+               freq
+        FROM wc WHERE length(word) >= 2)
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY 1
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def q193_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round (Sennrich et al. 2016): corpus-weighted
+    adjacent-character-pair frequencies — the statistic a byte-pair
+    tokenizer trainer computes each round to pick the next merge.
+    Spark-first shape: the corpus scan collapses to word counts FIRST
+    (one tiny map-side-combined shuffle — the pair enumeration then
+    runs over the DISTINCT VOCABULARY weighted by freq, not over 100 TB
+    of raw text), pairs are derived in-row from sequence()+substr (all
+    JVM codegen, no UDF), and the final count groups on the tiny
+    character-pair domain. Global top-20 with ties broken by pair text
+    so the cut is deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    wc = (
+        docs.select(F.explode(ws).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("word").substr(i, F.lit(1)),
+                    F.col("word").substr(i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+_Q195_BUCKETS = 16
+
+_Q195_TARGET_SRC = "src0"
+
+
+@q(
+    "q195_dsir_importance",
+    f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    tok AS (SELECT doc_id, source, unnest(ws) AS word
+            FROM w WHERE len(ws) > 0),
+    b AS (SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT)
+                     % {_Q195_BUCKETS} AS bucket
+          FROM tok),
+    dist AS (SELECT bucket, count(*) AS r_n,
+                    sum(CASE WHEN source = '{_Q195_TARGET_SRC}'
+                             THEN 1 ELSE 0 END) AS t_n
+             FROM b GROUP BY 1),
+    tots AS (SELECT sum(r_n) AS r_tot, sum(t_n) AS t_tot FROM dist),
+    lr AS (SELECT bucket,
+                  CAST(round(1000 * log2(
+                      ((t_n + 1)::DOUBLE / (t_tot + {_Q195_BUCKETS}))
+                      / ((r_n + 1)::DOUBLE / (r_tot + {_Q195_BUCKETS}))))
+                       AS BIGINT) AS lr
+           FROM dist CROSS JOIN tots),
+    docw AS (SELECT doc_id, source, sum(lr) AS w, count(*) AS n_tok
+             FROM b JOIN lr USING (bucket) GROUP BY 1, 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS sum_weight_millibits,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_target_like
+    FROM docw GROUP BY 1
+    """,
+)
+def q195_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via hashed importance resampling (Xie
+    et al. 2023): estimate target-domain vs raw-corpus unigram
+    distributions over HASHED feature buckets (md5 → 16 buckets, the
+    cross-engine-stable conv/substr hash), weight every document by its
+    tokens' summed log-ratio, and count the target-like (weight > 0)
+    docs per source — the published recipe for picking pretraining data
+    that "looks like" a small high-quality target set (here: src0).
+    Spark-first shape mirrors q192: ONE map-side-combined 16-group
+    shuffle estimates both distributions (conditional sums in the same
+    agg — no second scan for the target), the 16 log-ratios come back
+    as a tiny driver artifact WITH the rounding done engine-side
+    (Python's round() is banker's; Spark/DuckDB round half-up — doing
+    it driver-side was this query's first bug), and scoring is a pure
+    in-row transform+aggregate over each doc's token array against the
+    literal bucket→ratio map: the 100 TB scan is never exploded for
+    scoring. Integer-millibit quantization keeps every sum exact."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+
+    def _bucket(t):
+        return F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(_Q195_BUCKETS),
+        )
+
+    toks = docs.select("source", F.explode(ws).alias("word"))
+    dist = toks.groupBy(_bucket(F.col("word")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("r_n"),
+        F.sum(
+            F.when(F.col("source") == _Q195_TARGET_SRC, 1).otherwise(0)
+        ).alias("t_n"),
+    )
+    r_tot, t_tot = dist.agg(F.sum("r_n"), F.sum("t_n")).collect()[0]
+    lr_rows = dist.select(
+        "bucket",
+        F.round(
+            F.log2(
+                ((F.col("t_n") + 1) / F.lit(float(t_tot + _Q195_BUCKETS)))
+                / ((F.col("r_n") + 1) / F.lit(float(r_tot + _Q195_BUCKETS)))
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("lr"),
+    ).collect()
+    lr_map = F.create_map(
+        *[F.lit(x) for r in lr_rows for x in (r["bucket"], r["lr"])]
+    )
+    scored = (
+        docs.select("source", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select(
+            "source",
+            F.aggregate(
+                F.transform(
+                    F.col("ws"),
+                    lambda t: F.coalesce(
+                        F.element_at(lr_map, _bucket(t)), F.lit(0).cast("long")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("w"),
+            F.size("ws").cast("long").alias("n_tok"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("sum_weight_millibits"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.sum(F.when(F.col("w") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_target_like"),
+    )

@@ -161,3 +161,68 @@ def test_auto_selects_flood_for_clique_and_star_for_path(spark, monkeypatch):
     comps = G.connected_components(path).collect()
     assert {r.component for r in comps} == {0} and len(comps) == n
     assert calls == ["star"]
+
+
+def test_bounded_reachability_min_depth_vs_python_bfs(spark):
+    """Engine output must equal a per-source Python BFS (min hop count,
+    depth cap) on a graph with cycles, diamonds (two paths of unequal
+    length to the same node) and an isolated edge — the shapes where
+    path-enumeration and min-depth BFS disagree."""
+    edges = [
+        (1, 2), (2, 3), (3, 1),        # 3-cycle
+        (1, 4), (4, 5), (2, 5),        # diamond: 1->...->5 via 2 paths
+        (10, 11),                      # isolated edge
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.src, r.dst): r.depth
+        for r in G.bounded_reachability(df, max_depth=3).collect()
+    }
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    want = {}
+    for start in {s for s, _ in edges}:
+        frontier, seen, depth = [start], {start}, 0
+        while frontier and depth < 3:
+            depth += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in seen:
+                        seen.add(v)
+                        want[(start, v)] = depth
+                        nxt.append(v)
+            frontier = nxt
+    # BFS marks the start as seen (no self pair unless via a cycle);
+    # the engine emits (n, n) when a cycle returns to n — align the
+    # python side by allowing revisits of the start node.
+    for start in {s for s, _ in edges}:
+        frontier, dist = [start], {start: 0}
+        d = 0
+        while frontier and d < 3:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+                    elif v == start and (start, start) not in want:
+                        want[(start, start)] = d
+            frontier = nxt
+    assert got == want
+
+
+def test_bounded_reachability_early_exit_and_empty(spark):
+    # depth cap far beyond the graph's reach: loop must early-exit,
+    # results identical to the exact closure of a 3-chain
+    chain = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    rows = sorted(
+        (r.src, r.dst, r.depth)
+        for r in G.bounded_reachability(chain, max_depth=10).collect()
+    )
+    assert rows == [(1, 2, 1), (1, 3, 2), (2, 3, 1)]
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert G.bounded_reachability(empty, max_depth=3).count() == 0
