@@ -516,3 +516,24 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     # int8 noise may swap near-ties at the tail; demand recall@5 >= 4/5
     for qid, ids in by_q_exact.items():
         assert len(ids & by_q_quant[qid]) >= 4, (qid, ids, by_q_quant[qid])
+
+
+def test_auto_num_planes_scales_with_corpus():
+    # expected bucket size held constant: planes grow with log2(n)
+    assert SIM.auto_num_planes(1_000) == 8          # clamps at min
+    assert SIM.auto_num_planes(5_000) == 8
+    assert SIM.auto_num_planes(50_000) == 11
+    assert SIM.auto_num_planes(500_000) == 14
+    assert SIM.auto_num_planes(50_000_000) == 21
+    assert SIM.auto_num_planes(10**12) == 24        # clamps at max
+    assert SIM.auto_num_planes(0) == 8              # empty input safe
+
+
+def test_embedding_near_dup_auto_planes_keeps_identical_pairs(spark):
+    # identical vectors share signatures in EVERY table at ANY plane
+    # count, so auto mode must find them regardless of the operating
+    # point it picks
+    pairs = SIM.embedding_near_dup_pairs(
+        _vecs(spark), threshold=0.99, num_planes="auto", num_tables=8
+    ).collect()
+    assert (0, 4) in {(r.id_a, r.id_b) for r in pairs}

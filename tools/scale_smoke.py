@@ -264,7 +264,24 @@ def main() -> None:
         vecs = synth_vecs(spark, n).cache()
         vecs.count()
         run(res, "embed_neardup", lambda: SIM.embedding_near_dup_pairs(
-            vecs, dim=32, threshold=0.9))
+            vecs, dim=32, threshold=0.9, num_planes="auto"))
+        # recall over the PLANTED dup pairs (vec i duplicates i-1 when
+        # i % 10 == 1): identical vectors collide in every table at any
+        # plane count, so auto-planes must not cost planted recall —
+        # only the bucket-cap degradation path could, and this audits it.
+        pairs = SIM.embedding_near_dup_pairs(
+            vecs, dim=32, threshold=0.9, num_planes="auto"
+        ).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        planted = (
+            spark.range(1, n, 10)
+            .select((F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b"))
+        )
+        n_planted = planted.count()
+        found = planted.join(pairs, ["id_a", "id_b"], "left_semi").count()
+        res["embed_dup_recall"] = round(found / max(n_planted, 1), 3)
         vecs.unpersist()
         if label != "huge":
             # interval overlap: n intervals in n/20 key groups, width
