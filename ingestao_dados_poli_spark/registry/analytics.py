@@ -2466,3 +2466,137 @@ def q189_resurrected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ------------- 135. last-touch attribution / market-basket lift
+
+@q(
+    "q197_last_touch_attribution",
+    """
+    WITH w AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS channel
+        FROM events)
+    SELECT coalesce(channel, 'none') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q197_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase credits
+    the user's most recent NON-purchase event (ignore-nulls last_value
+    over an unbounded-preceding-to-1 frame), 'none' when the purchase
+    is the session opener. ONE shuffle — the per-user event-time window
+    — then a tiny channel rollup; no self-join, no as-of join (q33's
+    operator solves the two-table case; attribution is single-stream,
+    so the window IS the right plan at 100 TB: state per user = one
+    running value). Revenue summed in integer cents; (ts, event_id)
+    ordering makes the frame deterministic under equal timestamps."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channeled = events.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        channeled.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+@q(
+    "q198_basket_lift",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cnt AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY 1),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS c_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3)
+    SELECT part_a, part_b,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(ca.c AS BIGINT) AS c_a,
+           CAST(cb.c AS BIGINT) AS c_b,
+           CAST(round(n.n_orders * c_ab * 1.0 / (ca.c * cb.c), 4) AS DOUBLE)
+               AS lift
+    FROM pairs
+    JOIN cnt ca ON part_a = ca.l_partkey
+    JOIN cnt cb ON part_b = cb.l_partkey
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b LIMIT 15
+    """,
+)
+def q198_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: co-purchased part pairs with
+    support >= 3, ranked by LIFT = N * c_ab / (c_a * c_b) — the
+    recommender-bootstrap query. Scale shape: the pair generation is a
+    self-equi-join ON THE ORDER KEY, so fan-out per key is bounded by
+    basket size (~4 items -> ~6 pairs), never a cross product; item
+    counts broadcast (part dim << pair set); the support filter prunes
+    the tail BEFORE the lift join. Lift is a single expression over
+    exact integer counts — identical doubles on both engines — and the
+    top-15 cut is tie-broken by the part-id pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n_orders = items.select("l_orderkey").distinct().count()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ca = F.broadcast(cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")))
+    cb = F.broadcast(cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.round(
+                F.lit(n_orders) * F.col("c_ab") / (F.col("c_a") * F.col("c_b")),
+                4,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(15)
+    )

@@ -1699,3 +1699,41 @@ def q101_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("path").alias("n_paths"),
         F.countDistinct("ref").alias("n_refs"),
     )
+
+
+# --------------------- 134. correlated LATERAL subquery (SQL surface)
+
+_Q196_SQL = """
+    SELECT r_name, t.n_name, t.bal_cents
+    FROM {region} r, LATERAL (
+        SELECT n_name,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+        FROM {nation} n JOIN {customer} c ON c_nationkey = n_nationkey
+        WHERE n_regionkey = r.r_regionkey
+        GROUP BY n_name
+        ORDER BY bal_cents DESC, n_name LIMIT 2) t
+"""
+
+
+@q(
+    "q196_lateral_topk",
+    _Q196_SQL.format(region="region", nation="nation", customer="customer"),
+)
+def q196_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-region
+    top-2 nations by total customer balance, expressed as the SQL-
+    standard lateral join (the form analysts port from warehouses)
+    rather than the window-rank idiom (q12). The IDENTICAL SQL text
+    runs on both engines (q74's parity discipline); Catalyst
+    decorrelates the lateral into a join + per-group limit, DuckDB
+    runs its own lateral plan — two independent decorrelation paths,
+    one value-hash. Balances summed in integer CENTS so the top-2 cut
+    never rides a float ulp."""
+    _t(spark, sf_dir, "region").createOrReplaceTempView("q196_region")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("q196_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q196_customer")
+    return spark.sql(
+        _Q196_SQL.format(
+            region="q196_region", nation="q196_nation", customer="q196_customer"
+        )
+    )
