@@ -2600,3 +2600,77 @@ def q198_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(15)
     )
+
+
+# ---------------- 136. chi-square independence (event_type x weekday)
+
+@q(
+    "q199_chi_square_cells",
+    """
+    WITH cells AS (
+        SELECT event_type, EXTRACT(dow FROM ts) AS dow,
+               count(*) AS observed
+        FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, sum(observed) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT dow, sum(observed) AS c FROM cells GROUP BY 1),
+    n AS (SELECT sum(observed) AS n FROM cells)
+    SELECT cells.event_type,
+           CAST(cells.dow AS INT) AS dow,
+           CAST(observed AS BIGINT) AS observed,
+           CAST(round(1000.0 * r * c / n) AS BIGINT) AS expected_millis,
+           CAST(round(1000.0 * (observed - 1.0 * r * c / n)
+                             * (observed - 1.0 * r * c / n)
+                             / (1.0 * r * c / n)) AS BIGINT)
+               AS contrib_millis
+    FROM cells
+    JOIN rt USING (event_type)
+    JOIN ct USING (dow)
+    CROSS JOIN n
+    """,
+)
+def q199_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (event_type x weekday), reported as
+    the per-cell contribution table — the data-drift / seasonality
+    screen run before trusting a training-data time slice. Float
+    discipline: each cell's expected count and (O-E)^2/E contribution
+    is ONE closed-form expression over exact integer marginals,
+    quantized to millis — no float SUM anywhere, so engines can't
+    drift on accumulation order (the total statistic is then an exact
+    integer sum the reader can take downstream). Scale shape: one
+    map-side-combined groupBy on (type, dow) collapses 100 TB to a
+    35-cell table; marginals and N derive from the CELLS (tiny
+    re-aggs, broadcast back) — the raw stream is scanned ONCE.
+    Weekday alignment: Spark dayofweek() is 1=Sunday..7, DuckDB
+    EXTRACT(dow) is 0=Sunday..6 — the Spark side subtracts 1."""
+    events = _t(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    rt = cells.groupBy("event_type").agg(F.sum("observed").alias("r"))
+    ct = cells.groupBy("dow").agg(F.sum("observed").alias("c"))
+    n = cells.agg(F.sum("observed").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("observed").cast("long").alias("observed"),
+            # association mirrors the oracle text exactly (1000 first,
+            # division last) — a different fp evaluation order can flip
+            # a .5 rounding edge even when the math is "the same"
+            F.round(F.lit(1000.0) * F.col("r") * F.col("c") / F.col("n"))
+            .cast("long")
+            .alias("expected_millis"),
+            F.round(
+                F.lit(1000.0)
+                * (F.col("observed") - e)
+                * (F.col("observed") - e)
+                / e
+            )
+            .cast("long")
+            .alias("contrib_millis"),
+        )
+    )

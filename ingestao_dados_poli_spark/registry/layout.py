@@ -1389,3 +1389,53 @@ def q184_mergeschema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("quality").cast("long").alias("n_with_quality"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+# ----------------------- 138. ORC source/sink roundtrip
+
+@q(
+    "q201_orc_roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    WHERE l_returnflag <> 'N'
+    GROUP BY 1, 2
+    """,
+)
+def q201_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a first-class source/sink: lineitem lands as an ORC table
+    partitioned by l_returnflag (Spark's built-in ORC datasource — no
+    extra packages), is read back with a partition filter, and rolls up
+    revenue per (returnflag, linestatus). The filter prunes whole
+    partition DIRECTORIES at planning time (same pruning contract as
+    the parquet layout queries, q144/q146); the oracle computes the
+    identical rollup straight from the parquet source, so the
+    value-hash proves the ORC roundtrip is LOSSLESS for every column
+    that matters (decimal-as-double survives; cents quantization makes
+    the sum exact). Write is pid+sf-scoped and idempotent within a
+    session (bench runs every query twice)."""
+    import os as _os
+    import shutil as _shutil
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/q201_orc_{_os.getpid()}_{tag}"
+    orc_path = base + "/lineitem"
+    if not _os.path.exists(orc_path):
+        _shutil.rmtree(base, ignore_errors=True)
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_linestatus", "l_extendedprice")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .orc(orc_path)
+        )
+    back = spark.read.orc(orc_path).filter(F.col("l_returnflag") != "N")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

@@ -1312,3 +1312,116 @@ def q194_bounded_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("src").cast("long").alias("sum_src"),
         F.sum("dst").cast("long").alias("sum_dst"),
     )
+
+
+# -------------------- 137. golden-record survivorship (ER end-to-end)
+
+@q(
+    "q200_golden_record",
+    """
+    WITH RECURSIVE
+    edges AS (
+        SELECT a.p_partkey AS src, b.p_partkey AS dst
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+         AND abs(length(a.p_name) - length(b.p_name)) <= 12
+        WHERE levenshtein(a.p_name, b.p_name) <= 12
+    ),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    cc(node, label) AS (
+        SELECT p_partkey AS node, p_partkey AS label FROM part
+        UNION
+        SELECT s.dst AS node, cc.label
+        FROM cc JOIN sym s ON cc.node = s.src
+    ),
+    comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+    members AS (
+        SELECT comp.component, p.p_partkey, p.p_name,
+               CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM comp JOIN part p ON comp.node = p.p_partkey),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY component
+                   ORDER BY price_cents DESC, p_partkey ASC) AS rn
+        FROM members),
+    rolled AS (
+        SELECT component,
+               count(*) AS n_members,
+               sum(price_cents) AS total_price_cents
+        FROM members GROUP BY component)
+    SELECT r.component,
+           k.p_partkey AS canonical_partkey,
+           k.p_name AS canonical_name,
+           CAST(r.n_members AS BIGINT) AS n_members,
+           CAST(r.total_price_cents AS BIGINT) AS total_price_cents
+    FROM rolled r JOIN ranked k ON r.component = k.component AND k.rn = 1
+    WHERE r.n_members >= 3
+    """,
+)
+def q200_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END — the full golden-record pipeline a
+    master-data/dedup system runs, composed from the engine's own
+    operators: (1) blocked fuzzy matching (``fuzzy.fuzzy_pairs``,
+    length-banded levenshtein within (brand, size) blocks — q65's edge
+    set), (2) transitive closure into entity clusters
+    (``graph.connected_components``), (3) SURVIVORSHIP: one canonical
+    record per cluster by highest retail price (part id tiebreak) via
+    a per-component window rank, plus merged rollup attributes
+    (member count, total price in integer cents). Clusters under 3
+    members filtered out to keep the report to real multi-record
+    entities. Scale shape: pairs are block-bounded, the closure is
+    q65's flooding (diameter-2 dedup graphs), and survivorship is one
+    window over components — no step materializes a cross product.
+    Oracle: recursive-CTE closure + the same window, value-hashed."""
+    part = _t(spark, sf_dir, "part")
+    edges = FZ.fuzzy_pairs(
+        part.withColumn(
+            "_blk", F.concat_ws("|", "p_brand", F.col("p_size").cast("string"))
+        ),
+        key_col="p_partkey",
+        text_col="p_name",
+        block_col="_blk",
+        max_dist=12,
+    )
+    comps = G.connected_components(
+        edges,
+        src="key_a",
+        dst="key_b",
+        nodes=part.select(F.col("p_partkey").alias("node")),
+    )
+    members = comps.join(
+        part, comps["node"] == part["p_partkey"]
+    ).select(
+        "component",
+        "p_partkey",
+        "p_name",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("price_cents").desc(), F.col("p_partkey").asc()
+    )
+    canonical = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("p_partkey").alias("canonical_partkey"),
+            F.col("p_name").alias("canonical_name"),
+        )
+    )
+    rolled = members.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("price_cents").cast("long").alias("total_price_cents"),
+    )
+    return (
+        rolled.join(canonical, "component")
+        .filter(F.col("n_members") >= 3)
+        .select(
+            "component",
+            "canonical_partkey",
+            "canonical_name",
+            "n_members",
+            "total_price_cents",
+        )
+    )
