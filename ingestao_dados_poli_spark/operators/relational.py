@@ -452,3 +452,37 @@ def contiguous_ids(
         .withColumn(id_col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """The NEW join rows contributed by the deltas — the classic
+    incremental-view-maintenance delta rule for an inner join:
+
+        delta(A join B) = dA join B_old  UNION ALL
+                          A_old join dB  UNION ALL
+                          dA join dB
+
+    Maintaining a 100 TB join view on a daily delta then costs
+    |delta| x join-fanout instead of re-joining two full snapshots:
+    the two cross terms each stream ONE small side against one big
+    side (Spark broadcasts the delta when it fits, the common case),
+    and the dA x dB term is delta-sized on both sides. The caller
+    unions the result onto the previous view state (or folds it into
+    an aggregate the way q202 does). Only ``how='inner'`` is supported
+    — outer variants need retraction semantics (anti-join tombstones),
+    which is the streaming MV's job (stream_ops), not a batch delta.
+    """
+    if how != "inner":
+        raise ValueError("incremental_join_delta supports only inner joins")
+    return (
+        a_delta.join(b_old, on, "inner")
+        .unionByName(a_old.join(b_delta, on, "inner"))
+        .unionByName(a_delta.join(b_delta, on, "inner"))
+    )

@@ -1737,3 +1737,64 @@ def q196_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             region="q196_region", nation="q196_nation", customer="q196_customer"
         )
     )
+
+
+# --------------- 139. incremental join-view maintenance (delta rule)
+
+@q(
+    "q202_incremental_join_mv",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q202_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view by the delta rule
+    (``relational.incremental_join_delta``): both fact streams are
+    split at a cut date into old/delta (late-arriving rows on BOTH
+    sides), the view's aggregate state is folded as
+    agg(old JOIN old) ++ agg(delta-rule rows) — never re-joining the
+    two full snapshots. Because old/delta partition each input
+    completely, the four join terms tile the full join exactly, so the
+    plain full-join rollup is the oracle: the hash check proves the
+    delta rule loses and double-counts NOTHING (the bug class IVM
+    implementations actually have). At 100 TB the payoff is the cross
+    terms: each streams one DELTA (broadcastable) against one
+    snapshot, so a daily refresh costs |delta| x fanout, not
+    |snapshot|^2-ish re-joins. Aggregate fold works because sum/count
+    are abelian — the same reason the streaming MV (q154) can fold
+    micro-batches."""
+    cut = "1997-06-01"
+    a = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    b = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_shipdate",
+    )
+    a_old = a.filter(F.col("o_orderdate") < cut)
+    a_new = a.filter(F.col("o_orderdate") >= cut)
+    b_old = b.filter(F.col("l_shipdate") < cut)
+    b_new = b.filter(F.col("l_shipdate") >= cut)
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+
+    state_old = _agg(a_old.join(b_old, "o_orderkey"))
+    state_delta = _agg(
+        R.incremental_join_delta(a_old, a_new, b_old, b_new, "o_orderkey")
+    )
+    return (
+        state_old.unionByName(state_delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )

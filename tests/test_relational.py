@@ -340,3 +340,35 @@ def test_incremental_agg_finalize_avg(spark):
     df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["k", "x"])
     out = IC.finalize(IC.partial_aggregate(df, ["k"], ["x"]), ["x"]).collect()[0]
     assert out["n"] == 2 and out["x_avg"] == 1.5
+
+
+def test_incremental_join_delta_tiles_full_join(spark):
+    """old/delta splits of both sides: old-old + the three delta terms
+    must tile the full join exactly — keys present only in old, only
+    in delta, and straddling both."""
+    import pyspark.sql.functions as F
+    from ingestao_dados_poli_spark.operators import relational as R
+
+    a = spark.createDataFrame(
+        [(1, "a1", 0), (2, "a2", 0), (2, "a2d", 1), (3, "a3d", 1)],
+        ["k", "av", "is_new"],
+    )
+    b = spark.createDataFrame(
+        [(1, "b1", 0), (3, "b3", 0), (1, "b1d", 1), (4, "b4d", 1)],
+        ["k", "bv", "is_new"],
+    )
+    a_old = a.filter("is_new = 0").select("k", "av")
+    a_new = a.filter("is_new = 1").select("k", "av")
+    b_old = b.filter("is_new = 0").select("k", "bv")
+    b_new = b.filter("is_new = 1").select("k", "bv")
+    full = {tuple(r) for r in a.join(b, "k").select("k", "av", "bv").collect()}
+    tiled = a_old.join(b_old, "k").unionByName(
+        R.incremental_join_delta(a_old, a_new, b_old, b_new, "k")
+    )
+    got = [tuple(r) for r in tiled.select("k", "av", "bv").collect()]
+    assert len(got) == len(full) and set(got) == full  # no loss, no dupes
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        R.incremental_join_delta(a_old, a_new, b_old, b_new, "k", how="left")
