@@ -1798,3 +1798,93 @@ def q202_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# ----------------- 140. spatial radius join via grid bucketing
+
+@q(
+    "q203_grid_radius_join",
+    """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10000 AS x,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#y'),
+                                    1, 15)) AS BIGINT) % 10000 AS y
+        FROM customer),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum,
+           CAST(sum(d2) AS BIGINT) AS d2_sum
+    FROM pairs
+    """,
+)
+def q203_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join WITHOUT a spatial engine: points (synthetic
+    integer coordinates hashed from the key — exact cross-engine) are
+    bucketed into radius-sized grid cells; side A explodes into its
+    3x3 cell neighborhood, the join is EQUI on the cell key, and the
+    exact integer distance check runs as a post-join filter. Every
+    true pair matches in exactly ONE (offset, cell) combination —
+    cells are radius-sized, so within-radius points differ by at most
+    one cell per axis — giving 9x row fan-out on one side in exchange
+    for turning an inequality join (quadratic nested loop at 100 TB)
+    into a shuffled hash join bounded by cell density. The oracle IS
+    the naive quadratic formulation — same result through opposite
+    plans, which is the whole point. All-integer arithmetic: the
+    radius boundary can't float-flip."""
+    radius = 50
+    cust = _t(spark, sf_dir, "customer")
+
+    def _h(expr):
+        return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+
+    key_s = F.col("c_custkey").cast("string")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (_h(key_s) % 10000).alias("x"),
+        (_h(F.concat(key_s, F.lit("#y"))) % 10000).alias("y"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.expr(f"xa div {radius}") + F.col("o.dx")).alias("cx"),
+        (F.expr(f"ya div {radius}") + F.col("o.dy")).alias("cy"),
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x div {radius}").alias("cx"),
+        F.expr(f"y div {radius}").alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= radius * radius))
+        .select("id_a", "id_b", d2.alias("d2"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_checksum"),
+        F.sum("d2").cast("long").alias("d2_sum"),
+    )
