@@ -1425,3 +1425,91 @@ def q200_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price_cents",
         )
     )
+
+
+# ------------- 141. minhash dedup END-TO-END (pairs -> CC -> survivors)
+
+@q(
+    "q204_minhash_dedup_e2e",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         u AS (SELECT doc_id, text FROM base
+               UNION ALL
+               SELECT doc_id + 100000 AS doc_id, text FROM base
+               WHERE doc_id < 100),
+         g AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                          AS key
+               FROM u),
+         k AS (SELECT key, min(doc_id) AS canon, count(*) AS sz,
+                      sum(doc_id) AS id_sum
+               FROM g GROUP BY key)
+    SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_survivors,
+           CAST(sum(sz) - count(*) AS BIGINT) AS n_removed,
+           CAST(sum(id_sum) - sum(canon) AS BIGINT) AS removed_id_checksum
+    FROM k
+    """,
+)
+def q204_minhash_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup END-TO-END through the production composition:
+    MinHash banded candidates (q27's full kernel) → identical-
+    fingerprint filter (the provable subset — recall 1.0 by
+    pigeonhole) → connected components → lowest-id survivor per
+    cluster → corpus survival report. What q27 proves for the PAIR
+    stage this proves for the whole pipeline: a wiring bug in the
+    closure (lost singleton, merged clusters) or in survivorship
+    (wrong canonical) moves n_survivors or the removed-id checksum and
+    fails the hash. The oracle collapses to exact-dup groups because
+    the provable-subset filter keeps exactly the identical-text edges;
+    the ENGINE still runs the full probabilistic machinery to find
+    them. Components uses flooding (dedup graphs are diameter-≤2
+    cliques here); singletons come from the explicit node set."""
+    from ingestao_dados_poli_spark.functions.text import fingerprint
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        "doc_id", "text"
+    )
+    copies = base.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    u = base.unionByName(copies)
+    fp = u.select(F.col("doc_id"), fingerprint("text").alias("_fp"))
+    pairs = DD.minhash_candidate_pairs(
+        u, "text", "doc_id", num_hashes=32, num_bands=8, k=5
+    )
+    edges = (
+        pairs.join(
+            fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("_fa")),
+            "id_a",
+        )
+        .join(
+            fp.select(F.col("doc_id").alias("id_b"), F.col("_fp").alias("_fb")),
+            "id_b",
+        )
+        .filter(F.col("_fa") == F.col("_fb"))
+        .select("id_a", "id_b")
+    )
+    comps = G.connected_components(
+        edges,
+        src="id_a",
+        dst="id_b",
+        nodes=u.select(F.col("doc_id").alias("node")),
+    )
+    # component label IS the min member id — the survivor
+    return comps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("node") == F.col("component")).cast("long"))
+        .cast("long")
+        .alias("n_survivors"),
+        F.sum((F.col("node") != F.col("component")).cast("long"))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(
+            F.when(F.col("node") != F.col("component"), F.col("node")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("removed_id_checksum"),
+    )

@@ -959,3 +959,119 @@ def q191_quarantine_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("value_sum", 2).alias("total"),
     )
+
+
+# ---------- 142. streaming incremental JOIN-view maintenance (IVM)
+
+@q(
+    "q205_streaming_join_mv",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey <= 60000
+    GROUP BY 1
+    """,
+)
+def q205_streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A JOIN view maintained INCREMENTALLY under real micro-batching:
+    orders and lineitem rows are multiplexed into ONE tagged changelog
+    (the CDC-bus reality: one topic, many tables), re-sharded into 4
+    files and streamed with maxFilesPerTrigger=1. Each foreachBatch
+    splits its slice into dA/dB, computes the IVM delta rows against
+    the snapshots accumulated SO FAR (``relational.
+    incremental_join_delta`` — q202's rule, now under arbitrary
+    interleaving), folds their aggregate into an MV-delta log, then
+    appends dA/dB to the snapshots. The final MV = one rollup of the
+    delta log, and the oracle is the PLAIN FULL JOIN: the hash passes
+    only if the rule is exact under EVERY batching the file source
+    happens to produce (same-mtime files arrive in arbitrary order —
+    the delta rule's order-invariance is precisely what's being
+    proven). Per-batch cost is |delta| x fanout; the snapshots grow
+    but are only ever probed by delta-sized joins."""
+    import tempfile
+    import uuid
+
+    # key-RANGE slice (not modulo): the harness — micro-batching,
+    # snapshot growth, delta joins — is what's under test, not raw
+    # volume, and a range predicate prunes parquet row groups at the
+    # scan where a modulo filter forces a full read (unsliced this was
+    # the bench's #1 offender at 17s for no extra proof)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 60000)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 60000)
+    chg = (
+        orders.select(
+            F.lit("A").alias("side"),
+            F.col("o_orderkey"),
+            F.col("o_orderpriority"),
+            F.lit(None).cast("long").alias("cents"),
+        )
+        .unionByName(
+            li.select(
+                F.lit("B").alias("side"),
+                F.col("l_orderkey").alias("o_orderkey"),
+                F.lit(None).cast("string").alias("o_orderpriority"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+    )
+    work = tempfile.mkdtemp(prefix="q205_")
+    shard_dir = f"{work}/shards"
+    chg.repartition(3).write.mode("overwrite").parquet(shard_dir)
+
+    # cross-batch state: snapshots as localCheckpoint-ed unions (block
+    # storage, no parquet round-trip per batch) and the MV-delta log as
+    # a driver-side list of <=5-row aggregate slices (tiny artifact —
+    # the durable-parquet-snapshot variant of this loop is q91's job)
+    state: dict = {"a": None, "b": None, "mv": []}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        d_a = batch_df.filter(F.col("side") == "A").select(
+            "o_orderkey", "o_orderpriority"
+        ).localCheckpoint(eager=True)
+        d_b = batch_df.filter(F.col("side") == "B").select(
+            "o_orderkey", "cents"
+        ).localCheckpoint(eager=True)
+        a_old = state["a"] if state["a"] is not None else s.createDataFrame([], d_a.schema)
+        b_old = state["b"] if state["b"] is not None else s.createDataFrame([], d_b.schema)
+        delta = R.incremental_join_delta(a_old, d_a, b_old, d_b, "o_orderkey")
+        state["mv"].extend(
+            delta.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+            .collect()
+        )
+        # fold deltas into the snapshots AFTER the delta rows are
+        # computed — the rule joins each delta against the PRE-batch
+        # state; folding in first would double-count dA x dB
+        state["a"] = a_old.unionByName(d_a)
+        state["b"] = b_old.unionByName(d_b)
+
+    src = (
+        spark.readStream.schema(chg.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(shard_dir)
+    )
+    from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
+
+    with state_partitions(spark, 8):
+        query = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{work}/ck_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    assert len(state["mv"]) > 5, "expected MV deltas from multiple batches"
+    mv = spark.createDataFrame(state["mv"])
+    return mv.groupBy("o_orderpriority").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+    )

@@ -1568,3 +1568,68 @@ def q195_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_target_like"),
     )
+
+
+@q(
+    "q206_novelty_decay",
+    """
+    WITH d AS (
+        SELECT source, doc_id,
+               ntile(10) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS decile,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    tok AS (SELECT source, decile, unnest(ws) AS word FROM d),
+    tot AS (SELECT source, decile, count(*) AS n_tokens
+            FROM tok GROUP BY 1, 2),
+    firsts AS (SELECT source, word, min(decile) AS first_decile
+               FROM tok GROUP BY 1, 2),
+    novel AS (SELECT source, first_decile AS decile,
+                     count(*) AS n_novel_words
+              FROM firsts GROUP BY 1, 2)
+    SELECT tot.source, CAST(tot.decile AS INT) AS decile,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(n_novel_words, 0) AS BIGINT) AS n_novel_words
+    FROM tot LEFT JOIN novel
+      ON tot.source = novel.source AND tot.decile = novel.decile
+    """,
+)
+def q206_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-saturation curve: docs are split into 10 per-source
+    deciles by ingest order, and each decile reports its token volume
+    and how many words appear there for the FIRST time — the
+    diminishing-novelty signal dataset curators read before deciding
+    whether more of a source is worth crawling (a flat tail means new
+    data is mostly repetition). All-integer outputs; ntile's
+    deterministic floor split and the min-decile first-occurrence make
+    the cut identical across engines. Scale shape: one window on
+    (source, doc order), then two map-side-combined aggregations over
+    (source, decile) and (source, word) — the (source, word) agg is
+    vocabulary-sized, not corpus-sized, after the map-side combine."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    d = docs.select(
+        "source",
+        F.ntile(10)
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .cast("int")
+        .alias("decile"),
+        ws.alias("ws"),
+    )
+    tok = d.select("source", "decile", F.explode("ws").alias("word"))
+    tot = tok.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    firsts = tok.groupBy("source", "word").agg(F.min("decile").alias("decile"))
+    novel = firsts.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).alias("n_novel_words")
+    )
+    return tot.join(novel, ["source", "decile"], "left").select(
+        "source",
+        "decile",
+        "n_tokens",
+        F.coalesce("n_novel_words", F.lit(0)).cast("long").alias("n_novel_words"),
+    )
