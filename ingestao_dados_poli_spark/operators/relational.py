@@ -486,3 +486,35 @@ def incremental_join_delta(
         .unionByName(a_old.join(b_delta, on, "inner"))
         .unionByName(a_delta.join(b_delta, on, "inner"))
     )
+
+
+def differential_skew_join(
+    a: DataFrame,
+    b: DataFrame,
+    on_key: str,
+    hot_count_threshold: int,
+) -> DataFrame:
+    """Inner equi-join that routes HOT keys (fact-side frequency above
+    ``hot_count_threshold``) through a broadcast path and everything
+    else through the normal shuffle join — the differential/two-path
+    skew strategy for when ONE key owns a meaningful share of a 100 TB
+    fact table and would pin a single reducer in a plain shuffle join.
+
+    One pre-pass counts fact-side key frequencies (map-side combined,
+    key-cardinality-sized); the hot-key set is assumed TINY (that's
+    what "skew" means) and broadcasts three times: to split each input
+    and to ship the hot slice of ``b``. The union's two legs shuffle
+    disjoint key ranges, so total shuffle work is the cold keys only.
+    Equivalent to the plain join row-for-row — q208's oracle is
+    exactly that equivalence. Complements ``salted_join`` (which
+    spreads one mega-key across reducers); differential is the right
+    tool when the hot side's MATCHING rows are small enough to
+    broadcast, salting when they are not."""
+    freq = a.groupBy(on_key).agg(F.count(F.lit(1)).alias("_cnt"))
+    hot = freq.filter(F.col("_cnt") > hot_count_threshold).select(on_key)
+    a_hot = a.join(F.broadcast(hot), on_key, "left_semi")
+    a_cold = a.join(F.broadcast(hot), on_key, "left_anti")
+    b_hot = b.join(F.broadcast(hot), on_key, "left_semi")
+    hot_path = a_hot.join(F.broadcast(b_hot), on_key, "inner")
+    cold_path = a_cold.join(b, on_key, "inner")
+    return hot_path.unionByName(cold_path)

@@ -1888,3 +1888,99 @@ def q203_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_checksum"),
         F.sum("d2").cast("long").alias("d2_sum"),
     )
+
+
+# ---------- 141. join-cardinality estimation / differential skew join
+
+@q(
+    "q207_join_cardinality_estimate",
+    """
+    WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+    exact AS (SELECT sum(c * c) AS exact_pairs FROM c),
+    s AS (SELECT l_partkey FROM lineitem
+          WHERE substr(md5(CAST(l_orderkey * 100000 + l_partkey AS VARCHAR)),
+                       1, 8) < '1999999a'),
+    ch AS (SELECT l_partkey, count(*) AS ch FROM s GROUP BY 1),
+    est AS (SELECT sum(100 * ch * ch - 90 * ch) AS est_pairs FROM ch)
+    SELECT CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           CAST(est_pairs AS BIGINT) AS est_pairs,
+           CAST(round(1000.0 * (est_pairs - exact_pairs) / exact_pairs)
+                AS BIGINT) AS err_permille
+    FROM exact CROSS JOIN est
+    """,
+)
+def q207_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate a self-join's output size BEFORE running it — the
+    planner question behind every "will this blow up?" check:
+    |A join A on k| = sum_k c(k)^2, estimated from a DETERMINISTIC 10%
+    Bernoulli sample (md5-prefix membership on the row key — same
+    hash, same rows, in both engines) with the UNBIASED integer
+    estimator 100*ch^2 - 90*ch per key (E[ch^2] = f^2 c^2 + f(1-f)c
+    under Bernoulli(f=0.1), so the correction term kills the
+    small-count bias that naive 1/f^2 scaling inflates). Everything is
+    exact integer arithmetic except the final error ratio (one
+    division). Scale shape: two map-side-combined aggs on the join
+    key — the estimate costs a sample scan, never the join; that
+    asymmetry is the entire reason query planners sample."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    exact = c.agg(F.sum(F.col("c") * F.col("c")).alias("exact_pairs"))
+    row_key = (F.col("l_orderkey") * 100000 + F.col("l_partkey")).cast("string")
+    s = li.filter(F.substring(F.md5(row_key), 1, 8) < "1999999a")
+    ch = s.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ch"))
+    est = ch.agg(
+        F.sum(
+            F.lit(100) * F.col("ch") * F.col("ch") - F.lit(90) * F.col("ch")
+        ).alias("est_pairs")
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            F.col("exact_pairs").cast("long").alias("exact_pairs"),
+            F.col("est_pairs").cast("long").alias("est_pairs"),
+            F.round(
+                F.lit(1000.0)
+                * (F.col("est_pairs") - F.col("exact_pairs"))
+                / F.col("exact_pairs")
+            )
+            .cast("long")
+            .alias("err_permille"),
+        )
+    )
+
+
+@q(
+    "q208_differential_skew_join",
+    """
+    SELECT s_name,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1
+    """,
+)
+def q208_differential_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-path skew join through ``relational.differential_skew_join``:
+    suppliers whose fact-side frequency exceeds the threshold take a
+    broadcast path (their matching dim rows ship to the mappers), the
+    cold tail takes the normal shuffle join, and the union feeds one
+    rollup. The oracle is the PLAIN single-path join — the hash passes
+    only if the routing loses and duplicates nothing, i.e. the two
+    legs partition the key space exactly. Threshold is set so both
+    paths are non-empty on the testdata (~600 rows/supplier mean);
+    complements q60 (salting — for when even the hot slice of the dim
+    can't broadcast)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    n_li = li.count()
+    n_sup = sup.count()
+    # ~mean frequency: routes the above-average half hot, the rest cold
+    joined = R.differential_skew_join(li, sup, "s_suppkey", n_li // max(n_sup, 1))
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

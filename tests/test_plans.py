@@ -320,3 +320,46 @@ def test_q137_span_dedup_no_cartesian_or_generate_explosion(spark, sf_dir):
     # spans expand in-row from ONE posexplode; reassembly is array_sort,
     # not a second generator pass
     assert plan.count("Generate") <= 2
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """The 100 TB planning story depends on AQE re-planning from TRUE
+    shuffle sizes: a heavily filtered build side whose FILE size
+    estimate blocks a static broadcast must still end up a
+    BroadcastHashJoin once AQE sees the actual bytes. Forced here by
+    dropping the static threshold to 1 byte (static plan = SMJ) while
+    leaving the ADAPTIVE threshold at the session default."""
+    from pyspark.sql import functions as F
+
+    from ingestao_dados_poli_spark.session import scoped_conf
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderkey < 100"
+    )
+    with scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "1"), \
+            scoped_conf(
+                spark, "spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"
+            ):
+        df = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final[:2000]
+    assert "isFinalPlan=true" in final
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """A 6-group aggregate at the session's 32-way shuffle default must
+    coalesce its post-shuffle partitions (AQEShuffleRead) instead of
+    running 32 near-empty reducers — per-reducer overhead is what
+    coalescing exists to kill on the small stages of a big DAG."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in final, final[:2000]
+    assert df.rdd.getNumPartitions() < 32
