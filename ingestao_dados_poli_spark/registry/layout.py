@@ -1439,3 +1439,57 @@ def q201_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+# ------------------- 139. corrupt-record tolerant JSONL ingest
+
+@q(
+    "q209_corrupt_record_ingest",
+    """
+    SELECT CASE WHEN event_id % 7 = 0 THEN '_corrupt'
+                ELSE event_type END AS event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q209_corrupt_record_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest reality check: a JSONL feed where a deterministic
+    subset of lines (event_id % 7 == 0) is TRUNCATED mid-object must
+    load in PERMISSIVE mode with the bad lines captured in
+    columnNameOfCorruptRecord — never a failed job (FAILFAST is for
+    CI, not a 100 TB backfill), never silent row loss (DROPMALFORMED's
+    failure mode). The query writes the feed itself (corruption rule =
+    pure function of the row), reads it back tolerant, and reports
+    parsed counts per type plus the '_corrupt' bucket; the oracle
+    derives the same histogram from the clean source table, so a
+    parser that drops, duplicates, or mis-buckets any line fails the
+    hash. Scan-side only — corrupt handling adds no shuffle."""
+    import os as _os
+    import shutil as _shutil
+
+    events = _t(spark, sf_dir, "events")
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/q209_jsonl_{_os.getpid()}_{tag}"
+    feed = f"{base}/feed"
+    if not _os.path.exists(feed):
+        _shutil.rmtree(base, ignore_errors=True)
+        line = F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string")),
+        ).otherwise(
+            F.to_json(F.struct("event_id", "event_type", "value"))
+        )
+        events.select(line.alias("value")).write.mode("overwrite").text(feed)
+    back = (
+        spark.read.schema(
+            "event_id long, event_type string, value double, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(feed)
+    )
+    return back.groupBy(
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

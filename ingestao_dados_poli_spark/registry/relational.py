@@ -1984,3 +1984,41 @@ def q208_differential_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ------------------ 142. pandas-on-Spark API parity
+
+@q(
+    "q210_pandas_api_parity",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def q210_pandas_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas front door: the identical rollup expressed through
+    pyspark.pandas (read_parquet → assign → groupby.agg →
+    reset_index → to_spark) — the surface a pandas-fluent analyst
+    actually types — value-hashed against plain SQL. Everything
+    compiles to the SAME Catalyst plans as the DataFrame API (the
+    assign/round/astype chain is column expressions, the groupby one
+    map-side-combined shuffle), so the parity check proves the
+    convenience layer costs no correctness; integer cents keep the
+    sums exact. Distributed-index caveats don't bite: no positional
+    ops, the group key is the only index used and it's reset before
+    handing back a DataFrame."""
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    psdf = psdf.assign(
+        cents=(psdf.o_totalprice * 100).round().astype("int64")
+    )
+    out = (
+        psdf.groupby("o_orderpriority")
+        .agg(n_orders=("o_orderkey", "count"), total_cents=("cents", "sum"))
+        .reset_index()
+    )
+    return out.to_spark()
