@@ -28,7 +28,7 @@ data collection beyond one number.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -405,3 +405,68 @@ def bounded_reachability(
         frontier = nxt
         reached = reached.unionByName(frontier)
     return reached
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    rounds: int = 2,
+) -> DataFrame:
+    """(node, label) after ``rounds`` of SYNCHRONOUS label propagation
+    with a deterministic tie-break — community detection for graphs
+    where connected components are too coarse (everything touching
+    everything through weak links) and modularity methods too
+    expensive. Labels start as node ids; each round every node adopts
+    the most frequent label among its neighbors, ties broken by the
+    SMALLEST label (classic LPA is randomized and order-dependent —
+    useless for an oracle; the sync+min variant is a pure function of
+    the graph, which is what lets q211 value-hash it against unrolled
+    SQL rounds).
+
+    Per round: one join of the symmetrized edge list against current
+    labels (hash-uniform on node id), one map-side-combined
+    (node, label) count, one per-node window rank to pick the
+    winner, and a left join back so ISOLATED nodes keep their label.
+    ``localCheckpoint`` cuts lineage each round like the other
+    iterative operators. Rounds is a cap, not a convergence test —
+    LPA on adversarial graphs can oscillate under synchronous update,
+    so a fixed small round count IS the algorithm here.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).filter(
+        F.col("_s").isNotNull() & F.col("_d").isNotNull()
+    )
+    sym = e.unionByName(
+        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).localCheckpoint(eager=True)
+    if nodes is None:
+        nodes = sym.select(F.col("_s").alias("node")).distinct()
+    else:
+        nodes = nodes.select(F.col(node_col).alias("node"))
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("_c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        neigh = (
+            sym.join(
+                labels.select(F.col("node").alias("_d"), "label"), "_d"
+            )
+            .groupBy(F.col("_s").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        winner = (
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node", F.coalesce("_new", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

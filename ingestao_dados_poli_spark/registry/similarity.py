@@ -1513,3 +1513,77 @@ def q204_minhash_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("removed_id_checksum"),
     )
+
+
+# --------------- 143. label-propagation communities (sync, oracled)
+
+@q(
+    "q211_label_propagation",
+    """
+    WITH edges AS (
+        SELECT a.p_partkey AS src, b.p_partkey AS dst
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+         AND abs(length(a.p_name) - length(b.p_name)) <= 12
+        WHERE levenshtein(a.p_name, b.p_name) <= 12),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    l0 AS (SELECT p_partkey AS node, p_partkey AS label FROM part),
+    r1c AS (SELECT s.src AS node, l.label, count(*) AS c
+            FROM sym s JOIN l0 l ON s.dst = l.node GROUP BY 1, 2),
+    r1 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label ASC) rn
+             FROM r1c) WHERE rn = 1),
+    l1 AS (SELECT l0.node, coalesce(r1.label, l0.label) AS label
+           FROM l0 LEFT JOIN r1 ON l0.node = r1.node),
+    r2c AS (SELECT s.src AS node, l.label, count(*) AS c
+            FROM sym s JOIN l1 l ON s.dst = l.node GROUP BY 1, 2),
+    r2 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label ASC) rn
+             FROM r2c) WHERE rn = 1),
+    l2 AS (SELECT l1.node, coalesce(r2.label, l1.label) AS label
+           FROM l1 LEFT JOIN r2 ON l1.node = r2.node)
+    SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_communities,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(label) AS BIGINT) AS label_checksum
+    FROM l2
+    """,
+)
+def q211_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection one notch finer than connected components:
+    2 rounds of SYNCHRONOUS label propagation (most-frequent neighbor
+    label, ties to the smallest) over q65's fuzzy-match graph — the
+    variant of LPA that is a pure function of the graph, so an
+    ITERATIVE community algorithm gets a full value-hash: the oracle
+    unrolls the same two rounds as chained CTEs (q131's discipline).
+    Classic randomized LPA could never be oracled — determinism here
+    is an algorithm choice, not a test convenience. Engine side is
+    ``graph.label_propagation``: per round one edge-label join, one
+    map-side-combined (node,label) count, one per-node window, one
+    carry-join for isolated nodes."""
+    part = _t(spark, sf_dir, "part")
+    edges = FZ.fuzzy_pairs(
+        part.withColumn(
+            "_blk", F.concat_ws("|", "p_brand", F.col("p_size").cast("string"))
+        ),
+        key_col="p_partkey",
+        text_col="p_name",
+        block_col="_blk",
+        max_dist=12,
+    )
+    labels = G.label_propagation(
+        edges,
+        src="key_a",
+        dst="key_b",
+        nodes=part.select(F.col("p_partkey").alias("node")),
+        rounds=2,
+    )
+    return labels.agg(
+        F.countDistinct("label").cast("long").alias("n_communities"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("label").cast("long").alias("label_checksum"),
+    )

@@ -1633,3 +1633,86 @@ def q206_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.coalesce("n_novel_words", F.lit(0)).cast("long").alias("n_novel_words"),
     )
+
+
+@q(
+    "q212_zipf_slope",
+    """
+    WITH w AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+    wc AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+    ranked AS (SELECT word, freq,
+                      row_number() OVER (ORDER BY freq DESC, word ASC)
+                          AS rank
+               FROM wc),
+    pts AS (SELECT CAST(round(1000 * log2(rank)) AS BIGINT) AS x,
+                   CAST(round(1000 * log2(freq)) AS BIGINT) AS y
+            FROM ranked),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_words,
+           CAST(round(1000.0 * (n * sxy - sx * sy)
+                      / (n * sxx - sx * sx)) AS BIGINT) AS slope_milli,
+           CAST(round((1.0 * sy - (1000.0 * (n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx)) * sx / 1000.0)
+                      / n) AS BIGINT) AS intercept_milli
+    FROM s
+    """,
+)
+def q212_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope of log2(freq) on log2(rank)
+    over the corpus vocabulary — the one-number natural-language
+    sanity check (real text slopes near -1; generated or templated
+    corpora flatten, a contamination/synthetic-data tell). Float
+    discipline stacks q192's millibit quantization with q99's
+    closed-form moments: each point's (x, y) is individually quantized
+    to integer millis, the five regression moments are EXACT integer
+    sums, and the slope/intercept are single closed-form expressions
+    whose association order mirrors the oracle text exactly — no float
+    accumulation anywhere in a fit over arbitrarily many points. One
+    map-side-combined word count + a vocabulary-sized window."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    wc = (
+        docs.select(F.explode(ws).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = wc.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+        ),
+    )
+    pts = ranked.select(
+        F.round(F.log2("rank") * 1000).cast("long").alias("x"),
+        F.round(F.log2("freq") * 1000).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.lit(1000.0)
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_words"),
+        F.round(slope).cast("long").alias("slope_milli"),
+        F.round(
+            (F.lit(1.0) * F.col("sy") - slope * F.col("sx") / F.lit(1000.0))
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("intercept_milli"),
+    )

@@ -226,3 +226,30 @@ def test_bounded_reachability_early_exit_and_empty(spark):
     assert rows == [(1, 2, 1), (1, 3, 2), (2, 3, 1)]
     empty = spark.createDataFrame([], "src long, dst long")
     assert G.bounded_reachability(empty, max_depth=3).count() == 0
+
+
+def test_label_propagation_sync_deterministic(spark):
+    """Two triangles joined by one bridge edge: after 2 sync rounds
+    each triangle converges to its own min label (the bridge can't
+    outvote two triangle neighbors), and an isolated node keeps its
+    own label. Re-running must give the identical labeling — the
+    determinism that makes q211 oracle-able."""
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 10, 11, 12, 99]], ["node"])
+    out1 = {
+        (r.node, r.label)
+        for r in G.label_propagation(df, nodes=nodes, rounds=2).collect()
+    }
+    out2 = {
+        (r.node, r.label)
+        for r in G.label_propagation(df, nodes=nodes, rounds=2).collect()
+    }
+    assert out1 == out2
+    labels = dict(out1)
+    assert labels[99] == 99  # isolated keeps its label
+    assert labels[1] == labels[2] == labels[3] == 1  # triangle A -> min 1
+    # triangle B: 11 and 12 see {10,11,12} -> min-tie 10; 10's own
+    # neighborhood includes bridge node 3, but two round-1 votes for
+    # label 1 (10 and 3 adopt it) can't outnumber its triangle
+    assert labels[11] == labels[12]
