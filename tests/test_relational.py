@@ -372,3 +372,31 @@ def test_incremental_join_delta_tiles_full_join(spark):
 
     with _pytest.raises(ValueError):
         R.incremental_join_delta(a_old, a_new, b_old, b_new, "k", how="left")
+
+
+def test_differential_skew_join_equals_plain_join(spark):
+    """Routing must be invisible: all-hot (threshold 0), all-cold
+    (threshold huge) and mixed thresholds all reproduce the plain
+    inner join row-for-row, including duplicate join keys on both
+    sides and keys missing from either input."""
+    import pyspark.sql.functions as F
+    from ingestao_dados_poli_spark.operators import relational as R
+
+    a = spark.createDataFrame(
+        [(i % 5, f"a{i}") for i in range(40)] + [(9, "a_only")], ["k", "av"]
+    )
+    b = spark.createDataFrame(
+        [(k, f"b{k}{j}") for k in range(4) for j in range(2)] + [(8, "b_only")],
+        ["k", "bv"],
+    )
+    plain = sorted(
+        tuple(r) for r in a.join(b, "k").select("k", "av", "bv").collect()
+    )
+    for threshold in (0, 5, 10**9):
+        got = sorted(
+            tuple(r)
+            for r in R.differential_skew_join(a, b, "k", threshold)
+            .select("k", "av", "bv")
+            .collect()
+        )
+        assert got == plain, threshold
