@@ -2674,3 +2674,229 @@ def q199_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contrib_millis"),
         )
     )
+
+
+# ------- 137. sketch algebra / interval coalescing / robust outliers
+
+@q(
+    "q213_hll_sketch_algebra",
+    """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS merge_consistent,
+           TRUE AS est_within_5pct
+    FROM events
+    """,
+)
+def q213_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch algebra — the cube-building primitive at
+    100 TB: per-slice HLL sketches union to the global sketch with NO
+    rescan (Datasketches HLL via hll_sketch_agg / hll_union_agg;
+    register-wise max makes union(sketch(A), sketch(B)) IDENTICAL to
+    sketch(A ∪ B), so pre-aggregated rollups re-aggregate exactly).
+    The query computes the distinct-user estimate BOTH ways — one
+    direct sketch, and per-event-type partials union-merged — and
+    self-asserts (q129 pattern) that the two estimates are EQUAL and
+    within 5% of the exact count; a violated invariant raises instead
+    of returning rows. The oracle pins the exact count and the two
+    invariant flags. Driver traffic: three scalars."""
+    ev = _t(spark, sf_dir, "events")
+    row = (
+        ev.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.groupBy("event_type")
+                .agg(F.hll_sketch_agg("user_id").alias("sk"))
+                .agg(
+                    F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged")
+                )
+            )
+        )
+        .collect()[0]
+    )
+    if row["direct"] != row["merged"]:
+        raise AssertionError(
+            f"sketch union not consistent: {row['direct']} != {row['merged']}"
+        )
+    if abs(row["direct"] - row["exact"]) > 0.05 * max(row["exact"], 1):
+        raise AssertionError(
+            f"HLL estimate {row['direct']} outside 5% of exact {row['exact']}"
+        )
+    return spark.createDataFrame(
+        [(int(row["exact"]), True, True)],
+        "n_exact long, merge_consistent boolean, est_within_5pct boolean",
+    )
+
+
+@q(
+    "q214_interval_merge",
+    """
+    WITH iv AS (
+        SELECT o_custkey,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                   + (o_orderkey % 14 + 1) * 86400 AS e,
+               o_orderkey
+        FROM orders),
+    flagged AS (
+        SELECT o_custkey, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                     OR s > max(e) OVER (
+                        PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_grp
+        FROM iv),
+    grp AS (
+        SELECT o_custkey, s, e,
+               sum(new_grp) OVER (
+                   PARTITION BY o_custkey ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM flagged),
+    merged AS (
+        SELECT o_custkey, g, min(s) AS ms, max(e) AS me, count(*) AS n_raw
+        FROM grp GROUP BY 1, 2)
+    SELECT o_custkey,
+           CAST(sum(n_raw) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_merged,
+           CAST(sum(me - ms) AS BIGINT) AS covered_seconds
+    FROM merged GROUP BY 1
+    """,
+)
+def q214_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (merge overlapping per-key windows) — the
+    availability/billing/session primitive q112's overlap COUNT does
+    not give you: each customer's order-activity intervals collapse to
+    their disjoint union via the classic single-window algorithm (new
+    group when the start clears the running max of prior ends, group
+    id = running sum of the flag, then min/max per group). TWO window
+    passes over one per-key shuffle, no self-join — at 100 TB this is
+    the formulation that works, because the q112-style pair join is
+    quadratic in per-key interval count while this is n log n sort.
+    All-integer epoch arithmetic; (s, e, orderkey) ordering breaks
+    ties identically in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    epoch = F.floor(
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    ).cast("long")
+    iv = orders.select(
+        "o_custkey",
+        epoch.alias("s"),
+        (epoch + (F.col("o_orderkey") % 14 + 1) * 86400).alias("e"),
+        "o_orderkey",
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_max = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "o_custkey",
+        "s",
+        "e",
+        F.when(prior_max.isNull() | (F.col("s") > prior_max), 1)
+        .otherwise(0)
+        .alias("new_grp"),
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = flagged.select(
+        "o_custkey", "s", "e", F.sum("new_grp").over(w_run).alias("g")
+    )
+    merged = grp.groupBy("o_custkey", "g").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    return merged.groupBy("o_custkey").agg(
+        F.sum("n_raw").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_seconds"),
+    )
+
+
+@q(
+    "q215_mad_outliers",
+    """
+    WITH x AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS x2
+        FROM orders),
+    med AS (SELECT o_orderpriority,
+                   quantile_cont(x2, 0.5) AS med2
+            FROM x GROUP BY 1),
+    dev AS (SELECT x.o_orderpriority, x2, med2, abs(x2 - med2) AS dev2
+            FROM x JOIN med USING (o_orderpriority)),
+    mad AS (SELECT o_orderpriority, med2,
+                   quantile_cont(dev2, 0.5) AS mad2
+            FROM dev GROUP BY 1, 2)
+    SELECT d.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(m.med2 / 2 AS DOUBLE) AS median_cents,
+           CAST(m.mad2 / 2 AS DOUBLE) AS mad_cents,
+           CAST(sum(CASE WHEN 2 * d.dev2 > 10 * m.mad2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.o_orderpriority = m.o_orderpriority
+    GROUP BY 1, 3, 4
+    """,
+)
+def q215_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median absolute deviation per priority
+    with a 5xMAD cut — the heavy-tail-safe variant of q73's z-score
+    (one fat order drags a mean+stddev gate, not a median+MAD one).
+    Exactness trick stacked twice: prices enter as DOUBLED integer
+    cents so the first median interpolates to an exact integer, and
+    the outlier comparison is 2*dev > 10*mad so BOTH sides stay
+    integer-valued even when the second median lands on a half — no
+    rounding guard anywhere (q187's lesson, applied to nested
+    quantiles). Two grouped exact percentiles + one broadcast join
+    back; the 100 TB swap is percentile_approx."""
+    orders = _t(spark, sf_dir, "orders")
+    x = orders.select(
+        "o_orderpriority",
+        (F.round(F.col("o_totalprice") * 100).cast("long") * 2).alias("x2"),
+    )
+    med = x.groupBy("o_orderpriority").agg(
+        F.percentile("x2", F.lit(0.5)).alias("med2")
+    )
+    dev = x.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med2",
+        F.abs(F.col("x2") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("o_orderpriority", "med2").agg(
+        F.percentile("dev2", F.lit(0.5)).alias("mad2")
+    )
+    return (
+        dev.join(
+            F.broadcast(mad.select("o_orderpriority", "mad2")), "o_orderpriority"
+        )
+        .groupBy(
+            "o_orderpriority",
+            (F.col("med2") / 2).cast("double").alias("median_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.max((F.col("mad2") / 2).cast("double")).alias("mad_cents"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 10 * F.col("mad2"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "median_cents",
+            "mad_cents",
+            "n_outliers",
+        )
+    )

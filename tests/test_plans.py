@@ -364,3 +364,40 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in final, final[:2000]
     assert df.rdd.getNumPartitions() < 32
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim filter must inject
+    a bloom_filter_agg semi-filter into the FACT scan side when
+    broadcast is off — the shuffle-join fallback that still prunes
+    99% of fact rows before the exchange at 100 TB. Size gates are
+    lowered because local testdata never crosses the 10GB application
+    threshold; the conf scope restores the session defaults."""
+    from pyspark.sql import functions as F
+
+    from ingestao_dados_poli_spark.session import scoped_conf
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_totalprice > 400000"
+    )
+    with scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"), \
+            scoped_conf(
+                spark,
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                "0",
+            ), \
+            scoped_conf(
+                spark,
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                "100MB",
+            ):
+        df = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        n = df.collect()[0]["n"]
+    assert "bloom_filter_agg" in plan, plan[:1500]
+    assert "might_contain" in plan
+    assert n > 0
