@@ -2682,7 +2682,7 @@ def q199_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q213_hll_sketch_algebra",
     """
     SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-           TRUE AS merge_consistent,
+           TRUE AS merge_within_2pct,
            TRUE AS est_within_5pct
     FROM events
     """,
@@ -2690,15 +2690,18 @@ def q199_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q213_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch algebra — the cube-building primitive at
     100 TB: per-slice HLL sketches union to the global sketch with NO
-    rescan (Datasketches HLL via hll_sketch_agg / hll_union_agg;
-    register-wise max makes union(sketch(A), sketch(B)) IDENTICAL to
-    sketch(A ∪ B), so pre-aggregated rollups re-aggregate exactly).
-    The query computes the distinct-user estimate BOTH ways — one
-    direct sketch, and per-event-type partials union-merged — and
-    self-asserts (q129 pattern) that the two estimates are EQUAL and
-    within 5% of the exact count; a violated invariant raises instead
-    of returning rows. The oracle pins the exact count and the two
-    invariant flags. Driver traffic: three scalars."""
+    rescan (Datasketches HLL via hll_sketch_agg / hll_union_agg). The
+    query computes the distinct-user estimate BOTH ways — one direct
+    sketch, and per-event-type partials union-merged — and
+    self-asserts (q129 pattern) that the two agree within 2% and that
+    the direct estimate is within 5% of the exact count; a violated
+    invariant raises instead of returning rows. (First cut asserted
+    EQUALITY — true while sketches stay sparse, found false at sf0.1:
+    once a sketch goes dense the union gadget's target representation
+    shifts the estimator by a few counts, 1488 vs 1494 of 1500. The
+    honest mergeability contract is closeness, not bit-equality.)
+    The oracle pins the exact count and the two invariant flags.
+    Driver traffic: three scalars."""
     ev = _t(spark, sf_dir, "events")
     row = (
         ev.agg(
@@ -2716,9 +2719,9 @@ def q213_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]
     )
-    if row["direct"] != row["merged"]:
+    if abs(row["direct"] - row["merged"]) > 0.02 * max(row["direct"], 1):
         raise AssertionError(
-            f"sketch union not consistent: {row['direct']} != {row['merged']}"
+            f"sketch union inconsistent: {row['direct']} vs {row['merged']}"
         )
     if abs(row["direct"] - row["exact"]) > 0.05 * max(row["exact"], 1):
         raise AssertionError(
@@ -2726,7 +2729,7 @@ def q213_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.createDataFrame(
         [(int(row["exact"]), True, True)],
-        "n_exact long, merge_consistent boolean, est_within_5pct boolean",
+        "n_exact long, merge_within_2pct boolean, est_within_5pct boolean",
     )
 
 
