@@ -2903,3 +2903,250 @@ def q215_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@q(
+    "q216_theta_sketch_setops",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value > 50.0),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM a
+                 WHERE user_id IN (SELECT user_id FROM b)) AS BIGINT)
+               AS n_inter,
+           CAST((SELECT count(*) FROM (SELECT user_id FROM a UNION
+                                       SELECT user_id FROM b)) AS BIGINT)
+               AS n_union,
+           CAST((SELECT count(*) FROM a
+                 WHERE user_id NOT IN (SELECT user_id FROM b)) AS BIGINT)
+               AS n_diff,
+           TRUE AS sketch_within_2pct
+    """,
+)
+def q216_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA — the piece HLL (q213) cannot do:
+    union AND intersection AND difference of distinct-user sets, all
+    from two single-pass sketches (Datasketches Theta via
+    theta_sketch_agg / theta_union / theta_intersection /
+    theta_difference). At 100 TB the audience-overlap question
+    ("how many high-value purchasers also hit errors?") needs no
+    re-scan per set expression: per-segment sketches are built once in
+    one pass (FILTER'd aggs) and every boolean combination is sketch
+    arithmetic on KB-sized payloads. Self-asserts (q129 pattern) each
+    sketch estimate within 2% of the exactly-computed answer — theta
+    stays in exact mode below its nominal-entries threshold, so at
+    test SFs the estimates are exact, and the margin covers sampling
+    mode at real scale. Output pins the exact counts; a violated
+    invariant raises instead of returning rows. Driver traffic: one
+    row of scalars."""
+    ev = _t(spark, sf_dir, "events")
+    a = (F.col("event_type") == "purchase") & (F.col("value") > 50.0)
+    b = F.col("event_type") == "error"
+    row = (
+        ev.agg(
+            F.expr(
+                "theta_sketch_agg(user_id) FILTER"
+                " (WHERE event_type = 'purchase' AND value > 50.0d)"
+            ).alias("sk_a"),
+            F.expr(
+                "theta_sketch_agg(user_id) FILTER (WHERE event_type = 'error')"
+            ).alias("sk_b"),
+            F.count_distinct(F.when(a, F.col("user_id"))).alias("n_a"),
+            F.count_distinct(F.when(b, F.col("user_id"))).alias("n_b"),
+            F.count_distinct(F.when(a | b, F.col("user_id"))).alias("n_union"),
+        )
+        .select(
+            F.expr("theta_sketch_estimate(sk_a)").alias("est_a"),
+            F.expr("theta_sketch_estimate(sk_b)").alias("est_b"),
+            F.expr(
+                "theta_sketch_estimate(theta_union(sk_a, sk_b))"
+            ).alias("est_union"),
+            F.expr(
+                "theta_sketch_estimate(theta_intersection(sk_a, sk_b))"
+            ).alias("est_inter"),
+            F.expr(
+                "theta_sketch_estimate(theta_difference(sk_a, sk_b))"
+            ).alias("est_diff"),
+            "n_a",
+            "n_b",
+            "n_union",
+        )
+        .collect()[0]
+    )
+    n_inter = row["n_a"] + row["n_b"] - row["n_union"]
+    n_diff = row["n_a"] - n_inter
+    for est, exact, tag in [
+        (row["est_a"], row["n_a"], "a"),
+        (row["est_b"], row["n_b"], "b"),
+        (row["est_union"], row["n_union"], "union"),
+        (row["est_inter"], n_inter, "inter"),
+        (row["est_diff"], n_diff, "diff"),
+    ]:
+        if abs(est - exact) > 0.02 * max(exact, 50):
+            raise AssertionError(f"theta {tag}: est {est} vs exact {exact}")
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_a"]),
+                int(row["n_b"]),
+                int(n_inter),
+                int(row["n_union"]),
+                int(n_diff),
+                True,
+            )
+        ],
+        "n_a long, n_b long, n_inter long, n_union long, n_diff long,"
+        " sketch_within_2pct boolean",
+    )
+
+
+@q(
+    "q217_kll_quantile_merge",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25)
+               AS p25_cents,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.50)
+               AS p50_cents,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75)
+               AS p75_cents,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95)
+               AS p95_cents,
+           TRUE AS sketch_rank_within_3pct
+    FROM lineitem
+    """,
+)
+def q217_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches (Datasketches KLL, k=200) — exact
+    percentiles need a full sort per question; at 100 TB the
+    per-partition KLL partials merge associatively (kll_sketch_merge
+    fold over collect_list of 8 slice partials — the same
+    partial→combine shape a 1000-executor tree aggregation runs), so
+    price-distribution quantiles come from one pass and KB-sized
+    state. Self-assert (q129 pattern): each sketch quantile's EXACT
+    rank — recomputed against the data in a second scalar agg, not the
+    sketch's own claim — must sit within 3% normalized rank of the
+    target (k=200 guarantees ~1.65% at 99% confidence); violation
+    raises. Output pins exact interpolated percentiles over integer
+    cents (midpoints are binary-exact — the q187/q215 trick), which is
+    what the DuckDB oracle pins too. Driver traffic: two scalar
+    rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.pmod(F.col("l_orderkey"), F.lit(8)).alias("slice"),
+    )
+    partials = li.groupBy("slice").agg(
+        F.expr("kll_sketch_agg_bigint(cents, 200)").alias("sk")
+    )
+    row = (
+        partials.agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.expr(
+                "aggregate(slice(sks, 2, size(sks)), sks[0],"
+                " (acc, x) -> kll_sketch_merge_bigint(acc, x))"
+            ).alias("merged")
+        )
+        .join(
+            li.agg(
+                F.percentile("cents", F.lit(0.25)).alias("p25"),
+                F.percentile("cents", F.lit(0.50)).alias("p50"),
+                F.percentile("cents", F.lit(0.75)).alias("p75"),
+                F.percentile("cents", F.lit(0.95)).alias("p95"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        .select(
+            "*",
+            *[
+                F.expr(
+                    f"kll_sketch_get_quantile_bigint(merged, {qq}d)"
+                ).alias(f"v{tag}")
+                for qq, tag in [(0.25, 25), (0.5, 50), (0.75, 75), (0.95, 95)]
+            ],
+        )
+        .collect()[0]
+    )
+    # the sketch's quantile values get their rank re-derived EXACTLY
+    # from the data — a foldable-literal scan, and a stronger check
+    # than asking the sketch to grade its own homework
+    ranks = li.agg(
+        *[
+            F.avg(
+                (F.col("cents") <= F.lit(int(row[f"v{tag}"]))).cast("double")
+            ).alias(f"r{tag}")
+            for tag in [25, 50, 75, 95]
+        ]
+    ).collect()[0]
+    for qq, tag in [(0.25, 25), (0.5, 50), (0.75, 75), (0.95, 95)]:
+        r = ranks[f"r{tag}"]
+        if abs(r - qq) > 0.03:
+            raise AssertionError(f"kll quantile q{tag} has exact rank {r}")
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n"]),
+                float(row["p25"]),
+                float(row["p50"]),
+                float(row["p75"]),
+                float(row["p95"]),
+                True,
+            )
+        ],
+        "n_lines long, p25_cents double, p50_cents double, p75_cents double,"
+        " p95_cents double, sketch_rank_within_3pct boolean",
+    )
+
+
+@q(
+    "q218_topk_sketch_combine",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1 ORDER BY n_events DESC, event_type
+    """,
+)
+def q218_topk_sketch_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items sketches (Datasketches Frequent Items
+    via approx_top_k_accumulate / _combine / _estimate) — the
+    heavy-hitters primitive: per-slice partials (8 user-hash slices
+    standing in for per-executor partials) combine associatively into
+    the global top-k with NO per-slice rescan. With maxItemsTracked=64
+    >= the distinct-item count nothing is ever evicted, so the sketch
+    counts are EXACT and the query self-asserts (q129 pattern) a
+    full-outer reconciliation against the exact groupBy — any missing
+    item or count drift raises. At real cardinality the same plan
+    degrades gracefully to epsilon-bounded estimates. Output is the
+    exact ranking; ties broken by item for cross-engine determinism.
+    Driver traffic: one 5-row result."""
+    ev = _t(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        F.pmod(F.xxhash64("user_id"), F.lit(8)).alias("slice")
+    ).agg(F.expr("approx_top_k_accumulate(event_type, 64)").alias("st"))
+    est = (
+        partials.agg(
+            F.expr(
+                "approx_top_k_estimate(approx_top_k_combine(st, 64), 5)"
+            ).alias("top")
+        )
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("long").alias("n_events"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    bad = (
+        est.join(exact, "event_type", "full")
+        .where(
+            F.col("n_events").isNull()
+            | F.col("n_exact").isNull()
+            | (F.col("n_events") != F.col("n_exact"))
+        )
+        .count()
+    )
+    if bad:
+        raise AssertionError(f"approx_top_k merge not exact: {bad} mismatches")
+    return est.orderBy(F.desc("n_events"), "event_type")
