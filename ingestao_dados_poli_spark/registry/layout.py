@@ -1493,3 +1493,68 @@ def q209_corrupt_record_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("event_type"))
         .alias("event_type")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@q(
+    "q221_file_governance_metadata",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(ceil(count(*) / 500.0) AS BIGINT) AS n_files,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q221_file_governance_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size governance via the hidden `_metadata` column — the
+    small-file/fat-file audit every 100 TB table needs: orders land
+    hive-partitioned by priority with maxRecordsPerFile=500 after a
+    repartition on the partition column (one task owns each priority,
+    so the writer's file split is DETERMINISTIC: ceil(rows/500) files
+    per directory). The read-back groups on `_metadata.file_name` —
+    Spark's zero-cost per-file lineage, no filename UDF, no extra
+    scan column materialized on disk — and the query SELF-ASSERTS
+    (q129 pattern) that every partition's observed file count equals
+    the governance target before returning; drift raises. The oracle
+    never sees the files and pins the same ceil arithmetic from row
+    counts, so the value-hash proves both the layout contract and the
+    roundtrip. Write is pid+sf-scoped and idempotent within a session
+    (bench runs every query twice)."""
+    import os as _os
+    import shutil as _shutil
+
+    base = f"/tmp/q221_meta_{_os.getpid()}_{_os.path.basename(sf_dir)}"
+    _shutil.rmtree(base, ignore_errors=True)
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    (
+        od.repartition(F.col("o_orderpriority"))
+        .write.option("maxRecordsPerFile", 500)
+        .partitionBy("o_orderpriority")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base).select(
+        "o_orderpriority", "cents", F.col("_metadata.file_name").alias("fn")
+    )
+    out = (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("fn").cast("long").alias("n_files"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .withColumn(
+            "files_expected",
+            F.ceil(F.col("n_rows") / F.lit(500)).cast("long"),
+        )
+    )
+    bad = out.where(F.col("n_files") != F.col("files_expected")).count()
+    if bad:
+        raise AssertionError(f"file governance violated for {bad} partitions")
+    return out.select(
+        "o_orderpriority", "n_rows", "n_files", "total_cents"
+    ).orderBy("o_orderpriority")

@@ -2022,3 +2022,118 @@ def q210_pandas_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .reset_index()
     )
     return out.to_spark()
+
+
+@q(
+    "q219_recursive_hierarchy",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth,
+             CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+      FROM supplier WHERE s_suppkey < 10
+      UNION ALL
+      SELECT s.s_suppkey, c.root, c.depth + 1,
+             CAST(round(s.s_acctbal * 100) AS BIGINT)
+      FROM supplier s JOIN chain c ON s.s_suppkey // 10 = c.node
+      WHERE s.s_suppkey >= 10
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(count(DISTINCT root) AS BIGINT) AS n_roots,
+           CAST(sum(cents) AS BIGINT) AS acctbal_cents
+    FROM chain GROUP BY depth ORDER BY depth
+    """,
+)
+def q219_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4's WITH RECURSIVE) — the
+    hierarchy-walk the engine previously expressed as a driver loop
+    (q194's bounded_reachability) now runs entirely inside Catalyst:
+    suppliers form a decimal-radix forest (parent = suppkey DIV 10,
+    suppkeys < 10 are roots), and the recursion carries (root, depth)
+    down every chain. Depth is log10(n) — each recursion step is one
+    equi-join against the base table, so a 100 TB dimension resolves
+    in ~8 rounds with Catalyst free to broadcast the shrinking
+    frontier. The oracle is the character-identical recursive CTE in
+    DuckDB (// is its integer DIV); per-depth node counts, distinct
+    roots, and acctbal cents value-hash across engines."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+    import os as _os
+
+    view = f"q219_sup_{_os.getpid()}"
+    sup.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth, cents
+          FROM {view} WHERE s_suppkey < 10
+          UNION ALL
+          SELECT s.s_suppkey, c.root, c.depth + 1, s.cents
+          FROM {view} s JOIN chain c ON s.s_suppkey DIV 10 = c.node
+          WHERE s.s_suppkey >= 10
+        )
+        SELECT CAST(depth AS INT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(count(DISTINCT root) AS BIGINT) AS n_roots,
+               CAST(sum(cents) AS BIGINT) AS acctbal_cents
+        FROM chain GROUP BY depth ORDER BY depth
+    """)
+
+
+@q(
+    "q220_xml_roundtrip",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(sum(o_orderkey % 97) AS BIGINT) AS id_pmod_sum
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q220_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a first-class semi-structured format (Spark 4 built-in
+    to_xml/from_xml — the spark-xml package folded into core): every
+    order serializes to an XML doc (attribute `_id` + nested element
+    fields), parses back through a typed schema, and rolls up per
+    (status, priority). Both directions are JVM expressions inside
+    whole-stage codegen — no UDF, no extra pass — so the XML hop adds
+    zero shuffles to the plan. The value-hash against the oracle
+    (which never sees XML) proves the roundtrip is LOSSLESS for ids
+    (pmod fingerprint), enum fields, and integer cents. The same plan
+    shape ingests real XML feeds at scale: schema-typed from_xml over
+    a text scan, then ordinary relational ops."""
+    od = _t(spark, sf_dir, "orders")
+    xml = od.select(
+        F.to_xml(
+            F.struct(
+                F.col("o_orderkey").alias("_id"),
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents"),
+                F.col("o_orderpriority").alias("priority"),
+            ),
+            {"rowTag": "order"},
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc",
+            "_id BIGINT, status STRING, cents BIGINT, priority STRING",
+            {"rowTag": "order"},
+        ).alias("o")
+    ).select("o.*")
+    return (
+        parsed.groupBy(
+            F.col("status").alias("o_orderstatus"),
+            F.col("priority").alias("o_orderpriority"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum(F.pmod("_id", F.lit(97))).cast("long").alias("id_pmod_sum"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
