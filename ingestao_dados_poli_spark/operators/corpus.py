@@ -546,3 +546,53 @@ def lookup_all_terms(
         .filter(F.col("_nt") == len(probe))
         .select(id_col)
     )
+
+
+def sentence_first_occurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+    boundary_regex: str = r"[.!?]+\s+",
+) -> DataFrame:
+    """Global SENTENCE-level exact dedup marks (the Lee et al. 2022
+    "Deduplicating Training Data" exact-substring regime at sentence
+    granularity): split every document on sentence boundaries, and
+    mark each normalized sentence's FIRST occurrence — ordered by
+    (id, position) so the outcome is deterministic, not
+    arrival-ordered — as the keeper. Returns one row per non-empty
+    sentence: (id, pos, sent, is_first, *carry_cols); callers filter
+    ``is_first`` and re-assemble with ``array_join(collect_list(...))``
+    or aggregate removal stats.
+
+    Scale shape: ONE shuffle, keyed by the sentence text itself (the
+    only key that can prove global uniqueness); the split/normalize is
+    in-row codegen, and the window carries no frame state beyond
+    row_number. Skew lives exactly where duplication lives — a
+    boilerplate sentence repeated 10^8 times lands on one reducer —
+    but each row is a sentence, not a document, so the hot group
+    streams through row_number without buffering (no collect_list
+    anywhere). Dedup decisions never leave the executors.
+    """
+    sents = (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), boundary_regex)
+            ).alias("pos", "_raw"),
+        )
+        .select(
+            id_col,
+            *carry_cols,
+            (F.col("pos") + 1).alias("pos"),
+            F.trim(
+                F.lower(F.regexp_replace(F.col("_raw"), r"[.!?]+\s*$", ""))
+            ).alias("sent"),
+        )
+        .where(F.col("sent") != "")
+    )
+    w = Window.partitionBy("sent").orderBy(id_col, "pos")
+    return sents.withColumn(
+        "is_first", F.row_number().over(w) == 1
+    )

@@ -893,3 +893,90 @@ def ivf_index_compact(
     )
     versioned.vacuum(spark, index_path, keep=keep)
     return version
+
+
+def quantize_embedding(vec_col: str, scale: int = 1000) -> "Column":
+    """Integer-grid quantization of a float embedding: shift to
+    non-negative and floor onto a 1/scale lattice. Every downstream
+    distance is then EXACT bigint arithmetic — bit-identical across
+    engines, executors, and replays — which is what makes an
+    iterative clustering loop value-hashable at all. The shift (+1.0
+    before scaling) keeps truncating integer division equal to floor
+    division for centroid means."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"transform({vec_col},"
+        f" x -> CAST(floor((x + 1.0d) * {scale}) AS BIGINT))"
+    )
+
+
+def lloyd_quantized(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over integer-quantized embeddings —
+    the corpus-clustering primitive (topic balancing, stratified
+    curation) in the exact-arithmetic regime: assignments and centroid
+    updates are all bigint, so `iters` rounds produce ONE deterministic
+    answer (ties broken by smallest centroid id; centroid means via
+    truncating div, exact because the quantized grid is non-negative).
+
+    Returns the final assignment: (id, cluster, dist).
+
+    Scale shape per round: centroids are a k-row DataFrame BROADCAST
+    to every executor (k*dim*8 bytes — KBs), assignment is one in-row
+    zip_with fold per (vector, centroid) with a row_number argmin —
+    no shuffle wider than k rows per vector — and the update is one
+    map-side-combined (cluster, dim) agg: k*dim result rows, however
+    many input vectors. Nothing ever collects to the driver; the loop
+    is plan-chaining, so Catalyst sees one DAG. Initial centroids are
+    the k smallest ids (deterministic seeding; at real scale seed from
+    a hash-sampled k rows instead)."""
+    from pyspark.sql import Window as W
+
+    emb = df.select(
+        F.col(id_col), quantize_embedding(vec_col, scale).alias("qv")
+    )
+    cents = emb.orderBy(id_col).limit(k).select(
+        F.col(id_col).alias("cid"), F.col("qv").alias("cv")
+    )
+    dist = (
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+
+    def assign(points, centroids):
+        return (
+            points.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", F.expr(dist))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy(id_col).orderBy("dist", "cid")
+                ),
+            )
+            .where(F.col("rn") == 1)
+        )
+
+    for _ in range(iters):
+        assigned = assign(emb, cents).select(id_col, "qv", "cid")
+        cents = (
+            assigned.select("cid", F.posexplode("qv").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("d", F.expr("s div c").alias("v")))
+                ).alias("pairs")
+            )
+            .select("cid", F.expr("transform(pairs, p -> p.v)").alias("cv"))
+        )
+    return assign(emb, cents).select(
+        id_col, F.col("cid").alias("cluster"), "dist"
+    )

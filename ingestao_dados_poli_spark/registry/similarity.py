@@ -1587,3 +1587,90 @@ def q211_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("label").cast("long").alias("label_checksum"),
     )
+
+
+@q(
+    "q223_kmeans_lloyd",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000)
+                                      AS BIGINT)) AS qv
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 4
+    ), a1 AS (
+      SELECT vec_id, qv, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM (
+        SELECT q.vec_id, q.qv, c.cid,
+               list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                   AS dist
+        FROM q CROSS JOIN c0 c)
+    ), c1e AS (
+      SELECT cid, unnest(generate_series(1, len(qv))) AS d, qv
+      FROM a1 WHERE rn = 1
+    ), c1 AS (
+      SELECT cid, list(v ORDER BY d) AS cv FROM (
+        SELECT cid, d, sum(qv[d]) // count(*) AS v
+        FROM c1e GROUP BY cid, d) GROUP BY cid
+    ), a2 AS (
+      SELECT vec_id, qv, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM (
+        SELECT q.vec_id, q.qv, c.cid,
+               list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                   AS dist
+        FROM q CROSS JOIN c1 c)
+    ), c2e AS (
+      SELECT cid, unnest(generate_series(1, len(qv))) AS d, qv
+      FROM a2 WHERE rn = 1
+    ), c2 AS (
+      SELECT cid, list(v ORDER BY d) AS cv FROM (
+        SELECT cid, d, sum(qv[d]) // count(*) AS v
+        FROM c2e GROUP BY cid, d) GROUP BY cid
+    ), fin AS (
+      SELECT vec_id, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn,
+             cid
+      FROM (
+        SELECT q.vec_id, q.qv, c.cid,
+               list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                   AS dist
+        FROM q CROSS JOIN c2 c)
+    )
+    SELECT CAST(cid AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(dist) AS BIGINT) AS inertia
+    FROM fin WHERE rn = 1 GROUP BY cid ORDER BY cluster
+    """,
+)
+def q223_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (`similarity.lloyd_quantized`, k=4, two
+    Lloyd rounds) — iterative ML clustering value-hashed against an
+    unrolled recursive-free SQL oracle, possible ONLY because every
+    distance and centroid mean is exact bigint arithmetic on the
+    integer-quantized grid (floor((x+1)*1000); truncating div ==
+    floor on the non-negative lattice; argmin ties break on centroid
+    id). Per round: k-row broadcast of centroids, in-row zip_with
+    distance fold, row_number argmin, one map-side-combined
+    (cluster, dim) agg for the update — no driver collect, no shuffle
+    wider than k rows per vector, which is the 1000-executor plan
+    shape for topic-balancing a 100 TB corpus. Output: cluster sizes
+    + exact integer inertia."""
+    emb = _t(spark, sf_dir, "embeddings")
+    final = SIM.lloyd_quantized(
+        emb, k=4, id_col="vec_id", vec_col="embedding", iters=2
+    )
+    return (
+        final.groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("dist").cast("long").alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

@@ -1716,3 +1716,74 @@ def q212_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("intercept_milli"),
     )
+
+
+@q(
+    "q222_sentence_dedup",
+    r"""
+    WITH ex AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(text, '[.!?]+\s+') AS parts
+      FROM documents
+    ), s0 AS (
+      SELECT doc_id, source,
+             unnest(generate_series(1, len(parts))) AS pos, parts
+      FROM ex
+    ), s AS (
+      SELECT doc_id, source, pos,
+             trim(lower(regexp_replace(parts[pos], '[.!?]+\s*$', '')))
+                 AS sent
+      FROM s0
+      WHERE trim(lower(regexp_replace(parts[pos], '[.!?]+\s*$', ''))) <> ''
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn
+      FROM s
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(sum(CASE WHEN rn > 1 THEN length(sent) ELSE 0 END) AS BIGINT)
+               AS chars_removed,
+           bit_xor(CASE WHEN rn = 1 THEN
+               CAST(('0x' || substr(md5(sent), 1, 15)) AS BIGINT) END)
+               AS kept_fingerprint
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def q222_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide SENTENCE-level exact dedup
+    (`corpus.sentence_first_occurrence` — the Lee et al. 2022
+    exact-substring regime at sentence granularity, the standard
+    boilerplate killer between document-level hashing (q23/q24) and
+    span dedup (q137)): every normalized sentence keeps only its
+    (doc_id, pos)-first occurrence, deterministically. Per-source
+    report: sentence volume, kept/removed counts, chars saved, and a
+    bit_xor md5 fingerprint of the KEPT sentence set — the fingerprint
+    value-hashes the exact surviving corpus cross-engine, not just its
+    size (conv-hex trick, q143 pattern). One shuffle keyed by
+    sentence; the hot boilerplate group streams through row_number
+    without buffering."""
+    docs = _t(spark, sf_dir, "documents")
+    marked = CO.sentence_first_occurrence(
+        docs, text_col="text", id_col="doc_id", carry_cols=("source",)
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum(F.col("is_first").cast("long")).alias("n_kept"),
+            F.sum((~F.col("is_first")).cast("long")).alias("n_removed"),
+            F.sum(F.when(~F.col("is_first"), F.length("sent")).otherwise(0))
+            .cast("long")
+            .alias("chars_removed"),
+            F.expr(
+                "bit_xor(CASE WHEN is_first THEN"
+                " cast(conv(substring(md5(sent), 1, 15), 16, 10) as bigint)"
+                " END)"
+            ).alias("kept_fingerprint"),
+        )
+        .orderBy("source")
+    )

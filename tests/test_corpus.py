@@ -299,3 +299,46 @@ def test_dedup_spans_null_text_no_phantom_spans(spark):
     assert out[1].n_removed == 0
     assert out[1].n_spans >= 0
     assert out[2].clean_text == "real words here to keep around"
+
+
+def test_sentence_first_occurrence_marks_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran! The cat sat.", "a"),
+            (2, "the CAT sat? Fresh line. ", "b"),
+            (3, None, "c"),
+            (4, "", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = CO.sentence_first_occurrence(
+        df, carry_cols=("source",)
+    ).collect()
+    # null/empty docs contribute no sentences
+    assert all(r.doc_id not in (3, 4) for r in out)
+    rows = {(r.doc_id, r.pos): r for r in out}
+    # 'the cat sat' first occurs at doc 1 pos 1; repeats are marked
+    assert rows[(1, 1)].is_first and rows[(1, 1)].sent == "the cat sat"
+    assert not rows[(1, 3)].is_first
+    assert not rows[(2, 1)].is_first  # case-normalized duplicate
+    assert rows[(2, 2)].is_first
+    # kept set is exactly the distinct sentence set
+    kept = sorted(r.sent for r in out if r.is_first)
+    assert kept == sorted({r.sent for r in out})
+
+
+def test_sentence_first_occurrence_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "A b. C d. A b."), (2, "C d! E f.")],
+        "doc_id long, text string",
+    )
+    marked = CO.sentence_first_occurrence(df)
+    kept = (
+        marked.where("is_first")
+        .groupBy("doc_id")
+        .agg(F.array_join(F.sort_array(F.collect_list(
+            F.struct("pos", "sent"))).sent, ". ").alias("text"))
+    )
+    again = CO.sentence_first_occurrence(kept)
+    # a deduped corpus has nothing left to remove
+    assert again.where(~F.col("is_first")).count() == 0
