@@ -596,3 +596,197 @@ def sentence_first_occurrence(
     return sents.withColumn(
         "is_first", F.row_number().over(w) == 1
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval (Robertson/Spärck Jones, k1=1.2 b=0.75 — the
+    classic defaults) of the top-``k`` documents for a bag-of-words
+    query, with every score an EXACT integer so ranking is
+    bit-reproducible across engines and replays. The only float is the
+    idf, quantized once per term to millibits
+    (``round(1000*log2(2(N+1)/(2df+1)))`` — log2 of small-integer
+    ratios, stable cross-libm); the tf saturation term is then a pure
+    bigint closed form: with k1=6/5, b=3/4,
+
+        tf_part = 44*tf*SD / (20*tf*SD + 6*SD + 18*dl*N)
+
+    (SD = corpus token count, N = doc count, dl = doc length), so
+    ``score_milli = sum_t idf_milli(t)*44*tf*SD div (...)`` is exact
+    integer arithmetic end-to-end.
+
+    Scale shape: one corpus-stats aggregation (1 row, broadcast), one
+    map-side-combined (doc, term) tf aggregation over ONLY the query
+    terms (the explode filters before shuffling, so the shuffle carries
+    |query| rows per doc max, not the vocabulary), a broadcast join of
+    the |query|-row df table, and a global top-k window over docs that
+    matched at least one term. No vocabulary-sized shuffle anywhere.
+    """
+    terms = [t.lower() for t in query_terms]
+    words = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    docs = df.select(
+        F.col(id_col), words.alias("_w"), F.size(words).alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        docs.select(
+            id_col, "dl", F.explode("_w").alias("term")
+        )
+        .where(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df_t")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_milli",
+            F.round(
+                (
+                    F.log2(2 * F.col("n_docs") + 2)
+                    - F.log2(2 * F.col("df_t") + 1)
+                )
+                * 1000
+            ).cast("long"),
+        )
+        .withColumn(
+            "score_milli",
+            F.expr(
+                "(idf_milli * 44 * tf * sum_dl)"
+                " div (20 * tf * sum_dl + 6 * sum_dl + 18 * dl * n_docs)"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("score_milli").alias("score_milli"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    # TakeOrderedAndProject first (each partition keeps k rows, driver
+    # merges k*P — no full sort, no full shuffle), THEN rank the <=k
+    # survivors; the single-partition row_number window only ever sees
+    # k rows, so the global-window trap never materializes.
+    top = scored.orderBy(
+        F.col("score_milli").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score_milli").desc(), F.col(id_col).asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            F.col("score_milli").cast("long").alias("score_milli"),
+            F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+        )
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+    top_word_max_milli: int = 300,
+    top_bigram_max_milli: int = 200,
+    dup_5gram_max_milli: int = 150,
+) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al.
+    2021 "Scaling Language Models", Table A1): per document, the
+    fraction of tokens claimed by the single most frequent word, by
+    the most frequent bigram, and by duplicate (non-first) 5-gram
+    instances. Fractions are exact integer permille
+    (``floor(1000*x/n)``), thresholds are the Gopher defaults scaled
+    the same way, and ``flagged`` is true when any fraction breaches
+    its cap — the standard pre-training cut for pathological
+    boilerplate/templating that survives document-level dedup.
+
+    Returns one row per document: (id, *carry, n_words,
+    top_word_milli, top_bigram_milli, dup_5gram_milli, flagged).
+
+    Scale shape: grams explode in-row, then TWO map-side-combined
+    aggregations — (doc, gram) counts, then per-doc max/sum — both
+    keyed by the document, so group size is bounded by document
+    length, never corpus size. No windows, no collect_list of the
+    corpus, no Python. A 10k-word web page costs 30k shuffle rows
+    before map-side combine collapses repeated grams; hot boilerplate
+    grams do NOT concentrate (the doc id is in the key).
+    """
+    words = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], words.alias("_w")
+    ).withColumn("n_words", F.size("_w"))
+
+    def grams(n: int) -> Column:
+        if n == 1:
+            return F.col("_w")
+        return F.expr(
+            f"transform(sequence(1, greatest(size(_w) - {n - 1}, 0)),"
+            f" i -> array_join(slice(_w, i, {n}), ' '))"
+        )
+
+    exploded = base.select(
+        id_col,
+        *carry_cols,
+        "n_words",
+        F.explode(
+            F.flatten(
+                F.array(
+                    F.transform(grams(1), lambda g: F.struct(F.lit(1).alias("n"), g.alias("g"))),
+                    F.transform(grams(2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
+                    F.transform(grams(5), lambda g: F.struct(F.lit(5).alias("n"), g.alias("g"))),
+                )
+            )
+        ).alias("gr"),
+    ).select(
+        id_col, *carry_cols, "n_words",
+        F.col("gr.n").alias("n"), F.col("gr.g").alias("g"),
+    ).where(F.col("g") != "")
+    counts = exploded.groupBy(id_col, *carry_cols, "n_words", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy(id_col, *carry_cols, "n_words").agg(
+        F.max(F.when(F.col("n") == 1, F.col("c"))).alias("top_word"),
+        F.max(F.when(F.col("n") == 2, F.col("c") * 2)).alias("top_bigram_words"),
+        F.sum(F.when(F.col("n") == 5, F.col("c") - 1).otherwise(0)).alias(
+            "dup_5gram_extra"
+        ),
+        F.sum(F.when(F.col("n") == 5, F.lit(1)).otherwise(0)).alias("n_5grams"),
+    )
+    out = per_doc.select(
+        id_col,
+        *carry_cols,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.expr("coalesce(top_word, 0L) * 1000 div n_words").alias(
+            "top_word_milli"
+        ),
+        F.expr(
+            "least(coalesce(top_bigram_words, 0L), n_words) * 1000"
+            " div n_words"
+        ).alias("top_bigram_milli"),
+        F.expr(
+            "CASE WHEN n_5grams > 0"
+            " THEN dup_5gram_extra * 1000 div n_5grams ELSE 0L END"
+        ).alias("dup_5gram_milli"),
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("top_word_milli") > top_word_max_milli)
+        | (F.col("top_bigram_milli") > top_bigram_max_milli)
+        | (F.col("dup_5gram_milli") > dup_5gram_max_milli),
+    )

@@ -518,3 +518,58 @@ def differential_skew_join(
     hot_path = a_hot.join(F.broadcast(b_hot), on_key, "inner")
     cold_path = a_cold.join(b, on_key, "inner")
     return hot_path.unionByName(cold_path)
+
+
+def merge_into(
+    base: DataFrame,
+    updates: DataFrame,
+    on: Sequence[str],
+    *,
+    update_cols: Sequence[str] | None = None,
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """Full three-branch MERGE (the Delta/Iceberg `MERGE INTO` surface,
+    table-format-free): WHEN MATCHED AND <delete_condition> THEN
+    DELETE; WHEN MATCHED THEN UPDATE SET <update_cols from updates>;
+    WHEN NOT MATCHED THEN INSERT. Extends `merge_upsert` (SCD-1
+    latest-wins) with the delete branch and partial-column updates —
+    non-updated columns keep the base row's values; inserted rows take
+    every column from `updates`. ``delete_condition`` is evaluated on
+    the joined row and may reference both sides via the ``b``/``u``
+    aliases; NULL evaluations keep the row (no silent three-valued
+    deletes — same rule as `versioned.erase_rows`).
+
+    Scale shape: ONE full-outer shuffle join on the merge key — the
+    minimum any MERGE needs — then pure in-row branch selection; with
+    a small update batch Catalyst/AQE will instead broadcast it and
+    the base never shuffles at all. Assumes merge keys are non-null on
+    both sides (real MERGE semantics reject null keys too).
+    """
+    on = list(on)
+    if update_cols is None:
+        update_cols = [c for c in updates.columns if c not in on]
+    b = base.alias("b").withColumn("_b", F.lit(1))
+    u = updates.alias("u").withColumn("_u", F.lit(1))
+    j = b.join(u, on, "full_outer")
+    matched = F.col("_b").isNotNull() & F.col("_u").isNotNull()
+    if delete_condition is not None:
+        j = j.where(
+            ~(matched & F.coalesce(delete_condition, F.lit(False)))
+        )
+    cols = [F.col(c) for c in on]
+    for c in base.columns:
+        if c in on:
+            continue
+        if c in update_cols:
+            cols.append(
+                F.when(matched | F.col("_b").isNull(), F.col(f"u.{c}"))
+                .otherwise(F.col(f"b.{c}"))
+                .alias(c)
+            )
+        else:
+            cols.append(
+                F.when(F.col("_b").isNotNull(), F.col(f"b.{c}"))
+                .otherwise(F.col(f"u.{c}"))
+                .alias(c)
+            )
+    return j.select(*cols)

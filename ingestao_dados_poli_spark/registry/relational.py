@@ -2137,3 +2137,107 @@ def q220_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+@q(
+    "q226_merge_three_branch",
+    """
+    WITH b AS (
+      SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+    ), u AS (
+      SELECT c_custkey, c_name,
+             CAST(round(c_acctbal + 100, 2) AS DOUBLE) AS c_acctbal,
+             c_nationkey, 'U' AS op
+      FROM b WHERE c_custkey % 7 = 0 AND c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, c_nationkey, 'D'
+      FROM b WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             'NEW ' || CAST(c_custkey AS VARCHAR),
+             CAST(0.0 AS DOUBLE), c_nationkey, 'I'
+      FROM b WHERE c_custkey % 13 = 0
+    ), merged AS (
+      SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_nationkey
+      FROM b LEFT JOIN u ON b.c_custkey = u.c_custkey
+      WHERE u.c_custkey IS NULL
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, c_nationkey
+      FROM u WHERE op <> 'D'
+    ), cents AS (
+      SELECT c_custkey, c_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM merged
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(bal_cents) AS BIGINT) AS balance_cents,
+           bit_xor(CAST(('0x' || substr(md5(
+               CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+               || CAST(bal_cents AS VARCHAR)), 1, 15)) AS BIGINT))
+               AS fingerprint
+    FROM cents
+    """,
+)
+def q226_merge_three_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full three-branch MERGE INTO (`relational.merge_into`): one
+    update batch carries UPDATE rows (repriced balances), DELETE
+    sentinels, and INSERT rows for brand-new keys; the merge applies
+    WHEN MATCHED AND op='D' THEN DELETE / WHEN MATCHED THEN UPDATE /
+    WHEN NOT MATCHED THEN INSERT in ONE full-outer shuffle join plus
+    in-row branch selection — the table-format-free Delta/Iceberg
+    MERGE surface (extends q67's SCD-1 upsert with the delete branch).
+    The oracle never sees the operator: it rebuilds the merged table
+    relationally, and the bit_xor md5 fingerprint over
+    (key, name, cents) value-hashes the exact surviving row set, not
+    just its aggregate."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    upd = (
+        cust.where((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 10 != 0))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+            "c_nationkey",
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 10 == 0).select(
+                "c_custkey", "c_name", "c_acctbal", "c_nationkey",
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(
+                    F.lit("NEW "), F.col("c_custkey").cast("string")
+                ).alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+                "c_nationkey",
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    merged = R.merge_into(
+        cust,
+        upd,
+        ["c_custkey"],
+        update_cols=["c_name", "c_acctbal", "c_nationkey"],
+        delete_condition=F.col("u.op") == "D",
+    )
+    cents = merged.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    return cents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("bal_cents").cast("long").alias("balance_cents"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(concat("
+            "cast(c_custkey as string), '|', c_name, '|',"
+            " cast(bal_cents as string))), 1, 15), 16, 10) as bigint))"
+        ).alias("fingerprint"),
+    )

@@ -1787,3 +1787,146 @@ def q222_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q224_bm25_retrieval",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')
+                 AS w
+      FROM documents
+    ), docs AS (
+      SELECT doc_id, len(w) AS dl, w FROM d
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs
+    ), tok AS (
+      SELECT doc_id, dl, unnest(w) AS term FROM docs
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM tok WHERE term IN ('spark', 'window', 'hash')
+      GROUP BY doc_id, dl, term
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(round((log2(2 * s.n_docs + 2) - log2(2 * f.df_t + 1))
+                        * 1000) AS BIGINT) AS idf_milli,
+             tf.tf, tf.dl, s.n_docs, s.sum_dl
+      FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s
+    ), per_doc AS (
+      SELECT doc_id,
+             sum((idf_milli * 44 * tf * sum_dl)
+                 // (20 * tf * sum_dl + 6 * sum_dl + 18 * dl * n_docs))
+                 AS score_milli,
+             count(*) AS n_terms_hit
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
+                AS BIGINT) AS rank,
+           CAST(score_milli AS BIGINT) AS score_milli,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+    FROM per_doc ORDER BY score_milli DESC, doc_id LIMIT 10
+    """,
+)
+def q224_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (`corpus.bm25_topk`, k1=1.2 b=0.75) for a
+    three-term query — the classic sparse-retrieval scorer a
+    training-data pipeline runs for benchmark-contamination lookups
+    and quality probes. Every score is exact bigint (idf quantized
+    once per term to millibits, tf saturation a pure integer closed
+    form — see the operator docstring), so the ranking value-hashes
+    cross-engine. Plan: the explode filters to the 3 query terms
+    BEFORE its map-side-combined (doc,term) agg, the 3-row df table
+    and 1-row corpus stats broadcast (the stats crossJoin is the
+    allowlisted 1-row BNLJ shape), and only scored docs enter the
+    global top-k window."""
+    docs = _t(spark, sf_dir, "documents")
+    return CO.bm25_topk(docs, ["spark", "window", "hash"], k=10)
+
+
+@q(
+    "q225_gopher_repetition",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')
+                 AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, source, w, len(w) AS n_words FROM d
+    ), g1 AS (
+      SELECT doc_id, source, n_words, 1 AS n, unnest(w) AS g FROM base
+    ), g2 AS (
+      SELECT doc_id, source, n_words, 2 AS n,
+             unnest(list_transform(
+                 generate_series(1, greatest(len(w) - 1, 0)),
+                 i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+      FROM base
+    ), g5 AS (
+      SELECT doc_id, source, n_words, 5 AS n,
+             unnest(list_transform(
+                 generate_series(1, greatest(len(w) - 4, 0)),
+                 i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
+      FROM base
+    ), allg AS (
+      SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g5
+    ), counts AS (
+      SELECT doc_id, source, n_words, n, g, count(*) AS c
+      FROM allg WHERE g <> '' GROUP BY doc_id, source, n_words, n, g
+    ), per_doc AS (
+      SELECT doc_id, source, n_words,
+             max(CASE WHEN n = 1 THEN c END) AS top_word,
+             max(CASE WHEN n = 2 THEN c * 2 END) AS top_bigram_words,
+             sum(CASE WHEN n = 5 THEN c - 1 ELSE 0 END) AS dup5_extra,
+             sum(CASE WHEN n = 5 THEN 1 ELSE 0 END) AS n_5grams
+      FROM counts GROUP BY doc_id, source, n_words
+    ), prof AS (
+      SELECT doc_id, source, n_words,
+             coalesce(top_word, 0) * 1000 // n_words AS top_word_milli,
+             least(coalesce(top_bigram_words, 0), n_words) * 1000 // n_words
+                 AS top_bigram_milli,
+             CASE WHEN n_5grams > 0 THEN dup5_extra * 1000 // n_5grams
+                  ELSE 0 END AS dup_5gram_milli
+      FROM per_doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN top_word_milli > 300 OR top_bigram_milli > 200
+                         OR dup_5gram_milli > 150 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(top_word_milli) AS BIGINT) AS sum_top_word_milli,
+           CAST(sum(top_bigram_milli) AS BIGINT) AS sum_top_bigram_milli,
+           CAST(sum(dup_5gram_milli) AS BIGINT) AS sum_dup_5gram_milli
+    FROM prof GROUP BY source ORDER BY source
+    """,
+)
+def q225_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher within-document repetition filters
+    (`corpus.repetition_profile`, Rae et al. 2021 Table A1): per-doc
+    top-word / top-bigram / duplicate-5-gram fractions as exact
+    integer permille, thresholded at the Gopher defaults, rolled up
+    per source. The standard pre-training cut for templated
+    boilerplate that survives document-level dedup. Plan: grams
+    explode in-row, then two map-side-combined aggs BOTH keyed by the
+    doc id — group size is bounded by document length, never corpus
+    size, so hot boilerplate grams cannot concentrate on a reducer."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = CO.repetition_profile(docs, carry_cols=("source",))
+    return (
+        prof.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+            F.sum("top_word_milli").cast("long").alias("sum_top_word_milli"),
+            F.sum("top_bigram_milli")
+            .cast("long")
+            .alias("sum_top_bigram_milli"),
+            F.sum("dup_5gram_milli")
+            .cast("long")
+            .alias("sum_dup_5gram_milli"),
+        )
+        .orderBy("source")
+    )

@@ -342,3 +342,44 @@ def test_sentence_first_occurrence_idempotent(spark):
     again = CO.sentence_first_occurrence(kept)
     # a deduped corpus has nothing left to remove
     assert again.where(~F.col("is_first")).count() == 0
+
+
+def test_bm25_topk_ranking_and_exactness(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark window filler filler filler filler filler filler"),
+            (3, "window hash"),
+            (4, "filler only text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = CO.bm25_topk(df, ["spark", "window", "hash"], k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert all(r.doc_id != 4 for r in out)  # no query term -> never scored
+    # doc 3 hits two rarer terms in a 2-word doc: it must outrank doc 2
+    ranks = {r.doc_id: r.rank for r in out}
+    assert ranks[3] < ranks[2]
+    # determinism: same input, same exact integer scores
+    again = CO.bm25_topk(df, ["spark", "window", "hash"], k=3).collect()
+    assert [(r.doc_id, r.score_milli) for r in out] == [
+        (r.doc_id, r.score_milli) for r in again
+    ]
+
+
+def test_repetition_profile_flags_pathological_docs(spark):
+    clean = " ".join(f"w{i}" for i in range(40))
+    word_spam = " ".join(["buy"] * 30 + [f"w{i}" for i in range(10)])
+    loop = " ".join(["click here now pay us"] * 8)
+    df = spark.createDataFrame(
+        [(1, clean), (2, word_spam), (3, loop)], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in CO.repetition_profile(df).collect()
+    }
+    assert not rows[1].flagged
+    assert rows[1].top_word_milli == 1000 // 40
+    assert rows[2].flagged and rows[2].top_word_milli == 750
+    assert rows[3].flagged  # 5-gram loop: every 5-gram repeats
+    assert rows[3].dup_5gram_milli > 800

@@ -158,6 +158,7 @@ def test_plan_audit_artifact_clean():
         "q189_resurrected_users",  # three 1-row count aggs crossJoined
         "q199_chi_square_cells",  # broadcast 1-row grand-total crossJoin
         "q207_join_cardinality_estimate",  # 1-row exact x 1-row estimate
+        "q224_bm25_retrieval",  # broadcast 1-row corpus-stats crossJoin
         "q26_embedding_topk",
         "q48_range_join",
         "q66_tfidf_top_terms",

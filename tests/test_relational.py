@@ -400,3 +400,53 @@ def test_differential_skew_join_equals_plain_join(spark):
             .collect()
         )
         assert got == plain, threshold
+
+
+def test_merge_into_three_branches(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["k", "name", "bal"],
+    )
+    upd = spark.createDataFrame(
+        [
+            (2, "b2", 99.0, "U"),   # matched update
+            (3, "c", 30.0, "D"),    # matched delete
+            (9, "new", 5.0, "I"),   # not matched insert
+        ],
+        ["k", "name", "bal", "op"],
+    )
+    out = R.merge_into(
+        base, upd, ["k"],
+        update_cols=["name", "bal"],
+        delete_condition=F.col("u.op") == "D",
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        (1, "a", 10.0),
+        (2, "b2", 99.0),
+        (4, "d", 40.0),
+        (9, "new", 5.0),
+    ]
+
+
+def test_merge_into_null_delete_condition_keeps_row(spark):
+    # three-valued-logic guard: a NULL-evaluating delete condition must
+    # KEEP the matched row (update branch), never silently delete it
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    upd = spark.createDataFrame(
+        [(1, "a2", None)], "k int, v string, op string"
+    )
+    out = R.merge_into(
+        base, upd, ["k"], delete_condition=F.col("u.op") == "D"
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "a2")]
+
+
+def test_merge_into_partial_update_cols(spark):
+    # non-updated columns keep the base values on matched rows and take
+    # the update row's values on inserts
+    base = spark.createDataFrame([(1, "a", 7), (2, "b", 8)], ["k", "v", "z"])
+    upd = spark.createDataFrame([(1, "A", 70), (3, "C", 90)], ["k", "v", "z"])
+    out = R.merge_into(base, upd, ["k"], update_cols=["v"])
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(1, "A", 7), (2, "b", 8), (3, "C", 90)]
