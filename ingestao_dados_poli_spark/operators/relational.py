@@ -573,3 +573,40 @@ def merge_into(
                 .alias(c)
             )
     return j.select(*cols)
+
+
+def point_in_time_join(
+    spine: DataFrame,
+    feature_tables: Sequence[tuple],
+    key: str,
+    spine_ts: str = "ts",
+) -> DataFrame:
+    """Feature-store point-in-time (PIT) join: enrich each spine row
+    (a training label/example) with, for EVERY feature table, the
+    newest feature snapshot whose effective timestamp is <= the spine
+    timestamp — the construction that makes training features
+    leakage-free (a model may only see what was knowable at label
+    time). ``feature_tables`` is a sequence of
+    ``(prefix, df, ts_col, value_cols)``; each becomes one backward
+    as-of join, columns landing as ``<prefix><col>``.
+
+    Scale shape: one `asof_join(slim=True)` per feature table — the
+    union/window state carries only DISTINCT (key, ts) probe points,
+    never the (increasingly wide) spine payload, so chaining N feature
+    tables costs N thin windows + N join-backs (AQE broadcasts each
+    match table when small) instead of N ever-wider shuffles. No
+    point-in-interval candidate expansion anywhere.
+    """
+    out = spine
+    for prefix, fdf, fts, cols in feature_tables:
+        out = asof_join(
+            out,
+            fdf,
+            key,
+            left_ts=spine_ts,
+            right_ts=fts,
+            right_cols=list(cols),
+            right_prefix=prefix,
+            slim=True,
+        )
+    return out

@@ -980,3 +980,133 @@ def lloyd_quantized(
     return assign(emb, cents).select(
         id_col, F.col("cid").alias("cluster"), "dist"
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    per_label: int = 8,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    row (anchor) draws ``k`` negatives from a stratified pool of
+    ``per_label`` candidates per class, ranked per anchor by an
+    md5-derived pseudo-random key — so the draw is uniform-ish,
+    reproducible bit-for-bit across engines/replays (no RNG state),
+    and never picks the anchor's own class. Returns
+    (anchor id, anchor label, slot 1..k, negative id, negative label).
+
+    Scale shape: the pool is one bounded window (per_label rows per
+    class — KBs for any real label space) collapsed to a ONE-ROW
+    array and broadcast; each anchor then filters/ranks the pool
+    entirely IN-ROW (cost |classes|*per_label per anchor, a constant)
+    and explodes its k picks. The anchors never shuffle; the only
+    exchange is the pool's own tiny aggregation. This is the
+    in-batch-negatives regime, distributed.
+    """
+    h = (
+        "cast(conv(substring(md5(concat(cast({a} as string), '|',"
+        " cast({b} as string))), 1, 15), 16, 10) as bigint)"
+    )
+    pool_w = Window.partitionBy(label_col).orderBy(
+        F.expr(
+            "cast(conv(substring(md5(cast("
+            + id_col
+            + " as string)), 1, 15), 16, 10) as bigint)"
+        ),
+        F.col(id_col),
+    )
+    pool = (
+        df.select(label_col, id_col)
+        .withColumn("_rn", F.row_number().over(pool_w))
+        .where(F.col("_rn") <= per_label)
+    )
+    pools = pool.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(label_col).alias("pl"), F.col(id_col).alias("pid")
+                )
+            )
+        ).alias("_pool")
+    )
+    picks = F.expr(
+        "slice(array_sort(transform("
+        f"  filter(_pool, p -> p.pl != {label_col}),"
+        "  p -> struct("
+        + h.format(a=id_col, b="p.pid")
+        + " as h, p.pid as pid, p.pl as pl)"
+        f")), 1, {k})"
+    )
+    return (
+        df.select(id_col, label_col)
+        .crossJoin(F.broadcast(pools))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.posexplode(picks).alias("slot0", "neg"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            (F.col("slot0") + 1).cast("long").alias("slot"),
+            F.col("neg.pid").alias("neg_id"),
+            F.col("neg.pl").alias("neg_label"),
+        )
+    )
+
+
+def _srp_signs(out_dims: int, in_dim: int) -> list:
+    """The +-1 projection matrix, derived from md5 so ANY engine can
+    re-derive the identical matrix from (i, j) alone: sign(i,j) = +1
+    iff the low bits of md5('i_j') are even. Computed once driver-side
+    (out_dims x in_dim ints, a literal in the plan) instead of 1024
+    md5 calls per ROW — same values, scan-speed scoring."""
+    import hashlib
+
+    signs = []
+    for j in range(1, out_dims + 1):
+        row = []
+        for i in range(1, in_dim + 1):
+            d = hashlib.md5(f"{i}_{j}".encode()).hexdigest()
+            row.append(1 if int(d[:15], 16) % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+def srp_reduce(
+    df: DataFrame,
+    *,
+    out_dims: int = 16,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Signed-random-projection (Johnson-Lindenstrauss) dimensionality
+    reduction over integer-quantized embeddings: reduced[j] =
+    sum_i sign(i,j) * q[i] with the md5-derived +-1 matrix from
+    `_srp_signs` — exact bigint end-to-end, so reduced vectors (and
+    every downstream distance) are bit-identical across engines. The
+    4x-8x shorter vectors are the cheap first pass of a two-stage ANN
+    (reduced-space candidate scan, exact re-rank) — at 100 TB the
+    reduction is a pure in-row transform at scan speed (the matrix is
+    a plan literal, ~KB), touching no shuffle at all.
+
+    Returns (id, rv: array<bigint> of length ``out_dims``).
+    """
+    signs = _srp_signs(out_dims, in_dim)
+    qv = quantize_embedding(vec_col, scale)
+    mat = F.array(*[F.array(*[F.lit(s) for s in row]) for row in signs])
+    return df.select(
+        F.col(id_col), qv.alias("_qv"), mat.alias("_mat")
+    ).select(
+        id_col,
+        F.expr(
+            "transform(_mat, row ->"
+            " aggregate(zip_with(row, _qv, (s, x) -> s * CAST(x AS BIGINT)),"
+            " 0L, (acc, v) -> acc + v))"
+        ).alias("rv"),
+    )

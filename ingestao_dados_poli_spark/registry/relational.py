@@ -2241,3 +2241,114 @@ def q226_merge_three_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(bal_cents as string))), 1, 15), 16, 10) as bigint))"
         ).alias("fingerprint"),
     )
+
+
+@q(
+    "q227_point_in_time_features",
+    """
+    WITH clk AS (
+      SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), f_clk AS (
+      SELECT user_id, day + INTERVAL 1 DAY AS eff_ts,
+             sum(cnt) OVER (PARTITION BY user_id ORDER BY day) AS clicks_cum
+      FROM clk
+    ), val AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), f_val AS (
+      SELECT user_id, day + INTERVAL 1 DAY AS eff_ts,
+             sum(cents) OVER (PARTITION BY user_id ORDER BY day) AS cents_cum
+      FROM val
+    ), spine AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'
+    ), pit1 AS (
+      SELECT s.event_id, s.ts, s.user_id, f.clicks_cum
+      FROM spine s ASOF LEFT JOIN f_clk f
+        ON s.user_id = f.user_id AND s.ts >= f.eff_ts
+    ), pit AS (
+      SELECT p.event_id, p.ts, p.user_id, p.clicks_cum, f.cents_cum
+      FROM pit1 p ASOF LEFT JOIN f_val f
+        ON p.user_id = f.user_id AND p.ts >= f.eff_ts
+    )
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_labels,
+           CAST(sum(coalesce(clicks_cum, 0)) AS BIGINT) AS clicks_feature_sum,
+           CAST(sum(coalesce(cents_cum, 0)) AS BIGINT) AS cents_feature_sum,
+           bit_xor(CAST(('0x' || substr(md5(
+               CAST(event_id AS VARCHAR) || '|'
+               || CAST(coalesce(clicks_cum, -1) AS VARCHAR) || '|'
+               || CAST(coalesce(cents_cum, -1) AS VARCHAR)), 1, 15))
+               AS BIGINT)) AS fingerprint
+    FROM pit GROUP BY 1 ORDER BY day
+    """,
+)
+def q227_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time enrichment
+    (`relational.point_in_time_join`): every 'error' event (the
+    training label) is joined to the NEWEST daily feature snapshot
+    with effective-ts <= label-ts for TWO feature tables (cumulative
+    clicks, cumulative value cents; snapshots become effective at the
+    NEXT day's midnight, so same-day activity is invisible — the
+    leakage-free construction). Oracled against DuckDB's native ASOF
+    LEFT JOIN, chained twice. Plan: each feature join is the
+    union+window as-of (slim probe points only), never a
+    point-in-interval candidate explosion; the per-event fingerprint
+    value-hashes every (label, feature, feature) triple, so one
+    leaked same-day click flips the hash."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    clk = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("user_id").orderBy("day")
+    f_clk = clk.select(
+        "user_id",
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("eff_ts"),
+        F.sum("cnt").over(wcum).alias("clicks_cum"),
+    )
+    val = ev.groupBy("user_id", day.alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    f_val = val.select(
+        "user_id",
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("eff_ts"),
+        F.sum("cents").over(wcum).alias("cents_cum"),
+    )
+    spine = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    pit = R.point_in_time_join(
+        spine,
+        [
+            ("clk_", f_clk, "eff_ts", ["clicks_cum"]),
+            ("val_", f_val, "eff_ts", ["cents_cum"]),
+        ],
+        key="user_id",
+        spine_ts="ts",
+    )
+    return (
+        pit.groupBy(
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.sum(F.coalesce(F.col("clk_clicks_cum"), F.lit(0)))
+            .cast("long")
+            .alias("clicks_feature_sum"),
+            F.sum(F.coalesce(F.col("val_cents_cum"), F.lit(0)))
+            .cast("long")
+            .alias("cents_feature_sum"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat("
+                "cast(event_id as string), '|',"
+                " cast(coalesce(clk_clicks_cum, -1) as string), '|',"
+                " cast(coalesce(val_cents_cum, -1) as string)"
+                ")), 1, 15), 16, 10) as bigint))"
+            ).alias("fingerprint"),
+        )
+        .orderBy("day")
+    )

@@ -1674,3 +1674,176 @@ def q223_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@q(
+    "q228_negative_sampling",
+    """
+    WITH pool AS (
+      SELECT label AS pl, vec_id AS pid,
+             row_number() OVER (
+                 PARTITION BY label
+                 ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                1, 15)) AS BIGINT), vec_id) AS rn
+      FROM embeddings
+    ), p AS (
+      SELECT pl, pid FROM pool WHERE rn <= 8
+    ), cand AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label, p.pid, p.pl,
+             CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '|'
+                 || CAST(p.pid AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM embeddings a JOIN p ON p.pl <> a.label
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+                 PARTITION BY anchor_id ORDER BY h, pid, pl) AS slot
+      FROM cand
+    )
+    SELECT CAST(anchor_label AS INT) AS anchor_label,
+           CAST(pl AS INT) AS neg_label,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           bit_xor(CAST(('0x' || substr(md5(
+               CAST(anchor_id AS VARCHAR) || '|' || CAST(slot AS VARCHAR)
+               || '|' || CAST(pid AS VARCHAR)), 1, 15)) AS BIGINT))
+               AS fingerprint
+    FROM ranked WHERE slot <= 3
+    GROUP BY anchor_label, pl ORDER BY anchor_label, neg_label
+    """,
+)
+def q228_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified negative sampling for contrastive
+    training (`similarity.negative_samples`): each embedding draws 3
+    negatives from an 8-per-class md5-ranked pool, never from its own
+    class, reproducible bit-for-bit (no RNG state to shard). Spark
+    filters/ranks the broadcast ONE-ROW pool array entirely in-row
+    (allowlisted 1-row BNLJ shape; anchors never shuffle) while the
+    oracle proves the identical draw RELATIONALLY — two different
+    formulations, one value-hash. Per (anchor-class, negative-class)
+    cell: pair count + md5 fingerprint of every (anchor, slot,
+    negative) triple."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.negative_samples(emb, k=3, per_label=8)
+    return (
+        pairs.groupBy(
+            F.col("anchor_label").cast("int").alias("anchor_label"),
+            F.col("neg_label").cast("int").alias("neg_label"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat("
+                "cast(anchor_id as string), '|', cast(slot as string),"
+                " '|', cast(neg_id as string))), 1, 15), 16, 10) as bigint))"
+            ).alias("fingerprint"),
+        )
+        .orderBy("anchor_label", "neg_label")
+    )
+
+
+@q(
+    "q229_srp_reduction_recall",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000)
+                           AS BIGINT)) AS qv
+      FROM embeddings
+    ), mat AS (
+      SELECT j, list_transform(generate_series(1, 64),
+                 i -> CASE WHEN CAST(('0x' || substr(md5(
+                          CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+                          1, 15)) AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END) AS srow
+      FROM generate_series(1, 16) t(j)
+    ), red AS (
+      SELECT vec_id, list(s ORDER BY j) AS rv FROM (
+        SELECT q.vec_id, m.j,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> m.srow[i] * q.qv[i])) AS s
+        FROM q CROSS JOIN mat m) GROUP BY vec_id
+    ), qq AS (SELECT qv FROM q WHERE vec_id = 0),
+    qr AS (SELECT rv FROM red WHERE vec_id = 0),
+    ex AS (
+      SELECT q.vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> (q.qv[i] - qq.qv[i]) * (q.qv[i] - qq.qv[i]))) AS dist
+      FROM q, qq WHERE q.vec_id <> 0 ORDER BY dist, q.vec_id LIMIT 10
+    ), rd AS (
+      SELECT red.vec_id,
+             list_sum(list_transform(generate_series(1, 16),
+                 i -> (red.rv[i] - qr.rv[i]) * (red.rv[i] - qr.rv[i])))
+                 AS dist
+      FROM red, qr WHERE red.vec_id <> 0 ORDER BY dist, red.vec_id LIMIT 10
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex JOIN rd USING (vec_id))
+               AS recall_at_10,
+           (SELECT CAST(sum(dist) AS BIGINT) FROM ex) AS exact_dist_sum,
+           (SELECT CAST(sum(dist) AS BIGINT) FROM rd) AS reduced_dist_sum,
+           (SELECT bit_xor(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                1, 15)) AS BIGINT)) FROM ex) AS exact_ids_fp,
+           (SELECT bit_xor(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                1, 15)) AS BIGINT)) FROM rd) AS reduced_ids_fp
+    """,
+)
+def q229_srp_reduction_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection dimensionality reduction
+    (`similarity.srp_reduce`, 64 -> 16 dims) with a measured
+    recall@10: exact integer-L2 top-10 for one query vs top-10 in the
+    reduced space, plus id-set fingerprints — the cheap first pass of
+    a two-stage ANN, value-hashed END-TO-END because the +-1 matrix is
+    md5-derived (both engines re-derive the identical matrix) and all
+    arithmetic is bigint on the quantized grid. Spark's matrix is a
+    plan literal (reduction at scan speed, no shuffle); the 1-row
+    query/top-10 agg crossJoins are the allowlisted BNLJ shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qt = emb.select(
+        "vec_id", SIM.quantize_embedding("embedding", 1000).alias("qv")
+    )
+    red = SIM.srp_reduce(emb, out_dims=16, in_dim=64)
+    qq = qt.where(F.col("vec_id") == 0).select(F.col("qv").alias("qqv"))
+    qr = red.where(F.col("vec_id") == 0).select(F.col("rv").alias("qrv"))
+    dist64 = (
+        "aggregate(zip_with(qv, qqv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    dist16 = (
+        "aggregate(zip_with(rv, qrv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    fp = (
+        "bit_xor(cast(conv(substring(md5(cast(vec_id as string)),"
+        " 1, 15), 16, 10) as bigint))"
+    )
+    ex = (
+        qt.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qq))
+        .withColumn("dist", F.expr(dist64))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+        .agg(
+            F.sort_array(F.collect_list("vec_id")).alias("ex_ids"),
+            F.sum("dist").cast("long").alias("exact_dist_sum"),
+            F.expr(fp).alias("exact_ids_fp"),
+        )
+    )
+    rd = (
+        red.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qr))
+        .withColumn("dist", F.expr(dist16))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+        .agg(
+            F.sort_array(F.collect_list("vec_id")).alias("rd_ids"),
+            F.sum("dist").cast("long").alias("reduced_dist_sum"),
+            F.expr(fp).alias("reduced_ids_fp"),
+        )
+    )
+    return ex.crossJoin(F.broadcast(rd)).select(
+        F.size(F.array_intersect("ex_ids", "rd_ids"))
+        .cast("long")
+        .alias("recall_at_10"),
+        "exact_dist_sum",
+        "reduced_dist_sum",
+        "exact_ids_fp",
+        "reduced_ids_fp",
+    )

@@ -159,6 +159,8 @@ def test_plan_audit_artifact_clean():
         "q199_chi_square_cells",  # broadcast 1-row grand-total crossJoin
         "q207_join_cardinality_estimate",  # 1-row exact x 1-row estimate
         "q224_bm25_retrieval",  # broadcast 1-row corpus-stats crossJoin
+        "q228_negative_sampling",  # broadcast 1-row pool-array crossJoin
+        "q229_srp_reduction_recall",  # 1-row query/top-10 agg crossJoins
         "q26_embedding_topk",
         "q48_range_join",
         "q66_tfidf_top_terms",

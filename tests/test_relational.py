@@ -450,3 +450,27 @@ def test_merge_into_partial_update_cols(spark):
     out = R.merge_into(base, upd, ["k"], update_cols=["v"])
     got = sorted(tuple(r) for r in out.collect())
     assert got == [(1, "A", 7), (2, "b", 8), (3, "C", 90)]
+
+
+def test_point_in_time_join_no_leakage(spark):
+    # feature snapshot effective at ts=10 must NOT be visible to a
+    # spine row at ts=9, and the newest eligible snapshot wins
+    spine = spark.createDataFrame(
+        [(1, 9, 100), (2, 10, 100), (3, 25, 100), (4, 5, 200)],
+        ["event_id", "ts", "uid"],
+    )
+    feats = spark.createDataFrame(
+        [(100, 10, 1.0), (100, 20, 2.0), (200, 30, 9.0)],
+        ["uid", "eff_ts", "f"],
+    )
+    out = {
+        r.event_id: r.pit_f
+        for r in R.point_in_time_join(
+            spine, [("pit_", feats, "eff_ts", ["f"])], key="uid",
+            spine_ts="ts",
+        ).collect()
+    }
+    assert out[1] is None        # snapshot not yet effective
+    assert out[2] == 1.0         # becomes visible exactly at eff_ts
+    assert out[3] == 2.0         # newest eligible snapshot
+    assert out[4] is None        # other key's snapshots invisible

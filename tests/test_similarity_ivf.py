@@ -119,3 +119,36 @@ def test_ivf_index_compact_keep2_serves_no_duplicates(spark, sf_dir, tmp_path):
     read = ivf_index_read(spark, idx)
     assert read.count() == 40  # no duplicated pre-compaction rows
     assert read.select("vec_id").distinct().count() == 40
+
+
+def test_negative_samples_never_own_label_and_deterministic(spark):
+    from ingestao_dados_poli_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], ["vec_id", "label"]
+    )
+    out = SIM.negative_samples(df, k=3, per_label=5).collect()
+    assert len(out) == 40 * 3
+    assert all(r.neg_label != r.anchor_label for r in out)
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert all(sorted(x.slot for x in v) == [1, 2, 3] for v in by_anchor.values())
+    again = SIM.negative_samples(df, k=3, per_label=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_srp_reduce_exact_and_linear(spark):
+    from pyspark.sql import functions as F
+
+    from ingestao_dados_poli_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(0, [0.5] * 8), (1, [-0.5] * 8), (2, [0.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r.rv for r in SIM.srp_reduce(df, out_dims=4, in_dim=8).collect()}
+    signs = SIM._srp_signs(4, 8)
+    # quantize(0.5)=1500, quantize(-0.5)=500, quantize(0.0)=1000 exactly
+    for vid, qval in ((0, 1500), (1, 500), (2, 1000)):
+        assert rows[vid] == [qval * sum(r) for r in signs], vid
