@@ -790,3 +790,68 @@ def repetition_profile(
         | (F.col("top_bigram_milli") > top_bigram_max_milli)
         | (F.col("dup_5gram_milli") > dup_5gram_max_milli),
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+    modulus: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the word-level analog of Rabin/FastCDC
+    storage dedup): a chunk boundary falls AFTER any word whose
+    md5-derived hash is 0 mod ``modulus`` (expected chunk length =
+    ``modulus`` words). Because boundaries depend only on local
+    content, inserting or deleting a word re-chunks ONLY the
+    neighborhood — unlike fixed-size chunking where one edit shifts
+    every downstream chunk — which is what makes chunk-hash dedup
+    robust for incremental corpus refreshes. Returns one row per
+    chunk: (id, *carry, chunk_idx 1.., chunk_words, chunk_hash).
+
+    Scale shape: boundary flags, prefix positions, and chunk slicing
+    are ALL in-row array expressions (zero shuffle, whole-stage
+    codegen); only the final explode multiplies rows, bounded by
+    words/modulus per doc. Chunk hashes ride with rows — cross-doc
+    dedup is then one map-side-combined agg on the hash.
+    """
+    words = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    h = (
+        "cast(conv(substring(md5(element_at(_w, i)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], words.alias("_w")
+    ).where(F.expr("size(filter(_w, x -> x != ''))") > 0)
+    bpos = (
+        "array_distinct(concat(array(0),"
+        f" filter(sequence(1, size(_w)), i -> {h} % {modulus} = 0),"
+        " array(size(_w))))"
+    )
+    chunks = (
+        f"transform(sequence(1, size({bpos}) - 1), j -> struct("
+        f" j as idx,"
+        f" slice(_w, element_at({bpos}, j) + 1,"
+        f"       element_at({bpos}, j + 1) - element_at({bpos}, j))"
+        f"   as cw))"
+    )
+    return (
+        base.select(
+            id_col,
+            *carry_cols,
+            F.explode(F.expr(chunks)).alias("c"),
+        )
+        .select(
+            id_col,
+            *carry_cols,
+            F.col("c.idx").cast("long").alias("chunk_idx"),
+            F.size("c.cw").cast("long").alias("chunk_words"),
+            F.expr(
+                "cast(conv(substring(md5(array_join(c.cw, ' ')), 1, 15),"
+                " 16, 10) as bigint)"
+            ).alias("chunk_hash"),
+        )
+    )

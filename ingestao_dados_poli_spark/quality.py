@@ -442,3 +442,31 @@ def fk_violations(
         .cast("long")
         .alias("n_orphans"),
     ).select(F.lit(relation).alias("relation"), "n_child", "n_orphans")
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs: list[str],
+    rhs: list[str],
+) -> DataFrame:
+    """Functional-dependency profiling: for the candidate FD
+    ``lhs -> rhs``, return every lhs key bound to MORE than one
+    distinct rhs combination — the schema-discovery / conformance
+    check run before declaring a key or denormalizing. Output:
+    (*lhs, n_rows, n_rhs_variants) for violating keys only; an empty
+    result proves the FD holds.
+
+    Scale shape: one map-side-combined aggregation on (lhs, rhs) to
+    collapse duplicates, then one on lhs — both shuffles carry keys
+    only, and the second input is bounded by the number of DISTINCT
+    (lhs, rhs) pairs, not rows. No window, no collect.
+    """
+    pair = df.groupBy(*lhs, *rhs).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        pair.groupBy(*lhs)
+        .agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_rhs_variants"),
+        )
+        .where(F.col("n_rhs_variants") > 1)
+    )

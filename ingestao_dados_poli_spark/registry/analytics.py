@@ -3150,3 +3150,68 @@ def q218_topk_sketch_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bad:
         raise AssertionError(f"approx_top_k merge not exact: {bad} mismatches")
     return est.orderBy(F.desc("n_events"), "event_type")
+
+
+@q(
+    "q231_fd_profiling",
+    """
+    WITH p1 AS (
+      SELECT o_orderkey, o_custkey, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), v1 AS (
+      SELECT o_orderkey, sum(n) AS n_rows, count(*) AS variants
+      FROM p1 GROUP BY 1 HAVING count(*) > 1
+    ), p2 AS (
+      SELECT lang, source, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ), v2 AS (
+      SELECT lang, sum(n) AS n_rows, count(*) AS variants
+      FROM p2 GROUP BY 1 HAVING count(*) > 1
+    )
+    SELECT fd, n_violating_keys, rows_in_violations, max_variants FROM (
+      SELECT 'documents: lang -> source' AS fd,
+             CAST(count(*) AS BIGINT) AS n_violating_keys,
+             CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_in_violations,
+             CAST(coalesce(max(variants), 0) AS BIGINT) AS max_variants
+      FROM v2
+      UNION ALL
+      SELECT 'orders: o_orderkey -> o_custkey',
+             CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n_rows), 0) AS BIGINT),
+             CAST(coalesce(max(variants), 0) AS BIGINT)
+      FROM v1
+    ) ORDER BY fd
+    """,
+)
+def q231_fd_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (`quality.fd_violations`): one
+    candidate key FD that must HOLD (o_orderkey -> o_custkey — zero
+    violating keys proves it) and one that must FAIL (documents
+    lang -> source — every language spans many sources), summarized
+    as (violating keys, rows bound to them, worst variant count).
+    The schema-discovery pass run before declaring keys or
+    denormalizing. Two map-side-combined aggs per FD; shuffles carry
+    distinct (lhs, rhs) pairs, never rows."""
+    orders = _t(spark, sf_dir, "orders")
+    docs = _t(spark, sf_dir, "documents")
+
+    def summarize(v, name):
+        return v.agg(
+            F.count(F.lit(1)).cast("long").alias("n_violating_keys"),
+            F.coalesce(F.sum("n_rows"), F.lit(0))
+            .cast("long")
+            .alias("rows_in_violations"),
+            F.coalesce(F.max("n_rhs_variants"), F.lit(0))
+            .cast("long")
+            .alias("max_variants"),
+        ).select(F.lit(name).alias("fd"), "*")
+
+    a = summarize(
+        Q.fd_violations(orders, ["o_orderkey"], ["o_custkey"]),
+        "orders: o_orderkey -> o_custkey",
+    )
+    b = summarize(
+        Q.fd_violations(docs, ["lang"], ["source"]),
+        "documents: lang -> source",
+    )
+    return b.unionByName(a).orderBy("fd")

@@ -1930,3 +1930,150 @@ def q225_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q230_content_defined_chunking",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')
+                 AS w
+      FROM documents
+      WHERE len(list_filter(
+          regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+          x -> x <> '')) > 0
+    ), b AS (
+      SELECT doc_id, source, w,
+             list_sort(list_distinct(list_concat(list_concat([0],
+                 list_filter(generate_series(1, len(w)),
+                     i -> CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT)
+                          % 16 = 0)),
+                 [len(w)]))) AS bpos
+      FROM d
+    ), ch AS (
+      SELECT doc_id, source,
+             unnest(generate_series(1, len(bpos) - 1)) AS j, w, bpos
+      FROM b
+    ), chunks AS (
+      SELECT doc_id, source,
+             bpos[j + 1] - bpos[j] AS chunk_words,
+             CAST(('0x' || substr(md5(array_to_string(
+                 list_slice(w, bpos[j] + 1, bpos[j + 1]), ' ')), 1, 15))
+                 AS BIGINT) AS chunk_hash
+      FROM ch
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+           CAST(count(*) - count(DISTINCT chunk_hash) AS BIGINT)
+               AS dup_chunk_instances,
+           CAST(sum(chunk_words) AS BIGINT) AS total_chunk_words,
+           bit_xor(DISTINCT chunk_hash) AS chunk_set_fp
+    FROM chunks GROUP BY source ORDER BY source
+    """,
+)
+def q230_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (`corpus.content_defined_chunks`,
+    word-level Rabin/FastCDC analog, expected 16-word chunks): chunk
+    boundaries depend only on local content, so incremental corpus
+    refreshes re-chunk only edited neighborhoods and chunk-hash dedup
+    stays stable under insertions — the storage-dedup regime between
+    fixed spans (q137) and sentences (q222). Per-source report: chunk
+    volume, distinct chunk hashes, duplicate instances, and a
+    bit_xor fingerprint of the DISTINCT chunk set. Boundary flags,
+    prefix positions, and slicing are all in-row (zero shuffle before
+    the final per-source agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = CO.content_defined_chunks(docs, carry_cols=("source",))
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count_distinct("chunk_hash")
+            .cast("long")
+            .alias("n_distinct_chunks"),
+            (F.count(F.lit(1)) - F.count_distinct("chunk_hash"))
+            .cast("long")
+            .alias("dup_chunk_instances"),
+            F.sum("chunk_words").cast("long").alias("total_chunk_words"),
+            F.expr("bit_xor(DISTINCT chunk_hash)").alias("chunk_set_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "q232_vocab_coverage_cut",
+    r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                    '\s+')) AS term
+      FROM documents
+    ), freq AS (
+      SELECT term, count(*) AS f FROM tok WHERE term <> '' GROUP BY term
+    ), tot AS (
+      SELECT sum(f) AS total, count(*) AS n_terms FROM freq
+    ), ranked AS (
+      SELECT term, f,
+             row_number() OVER (ORDER BY f DESC, term) AS rnk,
+             sum(f) OVER (ORDER BY f DESC, term
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM freq
+    )
+    SELECT (SELECT CAST(min(rnk) AS BIGINT) FROM ranked, tot
+            WHERE cum * 100 >= total * 95) AS vocab_95,
+           (SELECT CAST(min(rnk) AS BIGINT) FROM ranked, tot
+            WHERE cum * 100 >= total * 99) AS vocab_99,
+           (SELECT CAST(total AS BIGINT) FROM tot) AS total_tokens,
+           (SELECT CAST(n_terms AS BIGINT) FROM tot) AS n_terms,
+           (SELECT CAST(sum(f) AS BIGINT) FROM ranked WHERE rnk <= 10)
+               AS top10_tokens
+    """,
+)
+def q232_vocab_coverage_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage cut: the smallest frequency-ranked
+    vocabulary prefix covering 95% / 99% of token instances — the
+    statistic that sizes a tokenizer's vocab and predicts OOV rates
+    before a BPE run (complements q193's merge induction and q212's
+    Zipf fit). Exact integer comparison (cum*100 >= total*95 — no
+    float thresholds). The ranking window is VOCABULARY-sized (Heaps'
+    law: ~1M rows at 100 TB, one partition is fine and bounded), never
+    corpus-sized; token counting is one map-side-combined agg."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                r"\s+",
+            )
+        ).alias("term")
+    ).where(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("term"))
+    ranked = freq.select(
+        "f",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("f")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    tot = freq.agg(
+        F.sum("f").alias("total"), F.count(F.lit(1)).alias("n_terms")
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    return (
+        j.agg(
+            F.min(F.when(F.col("cum") * 100 >= F.col("total") * 95, F.col("rnk")))
+            .cast("long")
+            .alias("vocab_95"),
+            F.min(F.when(F.col("cum") * 100 >= F.col("total") * 99, F.col("rnk")))
+            .cast("long")
+            .alias("vocab_99"),
+            F.max("total").cast("long").alias("total_tokens"),
+            F.max("n_terms").cast("long").alias("n_terms"),
+            F.sum(F.when(F.col("rnk") <= 10, F.col("f")))
+            .cast("long")
+            .alias("top10_tokens"),
+        )
+    )

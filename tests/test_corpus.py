@@ -383,3 +383,32 @@ def test_repetition_profile_flags_pathological_docs(spark):
     assert rows[2].flagged and rows[2].top_word_milli == 750
     assert rows[3].flagged  # 5-gram loop: every 5-gram repeats
     assert rows[3].dup_5gram_milli > 800
+
+
+def test_content_defined_chunks_local_rechunk(spark):
+    # the CDC property: inserting words changes only the chunks around
+    # the edit point; chunk hashes elsewhere are identical
+    base_text = " ".join(f"tok{i}" for i in range(200))
+    edited = " ".join(
+        f"tok{i}" for i in range(100)
+    ) + " INSERTED WORDS HERE " + " ".join(f"tok{i}" for i in range(100, 200))
+    df = spark.createDataFrame(
+        [(1, base_text), (2, edited)], ["doc_id", "text"]
+    )
+    out = CO.content_defined_chunks(df)
+    h1 = {r.chunk_hash for r in out.where("doc_id = 1").collect()}
+    h2 = {r.chunk_hash for r in out.where("doc_id = 2").collect()}
+    shared = len(h1 & h2)
+    # far more chunks survive than a fixed-size chunker would keep
+    # (fixed-size: everything after the edit shifts); only the
+    # neighborhood of the insertion may differ
+    assert shared >= len(h1) - 3, (shared, len(h1), len(h2))
+
+
+def test_content_defined_chunks_cover_document(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    rows = CO.content_defined_chunks(df).collect()
+    assert sum(r.chunk_words for r in rows) == 8
+    assert [r.chunk_idx for r in sorted(rows, key=lambda r: r.chunk_idx)] == list(
+        range(1, len(rows) + 1)
+    )

@@ -188,3 +188,17 @@ def test_publish_report_writes_json_and_md(spark, tmp_path):
     md = (tmp_path / "docs" / "report.md").read_text()
     assert md.startswith("# Data quality report — `pub`")
     assert "Verdict: CERTIFIED" in md
+
+
+def test_fd_violations(spark):
+    from ingestao_dados_poli_spark import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "c"), (2, "c"), (3, "d")],
+        ["k", "v"],
+    )
+    out = Q.fd_violations(df, ["k"], ["v"]).collect()
+    assert len(out) == 1
+    assert out[0].k == 1 and out[0].n_rows == 3 and out[0].n_rhs_variants == 2
+    # holds-FD: empty result
+    assert Q.fd_violations(df.where("k <> 1"), ["k"], ["v"]).count() == 0
