@@ -419,3 +419,168 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         (F.pmod("id", F.lit(7)) * 1000 + 1000).cast("int").alias("duration_ms"),
     )
     return base
+
+
+def _block_bits(base_id: int, grid: int = 8) -> list[int]:
+    """The deterministic 0/1 block pattern for a synthetic image: bit
+    (by, bx) = parity of md5('{base_id}_{by}_{bx}') — re-derivable by
+    any process (driver-side probes included) without Spark."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{base_id}_{by}_{bx}".encode()).hexdigest(), 16) & 1
+        for by in range(grid)
+        for bx in range(grid)
+    ]
+
+
+def synthetic_ppm_blocks(
+    spark,
+    n_base: int = 48,
+    *,
+    grid: int = 8,
+    block_px: int = 4,
+    flip_blocks: int = 2,
+) -> DataFrame:
+    """Near-dup image corpus with planted ground truth: ids
+    [0, n_base) are distinct block-pattern P6 images (each 8x8 grid of
+    pure 0/255 blocks from `_block_bits`); ids [n_base, 2*n_base) are
+    NEAR-duplicates of (id - n_base) with exactly ``flip_blocks``
+    blocks inverted — so every pair (i, i+n_base) has aHash hamming
+    distance exactly ``flip_blocks`` by construction, and unrelated
+    images differ in ~grid²/2 bits. Payloads are REAL encoded P6
+    built Arrow-batch-at-a-time in mapInPandas."""
+    import numpy as np
+
+    side = grid * block_px
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["id"]:
+                base = int(mid) % n_base
+                bits = np.array(_block_bits(base, grid)).reshape(grid, grid)
+                if mid >= n_base:
+                    bits = bits.copy()
+                    for k in range(flip_blocks):
+                        bits[k * (grid - 1), k * (grid - 1)] ^= 1
+                img = np.kron(bits * 255, np.ones((block_px, block_px)))
+                payloads.append(
+                    encode_ppm(np.stack([img, img, img], axis=2))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                    "width": side,
+                    "height": side,
+                    "duration_ms": 0,
+                }
+            )
+
+    return spark.range(2 * n_base).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over REAL pixel decode: P6 payload →
+    grayscale → grid x grid block means → bit = (block mean > global
+    mean), packed row-major into one 64-bit int. Identical images hash
+    equal; small edits flip few bits (hamming distance ≈ edit area) —
+    the standard first pass of image dedup. Arrow-batched mapInPandas;
+    bytes never visit the driver."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                gray = decode_ppm(bytes(payload)).astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                ys = np.linspace(0, h, grid + 1).astype(int)
+                xs = np.linspace(0, w, grid + 1).astype(int)
+                means = np.array(
+                    [
+                        gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                             xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+                        for i in range(grid)
+                        for j in range(grid)
+                    ]
+                )
+                bits = means > means.mean()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # keep in signed-64 range (top bit set wraps negative)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out.append((int(mid), val))
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return media.where(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(fn, schema=AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame,
+    *,
+    bands: int = 4,
+    max_hamming: int = 6,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Banded hamming join over perceptual hashes — the image analog of
+    MinHash LSH: split each 64-bit aHash into ``bands`` contiguous
+    slices, bucket on (band index, slice value) — any pair within
+    hamming <= bands-1... <= (bands-1) per the pigeonhole principle
+    shares at least one untouched band — then verify candidates with
+    an exact in-row ``bit_count(a ^ b) <= max_hamming``. Requires
+    ``max_hamming < bands`` for guaranteed recall (pigeonhole: fewer
+    flipped bits than bands leaves one band clean).
+
+    Scale shape: identical to text LSH — candidate generation is
+    bucketed (never all-pairs), and hot buckets (screenshot
+    boilerplate, solid-color images) degrade through the SAME
+    distributed salted-group-key path as MinHash
+    (`dedup.salted_bucket_pairs`): no whole bucket in one aggregation
+    buffer, linear pair output under the cap.
+    """
+    from ingestao_dados_poli_spark.operators.dedup import (
+        salted_bucket_pairs,
+    )
+
+    width = 64 // bands
+    banded = hashes.select(
+        F.struct(
+            F.col("media_id").alias("doc"), F.col("ahash").alias("sig")
+        ).alias("d"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct("
+                f" b as band,"
+                f" shiftright(ahash, b * {width})"
+                f"   & {(1 << width) - 1} as bucket))"
+            )
+        ).alias("bb"),
+    ).select("d", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    pairs = salted_bucket_pairs(
+        banded, ["band", "bucket"], "d", max_bucket_size
+    )
+    return (
+        pairs.select(
+            F.col("p.id_a.doc").alias("id_a"),
+            F.col("p.id_b.doc").alias("id_b"),
+            F.expr("bit_count(p.id_a.sig ^ p.id_b.sig)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

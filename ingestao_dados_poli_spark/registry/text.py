@@ -2077,3 +2077,54 @@ def q232_vocab_coverage_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("top10_tokens"),
         )
     )
+
+
+@q("q233_image_ahash_neardup")
+def q233_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup detection (rows-only — pixel decode is
+    not SQL-expressible): REAL P6 decode → average-hash
+    (`multimodal.image_ahash`) → banded hamming join
+    (`multimodal.ahash_near_dup_pairs`, the image analog of MinHash
+    LSH, sharing the SAME distributed hot-bucket degradation as text
+    dedup). Ground truth is planted: 48 distinct block-pattern images
+    + 48 near-duplicates with exactly 2 blocks flipped, so every
+    (i, i+48) pair must surface at hamming 2 and nothing else may.
+
+    Self-asserting (q129 pattern): the query fails loudly unless
+    (1) planted recall is exactly 1.0 with zero false positives, and
+    (2) one sampled image's distributed aHash equals the hash
+    re-derived DRIVER-SIDE from `_block_bits` first principles — pure
+    Python, no Spark, no shared code path with the mapInPandas
+    decode."""
+    n_base = 48
+    media = MM.synthetic_ppm_blocks(spark, n_base=n_base)
+    hashes = MM.image_ahash(media)
+    pairs = MM.ahash_near_dup_pairs(hashes, bands=4, max_hamming=3)
+    got = [
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.hamming)
+        for r in pairs.collect()  # bounded: <= n_base pairs by design
+    ]
+    planted = {(i, i + n_base) for i in range(n_base)}
+    found = {(a, b) for a, b, _ in got}
+    if found != planted or any(h != 2 for _, _, h in got):
+        raise AssertionError(
+            f"aHash near-dup ground truth violated: missing="
+            f"{len(planted - found)} extra={len(found - planted)}"
+        )
+    probe_id = 5
+    bits = MM._block_bits(probe_id, 8)
+    expected = 0
+    for b in bits:
+        expected = (expected << 1) | b
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+    probe = hashes.where(F.col("media_id") == probe_id).collect()
+    if len(probe) != 1 or probe[0].ahash != expected:
+        raise AssertionError(
+            f"driver-side aHash probe mismatch: {probe} != {expected}"
+        )
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("hamming")
+    )

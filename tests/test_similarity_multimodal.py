@@ -537,3 +537,23 @@ def test_embedding_near_dup_auto_planes_keeps_identical_pairs(spark):
         _vecs(spark), threshold=0.99, num_planes="auto", num_tables=8
     ).collect()
     assert (0, 4) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_image_ahash_near_dup_planted_truth(spark):
+    from ingestao_dados_poli_spark.operators import multimodal as MM
+
+    media = MM.synthetic_ppm_blocks(spark, n_base=12)
+    hashes = MM.image_ahash(media)
+    pairs = MM.ahash_near_dup_pairs(hashes, bands=4, max_hamming=3).collect()
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs}
+    assert got == {(i, i + 12) for i in range(12)}
+    assert all(r.hamming == 2 for r in pairs)
+    # hash equals the first-principles block pattern
+    bits = MM._block_bits(3, 8)
+    exp = 0
+    for b in bits:
+        exp = (exp << 1) | b
+    if exp >= 1 << 63:
+        exp -= 1 << 64
+    row = hashes.where("media_id = 3").collect()
+    assert row[0].ahash == exp
