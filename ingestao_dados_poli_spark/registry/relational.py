@@ -2352,3 +2352,99 @@ def q227_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@q(
+    "q234_keyset_pagination",
+    """
+    WITH ordered AS (
+      SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderdate,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+    FROM ordered ORDER BY o_orderdate, o_orderkey LIMIT 20 OFFSET 40
+    """,
+)
+def q234_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: page 3 of orders under a total
+    (o_orderdate, o_orderkey) order, fetched with a TUPLE-GREATER
+    predicate from page 2's last key instead of OFFSET — the oracle
+    runs the OFFSET formulation, proving both select the identical
+    page. Why it matters at 100 TB: OFFSET n scans-and-discards n rows
+    on every page (O(pages²) total) and cannot push down; the keyset
+    predicate is sargable — it prunes at the parquet scan via min/max
+    stats, each page costs one top-k (TakeOrderedAndProject), and
+    pagination state is one (date, key) tuple, not a row count. The
+    boundary is derived in-query (1-row agg of page <= 2's max key,
+    broadcast crossJoin — allowlisted 1-row BNLJ shape)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    boundary = (
+        orders.orderBy("o_orderdate", "o_orderkey")
+        .limit(40)
+        .agg(
+            F.max(F.struct("o_orderdate", "o_orderkey")).alias("b")
+        )
+        .select(
+            F.col("b.o_orderdate").alias("bd"),
+            F.col("b.o_orderkey").alias("bk"),
+        )
+    )
+    page = (
+        orders.crossJoin(F.broadcast(boundary))
+        .where(
+            (F.col("o_orderdate") > F.col("bd"))
+            | (
+                (F.col("o_orderdate") == F.col("bd"))
+                & (F.col("o_orderkey") > F.col("bk"))
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+    return page.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@q(
+    "q235_parameterized_sql",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q235_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (`spark.sql(query, args=...)`,
+    Spark 3.4+): the filter literals arrive as BOUND PARAMETERS, never
+    string-interpolated — the injection-safe front door a multi-tenant
+    query service needs. Catalyst folds the bound constants before
+    optimization, so parameter binding costs nothing: the same pushed
+    parquet filters as hand-written literals (the oracle runs the
+    literal form)."""
+    import os
+
+    ordv = f"q235_orders_{os.getpid()}"
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(ordv)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_price
+        FROM {ordv}
+        WHERE o_orderstatus = :status AND o_totalprice > :min_price
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 50000},
+    )
