@@ -2002,10 +2002,15 @@ def q172_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB variant swaps percentile for percentile_approx and accepts
     the documented rank error (q64's trade, same shape)."""
     orders = _t(spark, sf_dir, "orders")
-    b = orders.agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("b1"),
-        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("b2"),
-        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("b3"),
+    # one array-percentile call: scalar percentile() aggs each keep
+    # and sort their own buffer; the array form sorts once (q217's fix)
+    pct = F.percentile(
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    b = orders.agg(pct.alias("_p")).select(
+        F.round(F.get("_p", 0), 2).alias("b1"),
+        F.round(F.get("_p", 1), 2).alias("b2"),
+        F.round(F.get("_p", 2), 2).alias("b3"),
     )
     j = orders.crossJoin(F.broadcast(b))
     v = F.col("o_totalprice")
@@ -2056,9 +2061,18 @@ def q173_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Never a per-row window over the full table — the caps table is the
     only state that moves."""
     orders = _t(spark, sf_dir, "orders")
-    caps = orders.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.05)), 2).alias("lo"),
-        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("hi"),
+    caps = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile(
+                "o_totalprice", F.array(F.lit(0.05), F.lit(0.95))
+            ).alias("_p")
+        )
+        .select(
+            "o_orderpriority",
+            F.round(F.get("_p", 0), 2).alias("lo"),
+            F.round(F.get("_p", 1), 2).alias("hi"),
+        )
     )
     j = orders.join(F.broadcast(caps), "o_orderpriority")
     v = F.col("o_totalprice")
@@ -3037,60 +3051,69 @@ def q217_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.pmod(F.col("l_orderkey"), F.lit(8)).alias("slice"),
     )
-    partials = li.groupBy("slice").agg(
-        F.expr("kll_sketch_agg_bigint(cents, 200)").alias("sk")
-    )
-    row = (
-        partials.agg(F.collect_list("sk").alias("sks"))
-        .select(
-            F.expr(
-                "aggregate(slice(sks, 2, size(sks)), sks[0],"
-                " (acc, x) -> kll_sketch_merge_bigint(acc, x))"
-            ).alias("merged")
-        )
-        .join(
-            li.agg(
-                F.percentile("cents", F.lit(0.25)).alias("p25"),
-                F.percentile("cents", F.lit(0.50)).alias("p50"),
-                F.percentile("cents", F.lit(0.75)).alias("p75"),
-                F.percentile("cents", F.lit(0.95)).alias("p95"),
-                F.count(F.lit(1)).alias("n"),
-            )
-        )
-        .select(
-            "*",
-            *[
+    # cached: the 2-column projection is read by exactly two jobs
+    # (sketch build, then combined percentile+rank audit) — one disk
+    # scan instead of three, the rest served from memory
+    li = li.persist()
+    try:
+        srow = (
+            li.groupBy("slice")
+            .agg(F.expr("kll_sketch_agg_bigint(cents, 200)").alias("sk"))
+            .agg(F.collect_list("sk").alias("sks"))
+            .select(
                 F.expr(
-                    f"kll_sketch_get_quantile_bigint(merged, {qq}d)"
-                ).alias(f"v{tag}")
-                for qq, tag in [(0.25, 25), (0.5, 50), (0.75, 75), (0.95, 95)]
-            ],
+                    "aggregate(slice(sks, 2, size(sks)), sks[0],"
+                    " (acc, x) -> kll_sketch_merge_bigint(acc, x))"
+                ).alias("merged")
+            )
+            .select(
+                *[
+                    F.expr(
+                        f"kll_sketch_get_quantile_bigint(merged, {qq}d)"
+                    ).alias(f"v{tag}")
+                    for qq, tag in [
+                        (0.25, 25), (0.5, 50), (0.75, 75), (0.95, 95),
+                    ]
+                ],
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    # the sketch's quantile values get their rank re-derived EXACTLY
-    # from the data — a foldable-literal scan, and a stronger check
-    # than asking the sketch to grade its own homework
-    ranks = li.agg(
-        *[
-            F.avg(
-                (F.col("cents") <= F.lit(int(row[f"v{tag}"]))).cast("double")
-            ).alias(f"r{tag}")
-            for tag in [25, 50, 75, 95]
-        ]
-    ).collect()[0]
+        # ONE follow-up scan computes the exact percentiles the output
+        # pins AND re-derives each sketch value's EXACT rank from the
+        # data — a stronger check than asking the sketch to grade its
+        # own homework, and no third pass
+        # ONE array-percentile agg: four scalar percentile() calls each
+        # keep their own value buffer and sort it (4x the work — measured
+        # 3.9s vs 1.0s at sf0.1); the array form sorts once
+        row = li.agg(
+            F.percentile(
+                "cents",
+                F.array(*[F.lit(x) for x in (0.25, 0.50, 0.75, 0.95)]),
+            ).alias("pcts"),
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.avg(
+                    (F.col("cents") <= F.lit(int(srow[f"v{tag}"])))
+                    .cast("double")
+                ).alias(f"r{tag}")
+                for tag in [25, 50, 75, 95]
+            ],
+        ).collect()[0]
+    finally:
+        li.unpersist()
     for qq, tag in [(0.25, 25), (0.5, 50), (0.75, 75), (0.95, 95)]:
-        r = ranks[f"r{tag}"]
+        r = row[f"r{tag}"]
         if abs(r - qq) > 0.03:
             raise AssertionError(f"kll quantile q{tag} has exact rank {r}")
+    p25, p50, p75, p95 = row["pcts"]
     return spark.createDataFrame(
         [
             (
                 int(row["n"]),
-                float(row["p25"]),
-                float(row["p50"]),
-                float(row["p75"]),
-                float(row["p95"]),
+                float(p25),
+                float(p50),
+                float(p75),
+                float(p95),
                 True,
             )
         ],

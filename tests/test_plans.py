@@ -158,6 +158,7 @@ def test_plan_audit_artifact_clean():
         "q189_resurrected_users",  # three 1-row count aggs crossJoined
         "q199_chi_square_cells",  # broadcast 1-row grand-total crossJoin
         "q207_join_cardinality_estimate",  # 1-row exact x 1-row estimate
+        "q223_kmeans_lloyd",  # broadcast k-row centroid crossJoin per Lloyd round
         "q224_bm25_retrieval",  # broadcast 1-row corpus-stats crossJoin
         "q228_negative_sampling",  # broadcast 1-row pool-array crossJoin
         "q229_srp_reduction_recall",  # 1-row query/top-10 agg crossJoins

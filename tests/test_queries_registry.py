@@ -17,6 +17,7 @@ ROWS_ONLY = {
     "q40_media_features",
     "q49_stratified_sample",
     "q97_media_decode",
+    "q233_image_ahash_neardup",
 }
 
 
