@@ -76,3 +76,52 @@ def suppress_below_k(
         .select(*qi_cols)
     )
     return df.join(violating, list(qi_cols), "left_anti")
+
+
+def pseudonym_text(col, salt: str, prefix: str = "anon_"):
+    """Deterministic salted pseudonym for a string column: the first 12
+    hex chars (48 bits) of md5(salt || ':' || value) under a readable
+    prefix. Same input + salt → same pseudonym, so masked tables still
+    JOIN on the pseudonym; the salt (a pepper held outside the data)
+    blocks dictionary reversal of the unsalted digest. 48 bits keeps
+    accidental collision negligible up to ~10^6 distinct values
+    (birthday bound ~4e-3 at 1e6); NULLs stay NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    return F.concat(F.lit(prefix), F.substring(digest, 1, 12))
+
+
+def pseudonym_int(col, salt: str):
+    """Deterministic salted BIGINT pseudonym for a key column: the
+    first 12 hex chars of the salted md5, parsed base-16 (48 uniform
+    bits, always non-negative, fits bigint exactly). The numeric form
+    keeps the column usable as a join/partition key after masking —
+    hash-partitioning on the pseudonym distributes like the original
+    key did. NULLs stay NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    return F.conv(F.substring(digest, 1, 12), 16, 10).cast("bigint")
+
+
+def mask_columns(df: DataFrame, spec: dict[str, str], salt: str) -> DataFrame:
+    """Produce a masked VIEW of ``df``: every column in ``spec`` is
+    replaced in place by a deterministic salted pseudonym (``'text'`` →
+    prefixed hex string, ``'numeric'`` → 48-bit bigint), all other
+    columns pass through. Complements suppression/k-anonymity above:
+    those bound group-level re-identification, this removes the direct
+    identifiers while preserving equality (1:1 per salt), so
+    distinct-counts, group-bys and joins on the masked columns return
+    the same answers as on the originals.
+
+    Scale shape: pure scan-side projection — one md5 per masked cell,
+    no shuffle, no state, whole-stage-codegen friendly; at 100 TB it
+    rides the existing scan for free."""
+    out = df
+    for name, kind in spec.items():
+        if kind == "text":
+            out = out.withColumn(name, pseudonym_text(name, salt))
+        elif kind == "numeric":
+            out = out.withColumn(name, pseudonym_int(name, salt))
+        else:
+            raise ValueError(f"unknown mask kind {kind!r} for {name!r}")
+    return out

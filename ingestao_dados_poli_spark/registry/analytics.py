@@ -3238,3 +3238,129 @@ def q231_fd_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents: lang -> source",
     )
     return b.unionByName(a).orderBy("fd")
+
+
+
+# --------------------- 132. deterministic PII pseudonymization
+
+@q(
+    "q236_masked_view",
+    """
+    WITH m AS (
+        SELECT c_mktsegment,
+               'anon_' || substr(md5('pepper:' || c_name), 1, 12) AS name_m,
+               ('0x' || substr(md5('pepper:' || CAST(c_custkey AS VARCHAR)),
+                               1, 12))::BIGINT AS key_m
+        FROM customer),
+    g AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT name_m) AS BIGINT) AS n_masked_names,
+               CAST(count(DISTINCT key_m) AS BIGINT) AS n_masked_keys,
+               CAST(bit_xor(key_m) AS BIGINT) AS key_fp
+        FROM m GROUP BY 1),
+    o AS (
+        SELECT c_mktsegment,
+               CAST(count(DISTINCT c_name) AS BIGINT) AS n_orig_names
+        FROM customer GROUP BY 1)
+    SELECT g.c_mktsegment, n_rows, n_orig_names, n_masked_names,
+           n_masked_keys, key_fp
+    FROM g JOIN o USING (c_mktsegment)
+    ORDER BY c_mktsegment
+    """,
+)
+def q236_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII pseudonymization (privacy.mask_columns): the
+    released view replaces c_name with a salted-md5 text pseudonym and
+    c_custkey with a 48-bit bigint pseudonym — reversible by nobody
+    without the pepper, yet equality-preserving, so joins/group-bys on
+    the masked columns still work. The audit row set PROVES the 1:1
+    property cross-engine: per segment, distinct masked names must
+    equal distinct original names (computed on an independent unmasked
+    branch and joined in), distinct masked keys must equal n_rows
+    (custkey is unique), and the bit_xor fingerprint of the masked
+    keys pins the exact pseudonym values against the oracle's own md5
+    construction. Masking is a pure scan-side projection (one md5 per
+    cell, no shuffle); both audit branches are 5-row aggregates, the
+    original-side one broadcast into the join."""
+    from ingestao_dados_poli_spark.operators import privacy as PV
+
+    cust = _t(spark, sf_dir, "customer")
+    masked = PV.mask_columns(
+        cust, {"c_name": "text", "c_custkey": "numeric"}, salt="pepper"
+    )
+    g = masked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("c_name").alias("n_masked_names"),
+        F.count_distinct("c_custkey").alias("n_masked_keys"),
+        F.bit_xor("c_custkey").alias("key_fp"),
+    )
+    o = cust.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_name").alias("n_orig_names")
+    )
+    return (
+        g.join(F.broadcast(o), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            "n_orig_names",
+            "n_masked_names",
+            "n_masked_keys",
+            "key_fp",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+
+# --------------------- 133. behavioral Markov transition matrix
+
+@q(
+    "q238_event_transitions",
+    """
+    WITH t AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+    c AS (
+        SELECT prev AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS permille
+    FROM c ORDER BY from_type, to_type
+    """,
+)
+def q238_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral Markov chain: per-user event-type bigrams via a lag
+    window, aggregated into a transition matrix with row-normalized
+    probabilities in integer PERMILLE (1000*n div row_total — integer
+    division keeps the values exactly equal cross-engine, the q134
+    trick). Scale shape: the lag window partitions by user_id, so
+    state per task is one user's event stream (bounded, spillable);
+    the transition matrix itself is |event_types|² rows — the second
+    window (row totals) runs on that tiny table, never on fact rows.
+    At 100 TB the only heavy move is the one user_id shuffle, which a
+    layout bucketed by user_id (sources/writers.bucketize) eliminates
+    entirely."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return (
+        trans.withColumn(
+            "permille",
+            F.expr("(1000 * n) div sum(n) over (partition by from_type)"),
+        )
+        .select("from_type", "to_type", "n", "permille")
+        .orderBy("from_type", "to_type")
+    )

@@ -2128,3 +2128,57 @@ def q233_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+
+# --------------------- 134. tokenizer sharding manifest
+
+@q(
+    "q237_tokenizer_shards",
+    """
+    WITH s AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 16 AS shard,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS ws_toks,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        FROM documents)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws_toks) AS BIGINT) AS ws_tokens,
+           CAST(bit_xor(fp) AS BIGINT) AS content_fp
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def q237_tokenizer_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-run sharding manifest: corpus split into 16
+    deterministic md5 shards (corpus.hash_bucket — the q83 split
+    primitive) with per-shard doc count, whitespace token count (the
+    tokenizer cost model) and a bit_xor content fingerprint over
+    60-bit doc digests. This is the manifest a distributed tokenizer
+    job consumes: shard membership is a pure function of doc_id, so a
+    re-run, a backfill, or a different engine produces byte-identical
+    shard assignments (the oracle recomputes the identical buckets and
+    fingerprints in DuckDB), and the fingerprint lets each tokenizer
+    worker verify its input slice before burning GPU-adjacent compute.
+    Scale shape: scan-side hashes + ONE map-side-combined groupBy on a
+    16-value key; no windows, no joins. At 100 TB the shard count
+    simply rises with the worker fleet — the plan shape is constant."""
+    docs = _t(spark, sf_dir, "documents")
+    sharded = docs.select(
+        CO.hash_bucket(F.col("doc_id"), 16).alias("shard"),
+        TX.n_tokens_ws("text").alias("ws_toks"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("fp"),
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws_toks").cast("long").alias("ws_tokens"),
+            F.bit_xor("fp").alias("content_fp"),
+        )
+        .orderBy("shard")
+    )
