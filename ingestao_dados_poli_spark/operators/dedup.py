@@ -964,3 +964,93 @@ def jaccard_pairs(
     return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def prefix_filtered_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    tokens: Column | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard join via PREFIX FILTERING (PPJoin family,
+    Chaudhuri et al. 2006 / Xiao et al. 2008) — the candidate-bounding
+    alternative to the inverted-index join (``jaccard_pairs``): instead
+    of pairing docs on ANY shared token, order every doc's token set by
+    ascending global frequency and pair only docs sharing a token in
+    the first ``m - ceil(t*m) + 1`` positions. Any pair with
+    ``J >= t`` must collide there (a disjoint prefix leaves too few
+    suffix slots to reach the required overlap), so the join is
+    lossless; pairs that only share frequent tokens never become
+    candidates, which is what keeps stop-word postings from exploding
+    the pair count at corpus scale. A length filter
+    (``t*na <= nb``) prunes survivors before the exact verify.
+    ``tokens`` overrides the default whitespace word split with any
+    deterministic array<string> expression (e.g. word k-shingles via
+    ``functions.text.shingles`` — the right unit when the vocabulary
+    is small enough that word SETS stop discriminating).
+
+    Scale shape: token ordering is one vocabulary-sized count agg
+    joined back (AQE broadcasts small vocabularies) + a per-doc window
+    (state bounded by doc length); the candidate join shuffles only
+    PREFIX tokens — a ``1-t`` fraction of the postings; the verify
+    joins candidate pairs back to the (id, token-set) table twice and
+    compares sets in-row. Returns ``(id_a, id_b, jac_permille)`` with
+    the exact integer permille ``(1000*i) div (na+nb-i)``.
+    """
+    if tokens is None:
+        tokens = F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+            " ",
+        )
+    docs = fan_out(df).select(
+        F.col(id_col).alias("_id"), F.array_distinct(tokens).alias("_ts")
+    )
+    docs = docs.withColumn("_m", F.size("_ts"))
+    ex = docs.select("_id", "_m", F.explode("_ts").alias("_tk"))
+    vocab = ex.groupBy("_tk").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = ex.join(vocab, "_tk")
+    w = Window.partitionBy("_id").orderBy("_df", "_tk")
+    # prefix length m - ceil(t*m) + 1, evaluated per doc in-row
+    plen = F.col("_m") - F.ceil(F.col("_m") * F.lit(threshold)) + 1
+    prefix = ranked.withColumn("_pos", F.row_number().over(w)).filter(
+        F.col("_pos") <= plen
+    )
+    a = prefix.select(
+        F.col("_id").alias("id_a"), F.col("_m").alias("na"), "_tk"
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), F.col("_m").alias("nb"), "_tk"
+    )
+    cand = (
+        a.join(b, "_tk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t forces t*na <= nb (and symmetrically)
+        .filter(
+            (F.col("nb") >= F.col("na") * F.lit(threshold))
+            & (F.col("na") >= F.col("nb") * F.lit(threshold))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets_a = docs.select(
+        F.col("_id").alias("id_a"),
+        F.col("_ts").alias("_ta"),
+        F.col("_m").alias("na"),
+    )
+    sets_b = docs.select(
+        F.col("_id").alias("id_b"),
+        F.col("_ts").alias("_tb"),
+        F.col("_m").alias("nb"),
+    )
+    verified = (
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("_i", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn(
+            "jac_permille",
+            F.expr("(1000 * _i) div (na + nb - _i)").cast("long"),
+        )
+        .filter(F.col("jac_permille") >= int(round(threshold * 1000)))
+    )
+    return verified.select("id_a", "id_b", "jac_permille")

@@ -3364,3 +3364,170 @@ def q238_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("from_type", "to_type", "n", "permille")
         .orderBy("from_type", "to_type")
     )
+
+
+
+# --------------------- 134. count-min sketch frequency estimates
+
+@q(
+    "q239_count_min_sketch",
+    """
+    WITH f AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1),
+    d AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+    cells AS (
+        SELECT depth,
+               ('0x' || substr(md5(depth || ':' || CAST(key AS VARCHAR)),
+                               1, 12))::BIGINT % 256 AS bucket,
+               sum(n) AS cnt
+        FROM f CROSS JOIN d GROUP BY 1, 2),
+    top AS (SELECT key, n FROM f ORDER BY n DESC, key LIMIT 10),
+    probe AS (
+        SELECT t.key, t.n, d.depth,
+               ('0x' || substr(md5(d.depth || ':' || CAST(t.key AS VARCHAR)),
+                               1, 12))::BIGINT % 256 AS bucket
+        FROM top t CROSS JOIN d),
+    est AS (
+        SELECT p.key, p.n, min(c.cnt) AS cms_est
+        FROM probe p JOIN cells c USING (depth, bucket)
+        GROUP BY 1, 2)
+    SELECT key AS o_custkey, n AS exact_n,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - n AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_n DESC, o_custkey
+    """,
+)
+def q239_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (sketches.cms_build/cms_estimate): a 4x256
+    grid summarizes the full o_custkey frequency distribution (~1500
+    keys into 1024 cells — collisions guaranteed, which is the point),
+    then the 10 true heaviest keys are point-estimated from the grid.
+    The output pins the CMS's one-sided guarantee cross-engine:
+    overestimate >= 0 on every row (min-of-cells can only add
+    collision mass), with the exact overestimate values hash-checked
+    against DuckDB's rebuild of the identical md5-indexed grid.
+    Completes the mergeable-sketch family (HLL q213, theta q216, KLL
+    q217, frequent-items q218) with the frequency-estimate member.
+    Scale shape: exact per-key counts aggregate map-side FIRST, the
+    depth fan-out explodes only the vocabulary, and the probe join
+    broadcasts the 1024-cell grid."""
+    from ingestao_dados_poli_spark.operators import sketches as SK
+
+    orders = _t(spark, sf_dir, "orders")
+    cms = SK.cms_build(orders, "o_custkey", depth=4, width=256)
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "o_custkey")
+        .limit(10)
+    )
+    est = SK.cms_estimate(cms, top, "o_custkey", depth=4, width=256)
+    return est.select(
+        "o_custkey",
+        "exact_n",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n"))
+        .cast("long")
+        .alias("overestimate"),
+    ).orderBy(F.desc("exact_n"), "o_custkey")
+
+
+
+# --------------------- 135. bigram next-event model: train/eval
+
+@q(
+    "q242_next_event_model",
+    """
+    WITH t AS (
+        SELECT user_id, event_type AS to_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        FROM events),
+    tr AS (
+        SELECT from_type, to_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 4096 AS b
+        FROM t WHERE from_type IS NOT NULL),
+    model AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM tr WHERE b < 3277 GROUP BY 1, 2),
+    pred AS (
+        SELECT from_type, to_type AS predicted_next
+        FROM (SELECT from_type, to_type,
+                     row_number() OVER (
+                         PARTITION BY from_type
+                         ORDER BY n DESC, to_type) AS r
+              FROM model) WHERE r = 1),
+    testc AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM tr WHERE b >= 3277 GROUP BY 1, 2)
+    SELECT t.from_type, p.predicted_next,
+           CAST(sum(t.n) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.to_type = p.predicted_next
+                         THEN t.n ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST((1000 * sum(CASE WHEN t.to_type = p.predicted_next
+                                 THEN t.n ELSE 0 END)) // sum(t.n)
+                AS BIGINT) AS acc_permille
+    FROM testc t JOIN pred p USING (from_type)
+    GROUP BY 1, 2 ORDER BY t.from_type
+    """,
+)
+def q242_next_event_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simplest train→eval loop a behavioral pipeline runs, end to
+    end in one plan: split USERS deterministically 80/20 by md5 bucket
+    (corpus.hash_bucket — whole streams stay on one side, no
+    leakage), fit a bigram MLE next-event model on the train side
+    (argmax transition count, smallest event type breaking ties so the
+    argmax is total-order deterministic), and score exact-match
+    accuracy on the held-out side in integer permille. Builds on
+    q238's transition machinery; proves cross-engine that model
+    FITTING (not just feature counting) reproduces bit-for-bit when
+    tie-breaks are pinned. Scale shape: one user_id-partitioned lag
+    window over facts; everything downstream operates on the
+    |event_types|²-row transition tables, and the fitted model
+    (|event_types| rows) broadcasts into the eval join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .select(
+            "from_type",
+            F.col("event_type").alias("to_type"),
+            CO.hash_bucket(F.col("user_id"), 4096).alias("_b"),
+        )
+    )
+    model = (
+        trans.filter(F.col("_b") < 3277)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("from_type").orderBy(F.desc("n"), "to_type")
+    pred = (
+        model.withColumn("_r", F.row_number().over(wm))
+        .filter(F.col("_r") == 1)
+        .select("from_type", F.col("to_type").alias("predicted_next"))
+    )
+    testc = (
+        trans.filter(F.col("_b") >= 3277)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    correct = F.when(
+        F.col("to_type") == F.col("predicted_next"), F.col("n")
+    ).otherwise(F.lit(0))
+    return (
+        testc.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted_next")
+        .agg(
+            F.sum("n").cast("long").alias("n_test"),
+            F.sum(correct).cast("long").alias("n_correct"),
+        )
+        .withColumn(
+            "acc_permille",
+            F.expr("(1000 * n_correct) div n_test").cast("long"),
+        )
+        .orderBy("from_type")
+    )
