@@ -610,3 +610,139 @@ def point_in_time_join(
             slim=True,
         )
     return out
+
+
+def scd2_from_changes(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Build a slowly-changing-dimension TYPE 2 history from a change
+    stream: one version row per RUN of equal ``attr_col`` values per
+    key (consecutive duplicates collapse — re-emitting an unchanged
+    value is not a new version), with ``version_no``,
+    ``effective_from``/``effective_to`` (half-open, ``lead``-derived)
+    and ``is_current`` for the open row. The Type 1 counterpart
+    (`merge_upsert`) keeps only the newest value; Type 2 keeps the
+    full validity timeline, which is what point-in-time joins
+    (`point_in_time_join`) need on the dimension side.
+
+    Null-safe: an attr transition to/from NULL is a real change
+    (eqNullSafe comparison), and a key's very first row always opens
+    version 1. Scale shape: two window passes over the SAME
+    (key)-partitioned, (ts, order_cols)-sorted exchange — Spark reuses
+    the sort; per-task state is one key's stream. ``order_cols``
+    breaks timestamp ties deterministically (pass the event id).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    changed = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            | ~F.col(attr_col).eqNullSafe(F.col("_prev"))
+        )
+        .drop("_prev", "_rn")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    return (
+        changed.withColumn("version_no", F.row_number().over(w2))
+        .withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("effective_to").isNull())
+    )
+
+
+def allocate_largest_remainder(
+    df: DataFrame,
+    group_col: str,
+    total_col: str,
+    weight_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) proration: split each group's
+    integer ``total_col`` across its rows proportionally to
+    ``weight_col``, in INTEGER units that sum back to the total
+    EXACTLY — the allocation problem behind spreading an order-level
+    discount/tax over its lines, a budget over cost centers, or a
+    token quota over shards. Each row gets
+    ``floor(total * w / W)``; the leftover cents (always < group row
+    count) go one each to the rows with the largest floored-away
+    remainder ``(total*w) mod W``, ties broken by ``order_col`` so
+    the result is a pure function of the input. Adds ``alloc``.
+
+    Scale shape: one shuffle on ``group_col`` feeding a sum window
+    and a row_number window over the same exchange; per-task state is
+    one group's rows. All arithmetic is integer — exact on any
+    engine, no float drift in the invariant sum(alloc) == total.
+    """
+    wg = Window.partitionBy(group_col)
+    num = F.col(total_col) * F.col(weight_col)
+    wsum = F.sum(weight_col).over(wg)
+    base = F.expr(
+        f"({total_col} * {weight_col}) div _wsum"
+    )
+    rem = num % F.col("_wsum")
+    wr = Window.partitionBy(group_col).orderBy(
+        F.desc("_rem"), F.col(order_col)
+    )
+    out = (
+        df.withColumn("_wsum", wsum)
+        .withColumn("_base", base)
+        .withColumn("_rem", rem)
+        .withColumn("_short", F.col(total_col) - F.sum("_base").over(wg))
+        .withColumn("_rk", F.row_number().over(wr))
+        .withColumn(
+            "alloc",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_short"), 1).otherwise(0)
+            ).cast("long"),
+        )
+    )
+    return out.drop("_wsum", "_base", "_rem", "_short", "_rk")
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    maximize_col: str,
+    minimize_col: str,
+) -> DataFrame:
+    """2D Pareto frontier (skyline): the rows not dominated by any
+    other — no row with a >= ``maximize_col`` AND a <
+    ``minimize_col`` (nor equal max and strictly lower min). Returns
+    one row per frontier value of ``maximize_col`` with its best
+    ``minimize_col``.
+
+    Scale shape: the naive skyline is a quadratic NOT-EXISTS
+    self-join; this exploits the 2D structure — aggregate the best
+    (min) ``minimize_col`` per ``maximize_col`` value FIRST (one
+    map-side-combined shuffle that bounds everything downstream by
+    the number of DISTINCT maximize values), then a single running-min
+    sweep down the sorted aggregate keeps exactly the strictly
+    improving points. The unpartitioned window is POST-aggregation
+    (the registry-wide plan invariant); skylines also merge
+    distributively — skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B)) — so partial frontiers from shards recombine with the
+    same two steps.
+    """
+    g = df.groupBy(maximize_col).agg(
+        F.min(minimize_col).alias("_best")
+    )
+    w = (
+        Window.orderBy(F.desc(maximize_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        g.withColumn("_prior_best", F.min("_best").over(w))
+        .filter(
+            F.col("_prior_best").isNull()
+            | (F.col("_best") < F.col("_prior_best"))
+        )
+        .select(
+            F.col(maximize_col),
+            F.col("_best").alias(minimize_col),
+        )
+    )

@@ -3531,3 +3531,47 @@ def q242_next_event_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type")
     )
+
+
+
+# --------------------- 136. Pareto frontier (skyline)
+
+@q(
+    "q245_pareto_frontier",
+    """
+    WITH g AS (
+        SELECT p_size, min(round(p_retailprice, 2)) AS best
+        FROM part GROUP BY 1),
+    s AS (
+        SELECT p_size, best,
+               min(best) OVER (ORDER BY p_size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prior
+        FROM g)
+    SELECT CAST(p_size AS BIGINT) AS p_size,
+           CAST(best AS DOUBLE) AS min_price
+    FROM s WHERE prior IS NULL OR best < prior
+    ORDER BY p_size DESC
+    """,
+)
+def q245_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier / skyline (relational.pareto_frontier_2d):
+    the (size, price) points no other part dominates — bigger-and-
+    cheaper beats both dimensions, so the frontier is the set of
+    strictly improving price minima scanning sizes downward. The
+    textbook skyline is a quadratic NOT-EXISTS self-join; the engine's
+    plan is the 2D specialization — ONE map-side-combined groupBy
+    (best price per size) followed by a running-min sweep over the
+    ~50-row aggregate, with the unpartitioned window safely
+    post-aggregation (the registry-wide plan invariant). Skylines
+    merge distributively (skyline(A∪B) = skyline(skyline(A) ∪
+    skyline(B))), so shard-local frontiers recombine with the same
+    two steps at any scale."""
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round("p_retailprice", 2).alias("price"),
+    )
+    fr = R.pareto_frontier_2d(part, "p_size", "price")
+    return fr.select(
+        "p_size", F.col("price").alias("min_price")
+    ).orderBy(F.desc("p_size"))

@@ -2448,3 +2448,194 @@ def q235_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "min_price": 50000},
     )
+
+
+
+# ----------------------------------- 118. SCD Type 2 dimension build
+
+@q(
+    "q243_scd2_history",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM events WHERE user_id < 10),
+    r AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM e),
+    c AS (
+        SELECT user_id, event_type, ts, event_id FROM r
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+    v AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS version_no,
+               epoch_us(ts) AS from_us,
+               epoch_us(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS to_us
+        FROM c)
+    SELECT user_id, CAST(version_no AS BIGINT) AS version_no, event_type,
+           CAST(from_us AS BIGINT) AS from_us,
+           CAST(to_us AS BIGINT) AS to_us,
+           CAST(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS is_current
+    FROM v ORDER BY user_id, version_no
+    """,
+)
+def q243_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build
+    (relational.scd2_from_changes): each user's event_type stream
+    collapses into validity-interval version rows — consecutive
+    repeats are NOT new versions, every run of equal values opens one
+    half-open [effective_from, effective_to) interval, the open
+    interval carries is_current. Type 1 (merge_upsert, q226's MERGE)
+    keeps only the latest value; Type 2 is what the point-in-time
+    join (q227) consumes on the dimension side.
+    Timestamps surface as epoch MICROSECOND integers (the q119
+    unix_micros/epoch_us pattern) so interval endpoints hash
+    bit-identically cross-engine.
+    Scale shape: both window passes share one user_id-partitioned
+    sorted exchange; per-task state is one user's stream."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    hist = R.scd2_from_changes(
+        ev, "user_id", "event_type", "ts", order_cols=("event_id",)
+    )
+    return hist.select(
+        "user_id",
+        F.col("version_no").cast("long").alias("version_no"),
+        "event_type",
+        F.unix_micros("effective_from").alias("from_us"),
+        F.unix_micros("effective_to").alias("to_us"),
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("user_id", "version_no")
+
+
+
+# ----------------------------- 119. largest-remainder proration
+
+@q(
+    "q244_largest_remainder_alloc",
+    """
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem),
+    o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM orders),
+    j AS (
+        SELECT l_orderkey, l_linenumber, qty, o_orderpriority, total_cents,
+               sum(qty) OVER (PARTITION BY l_orderkey) AS wsum
+        FROM li JOIN o ON l_orderkey = o_orderkey),
+    b AS (
+        SELECT *, (total_cents * qty) // wsum AS base,
+               (total_cents * qty) % wsum AS rem
+        FROM j),
+    s AS (
+        SELECT *,
+               total_cents - sum(base) OVER (PARTITION BY l_orderkey)
+                   AS short,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rem DESC, l_linenumber) AS rk
+        FROM b),
+    a AS (
+        SELECT l_orderkey, l_linenumber, o_orderpriority, total_cents,
+               CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM s),
+    per_order AS (
+        SELECT l_orderkey, any_value(o_orderpriority) AS prio,
+               any_value(total_cents) AS total_cents,
+               sum(alloc) AS alloc_sum, count(*) AS n_lines,
+               bit_xor(('0x' || substr(md5(
+                   l_orderkey || ':' || l_linenumber || ':' || alloc),
+                   1, 15))::BIGINT) AS fp
+        FROM a GROUP BY 1)
+    SELECT prio AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lineitems,
+           CAST(sum(alloc_sum) AS BIGINT) AS alloc_cents,
+           CAST(sum(total_cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN alloc_sum != total_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch,
+           CAST(bit_xor(fp) AS BIGINT) AS alloc_fp
+    FROM per_order GROUP BY 1 ORDER BY 1
+    """,
+)
+def q244_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) proration
+    (relational.allocate_largest_remainder): every order's total
+    (integer cents) is split across its lineitems proportionally to
+    quantity, floor + one extra cent to the largest remainders, ties
+    pinned by linenumber — sum(alloc) == total EXACTLY per order, in
+    pure integer arithmetic. The output proves it cross-engine at two
+    granularities: n_mismatch (must be 0) certifies the invariant for
+    EVERY order, and the bit_xor fingerprint over
+    md5(order:line:alloc) pins every row-level allocation without
+    emitting lineitem rows. Scale shape: one shuffle on l_orderkey
+    (the lineitem table's natural key — bucketed layouts make it
+    free) feeding sum/row_number windows over the same exchange;
+    per-task state is one order's lines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("total_cents"),
+    )
+    j = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).drop("o_orderkey")
+    allocd = R.allocate_largest_remainder(
+        j, "l_orderkey", "total_cents", "qty", "l_linenumber"
+    )
+    row_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("alloc").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    per_order = allocd.groupBy("l_orderkey").agg(
+        F.first("o_orderpriority").alias("prio"),
+        F.first("total_cents").alias("total_cents"),
+        F.sum("alloc").alias("alloc_sum"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.bit_xor(row_fp).alias("fp"),
+    )
+    mismatch = F.when(
+        F.col("alloc_sum") != F.col("total_cents"), 1
+    ).otherwise(0)
+    return (
+        per_order.groupBy(F.col("prio").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("n_lineitems"),
+            F.sum("alloc_sum").cast("long").alias("alloc_cents"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+            F.sum(mismatch).cast("long").alias("n_mismatch"),
+            F.bit_xor("fp").cast("long").alias("alloc_fp"),
+        )
+        .orderBy("o_orderpriority")
+    )
