@@ -855,3 +855,65 @@ def content_defined_chunks(
             ).alias("chunk_hash"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    n_quantiles: int = 10,
+) -> DataFrame:
+    """Quantile normalization: replace every row's value with the
+    GLOBAL distribution's value at the row's within-group quantile —
+    after it, every group has the same value distribution (up to
+    quantile granularity), which is how you make per-source quality
+    or length scores comparable before cross-source filtering
+    (a source-biased threshold is the classic corpus-curation bug;
+    cf. the per-source decile cuts in the quality-tier queries).
+
+    Everything is NEAREST-RANK (no interpolation): within-group rank
+    ``r`` of ``n_g`` maps to quantile ``j = ceil(Q*r/n_g)``; the
+    normalized value is the global ``ceil(j*N/Q)``-th smallest —
+    pure integer arithmetic, so engines agree bit-for-bit.
+
+    Scale shape: one window per group for ranks (state = one group's
+    rows); the global value-at-rank table derives from the DISTINCT-
+    value histogram (one map-side-combined groupBy, cumulative window
+    over the value-cardinality-sized aggregate — never a global sort
+    of raw rows), each distinct value emitting the quantile indexes
+    whose target rank falls inside its cumulative span; the final
+    Q-row quantile table broadcast-joins back on the quantile index.
+    Adds ``quantile`` (1..Q) and ``norm_value``.
+    """
+    q = int(n_quantiles)
+    wg = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    wn = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("_r", F.row_number().over(wg))
+        .withColumn("_ng", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "quantile",
+            F.expr(f"({q} * _r + _ng - 1) div _ng").cast("long"),
+        )
+        .drop("_r", "_ng")
+    )
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_c"))
+    wv = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hist = (
+        hist.withColumn("_cum", F.sum("_c").over(wv))
+        .withColumn("_N", F.sum("_c").over(Window.partitionBy()))
+    )
+    lo = F.expr(f"({q} * (_cum - _c)) div _N + 1")
+    hi = F.expr(f"({q} * _cum) div _N")
+    quantile_values = hist.select(
+        F.col(value_col).alias("norm_value"),
+        F.explode(
+            F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("quantile"),
+    )
+    return ranked.join(F.broadcast(quantile_values), "quantile")

@@ -11,6 +11,8 @@ query (q70) for grid densification before interpolation.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -100,3 +102,36 @@ def gap_flags(
     w = Window.partitionBy(*partition_by).orderBy(ts_col)
     gap = F.col(ts_col) - F.lag(ts_col).over(w)
     return df.withColumn(flag_col, F.coalesce(gap > max_gap, F.lit(False)))
+
+
+def cusum_upper(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    target: Column,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One-sided upper CUSUM control chart (Page 1954):
+    ``s_t = max(0, s_{t-1} + x_t - target)`` — the standard
+    change-point statistic for detecting a sustained upward shift in
+    a metric stream. The recursion looks inherently sequential, but
+    its closed form is pure window algebra:
+    ``s_t = p_t - min(0, min_{j<=t} p_j)`` where ``p`` is the prefix
+    sum of ``(x - target)`` — so the whole chart is two cumulative
+    windows over one sorted exchange, no iteration, no UDF.
+
+    Keep ``value_col``/``target`` in integer units (cents, counts) —
+    the identity is then exact on any engine. Adds ``cusum``. With no
+    ``partition_cols`` the caller must feed a POST-AGGREGATION series
+    (the registry-wide global-window invariant); per-key charts pass
+    the key columns and scale linearly per key.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.withColumn("_p", F.sum(F.col(value_col) - target).over(w))
+    return out.withColumn(
+        "cusum", F.col("_p") - F.least(F.lit(0), F.min("_p").over(w))
+    ).drop("_p")

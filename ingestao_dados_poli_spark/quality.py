@@ -19,7 +19,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -469,4 +469,58 @@ def fd_violations(
             F.count(F.lit(1)).cast("long").alias("n_rhs_variants"),
         )
         .where(F.col("n_rhs_variants") > 1)
+    )
+
+
+# Benford's-law expected first-digit shares, in exact PPM literals
+# (round(log10(1 + 1/d) * 1e6)). Literal integers so every engine
+# scores against the identical expectation — no cross-engine log().
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit profile against Benford's law — the
+    forensic-accounting screen for fabricated or truncated numeric
+    columns (naturally-occurring multiplicative data follows
+    ``P(d) = log10(1 + 1/d)``; uniform or clamped data does not, and
+    the per-digit deviation shows where). Values below 1 and NULLs
+    are excluded (no leading significant digit in the integer part).
+
+    Output per digit 1-9: ``n``, observed share and expected share in
+    exact integer PPM (observed = ``(1e6 * n) div total``), and the
+    signed deviation. One map-side-combined groupBy on a 9-value key;
+    the grand total rides along via a window over the 9-row aggregate,
+    so the profile is a single-shuffle job at any scale.
+    """
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(value_col) >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy()
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    return (
+        counts.withColumn("_total", F.sum("n").over(w))
+        .select(
+            "digit",
+            "n",
+            F.expr("(1000000 * n) div _total").alias("obs_ppm"),
+            expected.cast("long").alias("exp_ppm"),
+            (
+                F.expr("(1000000 * n) div _total")
+                - expected.cast("long")
+            ).alias("delta_ppm"),
+        )
+        .orderBy("digit")
     )

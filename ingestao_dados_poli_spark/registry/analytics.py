@@ -3575,3 +3575,111 @@ def q245_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.select(
         "p_size", F.col("price").alias("min_price")
     ).orderBy(F.desc("p_size"))
+
+
+
+# --------------------- 137. CUSUM change-point chart
+
+@q(
+    "q246_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                    AS VARCHAR) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1),
+    t AS (SELECT *, sum(cents) OVER () // count(*) OVER () AS target
+          FROM daily),
+    p AS (SELECT day, cents,
+                 sum(cents - target) OVER (
+                     ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS pre
+          FROM t),
+    c AS (SELECT day, cents,
+                 pre - least(0, min(pre) OVER (
+                     ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)) AS cusum
+          FROM p)
+    SELECT day, CAST(cents AS BIGINT) AS cents,
+           CAST(cusum AS BIGINT) AS cusum
+    FROM c ORDER BY cusum DESC, day LIMIT 20
+    """,
+)
+def q246_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart (timeseries.cusum_upper): the 20 days with
+    the strongest sustained upward revenue drift. The Page recursion
+    s_t = max(0, s_{t-1} + x_t - target) looks inherently sequential;
+    the engine runs its closed form s_t = p_t - min(0, min prefix p)
+    — two cumulative windows over one sorted pass, no iteration, no
+    UDF — with everything in integer cents (per-row cents BEFORE the
+    sum: a float sum's rounding would depend on reduction order and
+    break cross-engine equality). Both global windows sit over the
+    POST-AGGREGATION daily table (registry plan invariant); the
+    reference level is the integer-div daily mean from the same
+    table. Top-k via TakeOrderedAndProject."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias(
+            "_day"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    daily = daily.withColumn(
+        "_target",
+        F.expr(
+            "sum(cents) over () div count(1) over ()"
+        ),
+    )
+    from ingestao_dados_poli_spark.operators import timeseries as TS
+
+    charted = TS.cusum_upper(daily, "cents", "_day", F.col("_target"))
+    return (
+        charted.select(
+            F.col("_day").cast("string").alias("day"),
+            F.col("cents"),
+            F.col("cusum").cast("long").alias("cusum"),
+        )
+        .orderBy(F.desc("cusum"), "day")
+        .limit(20)
+    )
+
+
+
+# --------------------- 138. Benford first-digit screen
+
+@q(
+    "q247_benford_profile",
+    """
+    WITH v AS (SELECT o_totalprice FROM orders WHERE o_totalprice >= 1),
+    d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM v),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    e(digit, exp_ppm) AS (VALUES
+        (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+    t AS (SELECT c.digit, c.n,
+                 (1000000 * c.n) // sum(c.n) OVER () AS obs_ppm,
+                 e.exp_ppm
+          FROM c JOIN e USING (digit))
+    SELECT digit, n, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+           CAST(exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(obs_ppm - exp_ppm AS BIGINT) AS delta_ppm
+    FROM t ORDER BY digit
+    """,
+)
+def q247_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen (quality.benford_profile)
+    over order totals — the forensic-accounting profile that flags
+    fabricated, truncated, or clamped numeric columns (natural
+    multiplicative data follows P(d) = log10(1+1/d); TPC-H's
+    uniform-ish totals visibly do NOT, and the signed per-digit
+    deviations say exactly where). Expected shares are integer-PPM
+    LITERALS, so no cross-engine log() enters the comparison; observed
+    shares are exact integer division. One 9-key map-side-combined
+    groupBy + a window over the 9-row aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    return Q.benford_profile(orders, "o_totalprice")

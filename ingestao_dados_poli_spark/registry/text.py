@@ -2182,3 +2182,61 @@ def q237_tokenizer_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+
+# --------------------- 135. cross-source quantile normalization
+
+@q(
+    "q248_quantile_normalize",
+    """
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    g AS (SELECT source, doc_id, n_chars,
+                 row_number() OVER (
+                     PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+                 count(*) OVER (PARTITION BY source) AS ng
+          FROM d),
+    j AS (SELECT source, doc_id, (10 * r + ng - 1) // ng AS quantile
+          FROM g),
+    ordered AS (SELECT n_chars,
+                       row_number() OVER (ORDER BY n_chars, doc_id) AS k
+                FROM d),
+    nq AS (SELECT count(*) AS N FROM d),
+    dec AS (SELECT t.jq AS quantile, o.n_chars AS norm_value
+            FROM (SELECT unnest(range(1, 11)) AS jq) t, nq, ordered o
+            WHERE o.k = ((t.jq * nq.N + 9) // 10))
+    SELECT j.source, CAST(j.quantile AS BIGINT) AS quantile,
+           CAST(dec.norm_value AS BIGINT) AS norm_value,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM j JOIN dec ON j.quantile = dec.quantile
+    GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
+)
+def q248_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources
+    (corpus.quantile_normalize): every doc's length maps to the GLOBAL
+    distribution's value at the doc's within-source quantile, making
+    per-source scores comparable before any cross-source threshold —
+    the fix for the classic corpus-curation bug where one source's
+    length/quality scale silently dominates a global cut. All
+    NEAREST-RANK integer arithmetic (no interpolation, no floats):
+    within-source rank r of n_g → decile ceil(10r/n_g); normalized
+    value = global ceil(j*N/10)-th smallest. Engine never sorts raw
+    rows globally: the global value-at-rank table derives from the
+    distinct-value histogram (map-side-combined groupBy + cumulative
+    window over the value-cardinality-sized aggregate), each distinct
+    value emitting the decile indexes whose target rank lands in its
+    cumulative span; the 10-row decile table broadcast-joins back.
+    The oracle computes the same mapping by brute-force global sort —
+    the hash match proves the histogram derivation exact."""
+    docs = _t(spark, sf_dir, "documents")
+    out = CO.quantile_normalize(docs, "n_chars", "source", "doc_id", 10)
+    return (
+        out.groupBy("source", "quantile")
+        .agg(
+            F.min("norm_value").cast("long").alias("norm_value"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select("source", F.col("quantile"), "norm_value", "n_docs")
+        .orderBy("source", "quantile")
+    )
