@@ -158,3 +158,30 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     return F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
     )
+
+
+def flesch_milli(col: Column | str) -> Column:
+    """Flesch reading-ease score in exact MILLI units (integer):
+    ``206835 - (1015*words) div sentences - (84600*syllables) div
+    words`` — every term integer division, so engines agree
+    bit-for-bit (the integer-quantization trick from the perplexity
+    tiers, applied to readability). Heuristics: words = whitespace
+    tokens (min 1), sentences = [.!?]+ runs (min 1 — prose without
+    terminal punctuation scores as one long sentence), syllables =
+    [aeiouy]+ vowel groups. Scan-side regexp counting only — no
+    shuffle, no UDF. Integer division via floor(a/b): with both
+    operands exact in double far below 2^53 the floor is exact
+    (a = k*b - 1 sits 1/b >= 1e-9 below k, astronomically beyond
+    double rounding error)."""
+    c = _c(col)
+    words = F.greatest(n_tokens_ws(c), F.lit(1)).cast("long")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    wps = F.floor((F.lit(1015) * words) / sentences).cast("long")
+    spw = F.floor((F.lit(84600) * syllables) / words).cast("long")
+    return (F.lit(206835) - wps - spw).cast("long")

@@ -524,3 +524,75 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def lorenz_gini(
+    df: DataFrame, key_col: str, value_col: str, n_points: int = 10
+) -> DataFrame:
+    """Lorenz curve + Gini coefficient of value concentration across
+    keys — the standard answer to "how concentrated is revenue /
+    token mass / traffic over customers / sources / users", and the
+    skew diagnostic you read before choosing a partitioning strategy
+    (a 0.9-Gini key column WILL hot-spot a hash shuffle; cf.
+    partitioning.heavy_hitters for the top-k view of the same
+    question).
+
+    Exact integer arithmetic end-to-end: keys sort by total value
+    (key-tiebroken), rank-weighted sums feed the closed form
+    ``G = (2*Σ i*v_i - (n+1)*S) / (n*S)`` emitted in permille via an
+    exact-multiple DECIMAL(38) division (the ×1000 numerator exceeds
+    int64 near 1e5 keys × 1e13 value — decimals keep it exact where a
+    long would overflow under ANSI). Returns one row per Lorenz point
+    (``ceil(n_points*i/n)`` buckets): n_keys, cumulative value and
+    exact permille share, plus the constant gini_permille column.
+
+    Scale shape: one map-side-combined groupBy on the key, then ALL
+    windows run over the per-key aggregate (key-cardinality-sized,
+    the post-aggregation invariant) — raw rows are never sorted."""
+    per = df.groupBy(key_col).agg(
+        F.sum(value_col).cast("long").alias("_v")
+    )
+    wo = Window.orderBy("_v", key_col)
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    dec = "decimal(38,0)"
+    r = (
+        per.withColumn("_i", F.row_number().over(wo))
+        .withColumn("_cum", F.sum("_v").over(wcum))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_S", F.sum("_v").over(wall))
+        .withColumn(
+            "_W",
+            F.sum(F.col("_v").cast(dec) * F.col("_i")).over(wall),
+        )
+    )
+    num = (
+        F.lit(2).cast(dec) * F.col("_W")
+        - (F.col("_n") + 1).cast(dec) * F.col("_S").cast(dec)
+    ) * F.lit(1000).cast(dec)
+    den = F.col("_n").cast(dec) * F.col("_S").cast(dec)
+    r = (
+        r.withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn(
+            "gini_permille",
+            ((F.col("_num") - F.col("_num") % F.col("_den")) / F.col("_den"))
+            .cast("long"),
+        )
+        .withColumn(
+            "point",
+            F.expr(f"({n_points} * _i + _n - 1) div _n").cast("long"),
+        )
+    )
+    return (
+        r.groupBy("point")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("_cum").cast("long").alias("cum_value"),
+            F.expr("(1000 * max(_cum)) div max(_S)")
+            .cast("long")
+            .alias("cum_share_permille"),
+            F.max("gini_permille").alias("gini_permille"),
+        )
+        .orderBy("point")
+    )

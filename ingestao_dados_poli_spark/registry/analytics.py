@@ -3683,3 +3683,56 @@ def q247_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy + a window over the 9-row aggregate."""
     orders = _t(spark, sf_dir, "orders")
     return Q.benford_profile(orders, "o_totalprice")
+
+
+
+# --------------------- 139. Lorenz curve + Gini concentration
+
+@q(
+    "q249_lorenz_gini",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1),
+    r AS (SELECT o_custkey, v,
+                 row_number() OVER (ORDER BY v, o_custkey) AS i,
+                 sum(v) OVER (ORDER BY v, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 count(*) OVER () AS n,
+                 sum(v) OVER () AS S
+          FROM per),
+    r2 AS (SELECT *, sum(i * v) OVER () AS W FROM r),
+    g AS (SELECT *,
+                 (1000 * (2 * W - (n + 1) * S)) // (n * S) AS gini
+          FROM r2),
+    d AS (SELECT (10 * i + n - 1) // n AS pt, count(*) AS n_keys,
+                 max(cum) AS cum_v, max(S) AS S, max(gini) AS gini
+          FROM g GROUP BY 1)
+    SELECT CAST(pt AS BIGINT) AS point,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(cum_v AS BIGINT) AS cum_value,
+           CAST((1000 * cum_v) // S AS BIGINT) AS cum_share_permille,
+           CAST(gini AS BIGINT) AS gini_permille
+    FROM d ORDER BY point
+    """,
+)
+def q249_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile (quality.lorenz_gini): customers
+    sort by total spend, the Lorenz curve reports each decile's exact
+    cumulative permille share, and the constant gini_permille column
+    carries the closed-form Gini G = (2*Σi*v_i - (n+1)S)/(nS) — the
+    skew number you read before picking a join/partition strategy on
+    this key (0 = uniform, →1000 = one whale). Arithmetic is exact
+    integers with the ×1000 numerator in DECIMAL(38) exact-multiple
+    division (ANSI-safe where a long would overflow past ~1e5 keys ×
+    1e13 cents); the DuckDB twin runs the same formula in HUGEINT, so
+    the hash match certifies the decimal path. All windows sit over
+    the per-customer aggregate — raw orders are never globally
+    sorted."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return Q.lorenz_gini(orders, "o_custkey", "cents", n_points=10)

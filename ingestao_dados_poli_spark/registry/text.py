@@ -2240,3 +2240,94 @@ def q248_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("quantile"), "norm_value", "n_docs")
         .orderBy("source", "quantile")
     )
+
+
+
+# --------------------- 136. positional-index phrase search
+
+@q(
+    "q250_phrase_search",
+    """
+    WITH tok AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(
+                            lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 FROM documents),
+    ex AS (SELECT doc_id, i AS pos, toks[i] AS tk
+           FROM tok, unnest(range(1, len(toks) + 1)) AS u(i)),
+    p0 AS (SELECT doc_id, pos FROM ex WHERE tk = 'slow'),
+    p1 AS (SELECT doc_id, pos - 1 AS pos FROM ex WHERE tk = 'hash'),
+    p2 AS (SELECT doc_id, pos - 2 AS pos FROM ex WHERE tk = 'batch')
+    SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM p0 JOIN p1 USING (doc_id, pos) JOIN p2 USING (doc_id, pos)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q250_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via a positional inverted index
+    (corpus.phrase_search): docs where 'slow hash batch' occurs as
+    CONSECUTIVE tokens — the IR primitive bag-of-words BM25 (q224)
+    cannot express. Postings materialize only for the phrase's three
+    tokens (scan-side isin filter), then position lists equi-join on
+    (doc, shifted position); occurrence counts per doc come back
+    exactly. The oracle rebuilds the same positional logic from
+    DuckDB's token arrays. At scale the naive substring scan reads
+    100% of corpus bytes per query; the positional join reads three
+    posting lists."""
+    docs = _t(spark, sf_dir, "documents")
+    out = CO.phrase_search(docs, ("slow", "hash", "batch"))
+    return out.orderBy("doc_id")
+
+
+
+# --------------------- 137. readability scoring
+
+@q(
+    "q251_readability",
+    """
+    WITH s AS (
+        SELECT source,
+               greatest(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END, 1) AS words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syll
+        FROM documents),
+    f AS (SELECT source,
+                 206835 - (1015 * words) // sentences
+                        - (84600 * syll) // words AS score
+          FROM s)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(score) AS BIGINT) AS min_milli,
+           CAST(max(score) AS BIGINT) AS max_milli,
+           CAST(sum(score) // count(*) AS BIGINT) AS avg_milli
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+)
+def q251_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source (functions.text.flesch_milli)
+    in exact integer MILLI units — the readability member of the
+    text-quality family (entropy, Gopher rules, perplexity tiers),
+    scored with integer division throughout so both engines agree
+    bit-for-bit; this corpus has no terminal punctuation, so every
+    doc scores as one long sentence (the operator's min-1 guard,
+    exercised corpus-wide). Scan-side regexp counting + one
+    map-side-combined groupBy; the per-source average uses
+    FLOOR(sum/count) to match DuckDB's floor-division `//` on a
+    possibly negative sum."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", TX.flesch_milli("text").alias("score")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("score").cast("long").alias("min_milli"),
+            F.max("score").cast("long").alias("max_milli"),
+            F.floor(F.sum("score") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_milli"),
+        )
+        .orderBy("source")
+    )
