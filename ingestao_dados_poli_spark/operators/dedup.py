@@ -972,6 +972,7 @@ def prefix_filtered_jaccard(
     id_col: str,
     threshold: float,
     tokens: Column | None = None,
+    max_posting_len: int | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard join via PREFIX FILTERING (PPJoin family,
     Chaudhuri et al. 2006 / Xiao et al. 2008) — the candidate-bounding
@@ -989,6 +990,15 @@ def prefix_filtered_jaccard(
     deterministic array<string> expression (e.g. word k-shingles via
     ``functions.text.shingles`` — the right unit when the vocabulary
     is small enough that word SETS stop discriminating).
+
+    ``max_posting_len`` bounds the candidate self-join on PREFIX
+    postings (same contract as ``jaccard_pairs``): a prefix token
+    whose posting exceeds the cap is dropped from candidate
+    GENERATION. Exactness survives as long as every true pair still
+    shares at least one uncapped prefix token; boilerplate corpora
+    where one rare-ish token floods a posting should prefer the
+    banded MinHash path (``salted_bucket_pairs``) whose degradation
+    is distributed. None (default) = lossless, no cap.
 
     Scale shape: token ordering is one vocabulary-sized count agg
     joined back (AQE broadcasts small vocabularies) + a per-doc window
@@ -1016,6 +1026,11 @@ def prefix_filtered_jaccard(
     prefix = ranked.withColumn("_pos", F.row_number().over(w)).filter(
         F.col("_pos") <= plen
     )
+    if max_posting_len is not None:
+        wp = Window.partitionBy("_tk")
+        prefix = prefix.withColumn(
+            "_plen", F.count(F.lit(1)).over(wp)
+        ).filter(F.col("_plen") <= max_posting_len)
     a = prefix.select(
         F.col("_id").alias("id_a"), F.col("_m").alias("na"), "_tk"
     )
