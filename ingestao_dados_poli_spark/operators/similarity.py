@@ -1110,3 +1110,44 @@ def srp_reduce(
             " 0L, (acc, v) -> acc + v))"
         ).alias("rv"),
     )
+
+
+def gram_matrix_int(
+    df: DataFrame, vec_col: str = "embedding", quantum: int = 1_000_000
+) -> DataFrame:
+    """Exact integer Gram matrix X^T X of an embedding column — the
+    covariance-structure primitive under PCA/whitening/low-rank
+    probes, computed the way a 100 TB pipeline must: each Arrow batch
+    contributes a PARTIAL d x d Gram via one vectorized int64 matmul
+    (numpy, C-speed — the d² work per row never touches Python row
+    loops), partials reduce with one map-side-combined groupBy on the
+    (i, j) cell key. Components quantize to integers first
+    (floor(x*quantum + 0.5), the q142 half-up trick), so partial sums
+    are EXACT and reduction order cannot change a bit — float
+    accumulation would make the result partitioning-dependent.
+    Returns upper-triangle cells (i, j, gram), 1-indexed,
+    d(d+1)/2 rows."""
+
+    def part(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            qm = np.floor(m * quantum + 0.5).astype("int64")
+            g = qm.T @ qm
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "v": acc[iu],
+                }
+            )
+
+    out = df.select(vec_col).mapInPandas(part, "i int, j int, v long")
+    return out.groupBy("i", "j").agg(
+        F.sum("v").cast("long").alias("gram")
+    )

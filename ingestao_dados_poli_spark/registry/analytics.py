@@ -3736,3 +3736,68 @@ def q249_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return Q.lorenz_gini(orders, "o_custkey", "cents", n_points=10)
+
+
+
+# --------------------- 140. event precedence matrix
+
+@q(
+    "q253_event_precedence",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events),
+    f AS (SELECT user_id, event_type, min(seq) AS fs
+          FROM s GROUP BY 1, 2),
+    p AS (SELECT a.event_type AS first_type, b.event_type AS then_type,
+                 count(*) AS n_users
+          FROM f a JOIN f b ON a.user_id = b.user_id
+                           AND a.event_type <> b.event_type
+                           AND a.fs < b.fs
+          GROUP BY 1, 2)
+    SELECT first_type, then_type, CAST(n_users AS BIGINT) AS n_users
+    FROM p ORDER BY 1, 2
+    """,
+)
+def q253_event_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type precedence matrix: for every ordered pair (a, b),
+    how many users saw their FIRST a strictly before their first b —
+    the any-gap ordering signal q238's adjacent-bigram matrix cannot
+    see (onboarding flows, feature-discovery order). First occurrence
+    is the min of a per-user (ts, event_id) ROW SEQUENCE, so ties
+    break deterministically and the comparison is on unique integers.
+    Scale shape: one user-partitioned window; the first-occurrence
+    table (<= |event_types| rows per user) self-joins CO-PARTITIONED
+    on user_id — the quadratic is |types|² per user, never users²;
+    output is the |types|² matrix."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.withColumn("seq", F.row_number().over(w))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("seq").alias("fs"))
+    )
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("first_type"),
+        F.col("fs").alias("fa"),
+    )
+    b = firsts.select(
+        "user_id",
+        F.col("event_type").alias("then_type"),
+        F.col("fs").alias("fb"),
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("first_type") != F.col("then_type"))
+            & (F.col("fa") < F.col("fb"))
+        )
+        .groupBy("first_type", "then_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("first_type", "then_type")
+    )

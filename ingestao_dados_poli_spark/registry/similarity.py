@@ -1897,3 +1897,132 @@ def q241_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col("id_a"), F.col("id_b"), F.col("jac_permille")
     ).orderBy("id_a", "id_b")
+
+
+
+# --------------------- 137. source-centroid embedding drift
+
+@q(
+    "q252_source_centroid_drift",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+                          AS q
+               FROM embeddings),
+    j AS (SELECT d.source, e.q
+          FROM e JOIN documents d ON e.vec_id = d.doc_id),
+    u AS (SELECT source, i, CAST(sum(q[i]) AS BIGINT) AS s
+          FROM j, unnest(range(1, 65)) AS t(i) GROUP BY 1, 2),
+    c AS (SELECT source, list(s ORDER BY i) AS sv FROM u GROUP BY 1),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 list_inner_product(a.sv, b.sv) AS ab,
+                 list_inner_product(a.sv, a.sv) AS aa,
+                 list_inner_product(b.sv, b.sv) AS bb
+          FROM c a JOIN c b ON a.source < b.source)
+    SELECT source_a, source_b,
+           CAST(round(ab / (sqrt(aa) * sqrt(bb)), 6) AS DOUBLE) AS cos_sim
+    FROM p ORDER BY source_a, source_b
+    """,
+)
+def q252_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift between sources: the full pairwise cosine
+    matrix of per-source centroid DIRECTIONS — the monitoring query
+    that catches a crawl source shifting semantically between dumps
+    (its centroid rotates away from the fleet). Components quantize
+    to integers (q142's floor half-up), per-source vectors SUM
+    exactly (the 1/n of the mean cancels in the cosine, so no
+    division ever happens on the distributed path), and only the
+    20-source centroid table self-joins — 190 pairs, broadcast. The
+    sums/inner products are exact integers below 2^53, so both
+    engines' doubles agree bit-for-bit before the one final rounded
+    division. Scale shape: one (source, dim)-keyed map-side-combined
+    groupBy over the posexploded vectors; everything after operates
+    on |sources| x 64 cells."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = emb.join(docs, emb.vec_id == docs.doc_id)
+    cells = (
+        j.select("source", F.posexplode("q").alias("i", "x"))
+        .groupBy("source", "i")
+        .agg(F.sum("x").alias("s"))
+    )
+    cent = cells.groupBy("source").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("s")))
+            ),
+            lambda st: st.getField("s"),
+        ).alias("sv")
+    )
+    def ip(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    a = cent.select(
+        F.col("source").alias("source_a"), F.col("sv").alias("sva")
+    )
+    b = cent.select(
+        F.col("source").alias("source_b"), F.col("sv").alias("svb")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    )
+    ab = ip(F.col("sva"), F.col("svb")).cast("double")
+    aa = ip(F.col("sva"), F.col("sva")).cast("double")
+    bb = ip(F.col("svb"), F.col("svb")).cast("double")
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(ab / (F.sqrt(aa) * F.sqrt(bb)), 6).alias("cos_sim"),
+    ).orderBy("source_a", "source_b")
+
+
+
+# --------------------- 138. distributed exact Gram matrix
+
+@q(
+    "q254_gram_matrix",
+    """
+    WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+               FROM embeddings),
+    pr AS (SELECT a.i AS i, b.j AS j
+           FROM (SELECT unnest(range(1, 65)) AS i) a,
+                (SELECT unnest(range(1, 65)) AS j) b
+           WHERE b.j >= a.i),
+    g AS (SELECT p.i, p.j,
+                 CAST(sum(e.q[p.i] * e.q[p.j]) AS BIGINT) AS gram
+          FROM e, pr p GROUP BY 1, 2)
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, gram
+    FROM g ORDER BY i, j
+    """,
+)
+def q254_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64x64 Gram matrix X^T X of the embedding corpus
+    (similarity.gram_matrix_int) — the covariance-structure primitive
+    under PCA/whitening/low-rank drift probes. Each Arrow batch
+    contributes a partial Gram via ONE vectorized int64 matmul
+    (numpy — the d² per-row work never runs in Python loops), and
+    partials reduce with a map-side-combined groupBy on the cell key:
+    the shuffle carries d(d+1)/2 cells per task, NOT the vectors.
+    Integer quantization (q142's floor half-up) makes every partial
+    exact, so reduction order cannot change a bit — the property that
+    lets the DuckDB twin (a brute-force 1M-row expansion) hash-match
+    a mapInPandas pipeline. At 100 TB this is the only sane Gram
+    shape: O(d²) state per task, one tiny reduce."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    g = SIM.gram_matrix_int(emb, "embedding", 1_000_000)
+    return g.orderBy("i", "j")
