@@ -3801,3 +3801,204 @@ def q253_event_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("first_type", "then_type")
     )
+
+
+
+# --------------------- 141. trailing-window distinct actives
+
+@q(
+    "q255_trailing_actives",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM events),
+    cov AS (SELECT user_id, day + CAST(k AS INTEGER) AS cday
+            FROM d, unnest(range(0, 7)) AS t(k)),
+    days AS (SELECT DISTINCT day FROM d),
+    w AS (SELECT cday, count(DISTINCT user_id) AS wau
+          FROM cov GROUP BY 1),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau
+            FROM d GROUP BY 1)
+    SELECT CAST(days.day AS VARCHAR) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau
+    FROM days JOIN dau ON days.day = dau.day
+              JOIN w ON w.cday = days.day
+    ORDER BY 1
+    """,
+)
+def q255_trailing_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day distinct actives (WAU) per day, EXACT.
+    Sliding-window COUNT DISTINCT can't use a plain window frame
+    (distinct doesn't decompose over frames) and the naive per-day
+    self-join rescans the fact table once per day; the scalable shape
+    is the BOUNDED EXPLODE: dedup to (user, day) first (one map-side-
+    combined distinct — the big shrink happens before any fan-out),
+    then each active-day covers the next 7 calendar days (x7 fan-out
+    of the already-deduped table) and one distinct-count per covered
+    day finishes it. Fan-out factor = window width, independent of
+    data volume. Output restricted to days with activity."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).distinct()
+    cov = d.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, k)").alias("cday"))
+    days = d.select("day").distinct()
+    wau = cov.groupBy("cday").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = d.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return (
+        days.join(dau, "day")
+        .join(wau, days.day == wau.cday)
+        .select(
+            F.col("day").cast("string").alias("day"), "dau", "wau"
+        )
+        .orderBy("day")
+    )
+
+
+
+# --------------------- 142. exact binary-decay popularity
+
+@q(
+    "q256_decayed_popularity",
+    """
+    WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events),
+    s AS (SELECT event_type,
+                 count(*) AS n_events,
+                 sum(1::BIGINT << (40 - least(
+                     (r.ref - epoch_us(ts)) // (7::BIGINT * 86400 * 1000000),
+                     40))) AS score
+          FROM events, r GROUP BY event_type),
+    m AS (SELECT *, max(score) OVER () AS top FROM s)
+    SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(score AS BIGINT) AS score_units,
+           CAST((1000 * score) // top AS BIGINT) AS rel_permille
+    FROM m ORDER BY score_units DESC, event_type
+    """,
+)
+def q256_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed popularity, EXACT: each event weighs
+    2^-(age in 7-day half-lives), summed per event type — the
+    freshness-weighted ranking behind trending feeds. Floating decay
+    (exp(-λΔt)) would accumulate differently per reduction order;
+    quantizing age to INTEGER half-lives makes every weight a power
+    of two, scored in units of 2^-40 via a single shiftleft — sums
+    are exact bigints, order-independent, and still mergeable across
+    shards/streams (the sketch-family property, free of sketches).
+    The reference instant is the corpus max timestamp (1-row
+    broadcast crossJoin, the allowlisted shape); relative permille
+    normalizes against the top type via a window over the 5-row
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.unix_micros("ts")).alias("ref"))
+    half_life_us = 7 * 86400 * 1000000
+    weight = F.expr(
+        "shiftleft(cast(1 as bigint), cast(40 - least("
+        f"(ref - unix_micros(ts)) div {half_life_us}, 40) as int))"
+    )
+    s = (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(weight).cast("long").alias("score_units"),
+        )
+    )
+    m = s.withColumn(
+        "top", F.max("score_units").over(Window.partitionBy())
+    )
+    return m.select(
+        "event_type",
+        "n_events",
+        "score_units",
+        F.expr("(1000 * score_units) div top").cast("long").alias(
+            "rel_permille"
+        ),
+    ).orderBy(F.desc("score_units"), "event_type")
+
+
+
+# --------------------- 143. exact OLS trend per segment
+
+@q(
+    "q257_ols_trend",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority AS prio,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1, 2),
+    xy AS (SELECT prio, y,
+                  row_number() OVER (PARTITION BY prio ORDER BY day) AS x
+           FROM daily),
+    agg AS (SELECT prio, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy GROUP BY 1)
+    SELECT prio AS o_orderpriority, CAST(n AS BIGINT) AS n_days,
+           CAST((1000000 * (n * sxy - sx * sy))
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+           CAST((1000000 * (sy * sxx - sx * sxy))
+                // (n * sxx - sx * sx) AS BIGINT) AS intercept_micro
+    FROM agg ORDER BY 1
+    """,
+)
+def q257_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ordinary-least-squares revenue trend, EXACT: slope
+    and intercept of daily cents over day index from the closed-form
+    normal equations — every moment (Σx, Σy, Σxy, Σx²) is an exact
+    integer from one map-side-combined aggregation, and the final
+    division emits micro-units via DECIMAL(38) FLOOR division
+    (exact-multiple trick with `%`, whose sign follows the dividend
+    in BOTH engines, so a NEGATIVE slope truncates toward zero
+    identically to DuckDB's `//`
+    truncates toward zero on negatives, and a floor-style division
+    here would read one micro-unit lower on a falling trend). No
+    iterative fitting, no
+    floats until nothing is left to round. Scale shape: daily
+    pre-aggregation bounds the window input; moments are one further
+    groupBy; at bigger scales only the decimal widths grow."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    w = Window.partitionBy("prio").orderBy("day")
+    xy = daily.withColumn("x", F.row_number().over(w))
+    dec = "decimal(38,0)"
+    agg = xy.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+    )
+    num_s = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * F.lit(1000000).cast(dec)
+    )
+    num_b = (
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        * F.lit(1000000).cast(dec)
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+
+    def truncdiv(num, d):
+        return ((num - num % d) / d).cast("long")
+
+    return agg.select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("n").cast("long").alias("n_days"),
+        truncdiv(num_s, den).alias("slope_micro"),
+        truncdiv(num_b, den).alias("intercept_micro"),
+    ).orderBy("o_orderpriority")

@@ -163,6 +163,7 @@ def test_plan_audit_artifact_clean():
         "q228_negative_sampling",  # broadcast 1-row pool-array crossJoin
         "q229_srp_reduction_recall",  # 1-row query/top-10 agg crossJoins
         "q252_source_centroid_drift",  # 20-row centroid table broadcast self-join (a.source < b.source)
+        "q256_decayed_popularity",  # broadcast 1-row reference-instant crossJoin
         "q232_vocab_coverage_cut",  # broadcast 1-row totals crossJoin
         "q234_keyset_pagination",  # broadcast 1-row page-boundary crossJoin
         "q26_embedding_topk",
