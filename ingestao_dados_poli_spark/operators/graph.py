@@ -470,3 +470,59 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bounded_shortest_path(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 3,
+) -> DataFrame:
+    """(src, dst, dist) — minimal total WEIGHT over directed paths of
+    at most ``max_hops`` edges (bounded min-plus relaxation, the
+    Bellman-Ford prefix). Extends ``bounded_reachability`` from "can I
+    get there in k hops" to "what does the cheapest ≤k-hop route
+    cost" — the routing/cost-attribution shape.
+
+    Round r: candidate = best-so-far ⋈ edges (extend every known
+    route by one edge), then min-aggregate per (src, dst) over old ∪
+    new — each round is one equi-join on the relaxation frontier's
+    dst plus one map-side-combined min groupBy, localCheckpoint-ed so
+    lineage stays flat. Unlike path-enumerating recursive CTEs the
+    state is ONE row per (src, dst) pair per round (min-plus
+    semiring), so dense graphs cannot blow up path-exponentially —
+    the property that lets this run on a 100 TB edge list. Keep
+    weights integral for cross-engine exactness."""
+    e = (
+        edges.select(
+            F.col(src).alias("_s"),
+            F.col(dst).alias("_d"),
+            F.col(weight).alias("_w"),
+        )
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .groupBy("_s", "_d")
+        .agg(F.min("_w").alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    best = e.select(
+        F.col("_s").alias("src"),
+        F.col("_d").alias("dst"),
+        F.col("_w").alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(2, max_hops + 1):
+        extended = (
+            best.join(e, best["dst"] == e["_s"])
+            .select(
+                best["src"].alias("src"),
+                e["_d"].alias("dst"),
+                (best["dist"] + e["_w"]).alias("dist"),
+            )
+        )
+        best = (
+            best.unionByName(extended)
+            .groupBy("src", "dst")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return best

@@ -2639,3 +2639,130 @@ def q244_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+
+# ----------------------------- 120. FIFO lot attribution
+
+@q(
+    "q258_fifo_lot_attribution",
+    """
+    WITH li AS (SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty,
+                       l_shipdate, l_orderkey, l_linenumber
+                FROM lineitem WHERE l_suppkey < 20),
+    c AS (SELECT *, sum(qty) OVER (
+              PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+          FROM li),
+    r AS (SELECT l_suppkey, qty, hi, hi - qty AS lo FROM c),
+    x AS (SELECT l_suppkey, lo, hi, CAST(t.lot AS BIGINT) AS lot
+          FROM r, unnest(range(CAST(lo // 100 AS BIGINT),
+                         CAST((hi - 1) // 100 + 1 AS BIGINT))) AS t(lot)),
+    lq AS (SELECT l_suppkey, lot,
+                  sum(least(hi, (lot + 1) * 100)
+                      - greatest(lo, lot * 100)) AS lot_qty,
+                  count(*) AS n_lines
+           FROM x GROUP BY 1, 2),
+    per AS (SELECT l_suppkey, count(*) AS n_lots,
+                   sum(lot_qty) AS allocated_qty,
+                   bit_xor(('0x' || substr(md5(
+                       l_suppkey || ':' || lot || ':' || lot_qty),
+                       1, 15))::BIGINT) AS lots_fp
+            FROM lq GROUP BY 1),
+    tot AS (SELECT l_suppkey, sum(qty) AS total_qty FROM li GROUP BY 1)
+    SELECT p.l_suppkey, CAST(n_lots AS BIGINT) AS n_lots,
+           CAST(total_qty AS BIGINT) AS total_qty,
+           CAST(allocated_qty AS BIGINT) AS allocated_qty,
+           CAST(CASE WHEN total_qty != allocated_qty THEN 1 ELSE 0 END
+                AS BIGINT) AS n_mismatch,
+           CAST(lots_fp AS BIGINT) AS lots_fp
+    FROM per p JOIN tot USING (l_suppkey) ORDER BY 1
+    """,
+)
+def q258_fifo_lot_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot attribution: each supplier's shipments consume
+    sequential fixed-size production lots (100 units), and a shipment
+    straddling a lot boundary SPLITS its quantity exactly across the
+    lots it overlaps — the FIFO cost-matching shape (buys-to-sells,
+    inventory layers) that plain windows can't express but CUMULATIVE
+    INTERVALS + a bounded explode can: cum-quantity gives each row a
+    [lo, hi) range, the row fans out only to the ceil(qty/lot)+1 lots
+    its range touches, and the per-lot overlap length is exact
+    integer min/max arithmetic. Conservation is proven per supplier
+    (allocated == shipped, n_mismatch 0) and the bit_xor fingerprint
+    pins every (lot, qty) cell. Scale shape: one supplier-partitioned
+    cumulative window; fan-out bounded by quantity/lot_size,
+    independent of corpus size."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20).select(
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = (
+        li.withColumn("hi", F.sum("qty").over(w))
+        .withColumn("lo", F.col("hi") - F.col("qty"))
+    )
+    x = r.select(
+        "l_suppkey",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr("lo div 100"), F.expr("(hi - 1) div 100")
+            )
+        ).alias("lot"),
+    )
+    lot_qty = F.least(F.col("hi"), (F.col("lot") + 1) * 100) - F.greatest(
+        F.col("lo"), F.col("lot") * 100
+    )
+    lq = x.groupBy("l_suppkey", "lot").agg(
+        F.sum(lot_qty).alias("lot_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    cell_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_suppkey").cast("string"),
+                    F.col("lot").cast("string"),
+                    F.col("lot_qty").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    per = lq.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lots"),
+        F.sum("lot_qty").cast("long").alias("allocated_qty"),
+        F.bit_xor(cell_fp).cast("long").alias("lots_fp"),
+    )
+    tot = li.groupBy("l_suppkey").agg(
+        F.sum("qty").cast("long").alias("total_qty")
+    )
+    return (
+        per.join(tot, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "n_lots",
+            "total_qty",
+            "allocated_qty",
+            F.when(F.col("total_qty") != F.col("allocated_qty"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("n_mismatch"),
+            "lots_fp",
+        )
+        .orderBy("l_suppkey")
+    )

@@ -2026,3 +2026,144 @@ def q254_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = SIM.gram_matrix_int(emb, "embedding", 1_000_000)
     return g.orderBy("i", "j")
+
+
+
+# -------------------- 139. bounded weighted shortest path (min-plus)
+
+@q(
+    "q259_weighted_shortest_path",
+    """
+    WITH n AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 200),
+    e AS (
+        SELECT k AS s, ((k + 7) % 200) + 1 AS d, k % 13 + 1 AS w FROM n
+        UNION ALL
+        SELECT k, ((k + 31) % 200) + 1, k % 17 + 3 FROM n),
+    e2 AS (SELECT a.s, b.d, min(a.w + b.w) AS w
+           FROM e a JOIN e b ON a.d = b.s GROUP BY 1, 2),
+    e3 AS (SELECT a.s, b.d, min(a.w + b.w) AS w
+           FROM e2 a JOIN e b ON a.d = b.s GROUP BY 1, 2),
+    allp AS (SELECT s, d, w FROM e UNION ALL
+             SELECT s, d, w FROM e2 UNION ALL
+             SELECT s, d, w FROM e3),
+    m AS (SELECT s, d, min(w) AS dist FROM allp GROUP BY 1, 2)
+    SELECT CAST(s % 10 AS BIGINT) AS src_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(dist) AS BIGINT) AS sum_dist,
+           CAST(min(dist) AS BIGINT) AS min_dist,
+           CAST(max(dist) AS BIGINT) AS max_dist
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+def q259_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths (graph.
+    bounded_shortest_path): cheapest <=3-hop route cost between all
+    reachable pairs of a deterministic 200-node multigraph (two
+    congruence edge rules per node, integer weights) — min-plus
+    Bellman-Ford prefix, where each round keeps ONE row per (src,
+    dst) (semiring state), never enumerating paths. The oracle
+    expands hop-1/2/3 paths explicitly and min-aggregates — on a
+    3-hop bound the two provably coincide, giving the ITERATIVE
+    relaxation a full value-hash check with pure integer weights.
+    Scale shape: per round one equi-join + one map-side-combined min
+    groupBy, lineage cut per round; dense graphs cannot blow up
+    path-exponentially because the state is pairs, not paths."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    k = F.col("c_custkey")
+    ea = cust.select(
+        k.alias("src"),
+        ((k + 7) % 200 + 1).alias("dst"),
+        (k % 13 + 1).alias("w"),
+    )
+    eb = cust.select(
+        k.alias("src"),
+        ((k + 31) % 200 + 1).alias("dst"),
+        (k % 17 + 3).alias("w"),
+    )
+    best = G.bounded_shortest_path(
+        ea.unionByName(eb), max_hops=3
+    )
+    return (
+        best.groupBy((F.col("src") % 10).cast("long").alias("src_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.min("dist").cast("long").alias("min_dist"),
+            F.max("dist").cast("long").alias("max_dist"),
+        )
+        .orderBy("src_bucket")
+    )
+
+
+
+# -------------------- 140. sorted-neighborhood ER blocking
+
+@q(
+    "q260_sorted_neighborhood",
+    """
+    WITH p AS (SELECT p_partkey, p_name,
+                      string_split(p_name, ' ')[1] AS block
+               FROM part),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY block ORDER BY p_name, p_partkey) AS rk
+          FROM p),
+    cand AS (
+        SELECT a.block, a.p_name AS name_a, b.p_name AS name_b
+        FROM r a JOIN r b
+          ON a.block = b.block AND b.rk = a.rk + 1
+        UNION ALL
+        SELECT a.block, a.p_name, b.p_name
+        FROM r a JOIN r b
+          ON a.block = b.block AND b.rk = a.rk + 2),
+    sc AS (SELECT block,
+                  CASE WHEN levenshtein(name_a, name_b) <= 12
+                       THEN 1 ELSE 0 END AS m
+           FROM cand)
+    SELECT block, CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(m) AS BIGINT) AS n_matches
+    FROM sc GROUP BY 1 ORDER BY 1
+    """,
+)
+def q260_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernandez &
+    Stolfo 1995): within each block (first name word), sort records
+    and compare each to its next w=2 neighbors ONLY — candidate count
+    is exactly w*n instead of the quadratic all-pairs, the classic
+    alternative to LSH blocking (q27) and attribute blocking (q55).
+    The rank-offset neighbor join is expressed as w EQUI-joins on
+    (block, rank+offset) — no inequality join, no window array state
+    — then thresholded Levenshtein verifies. Scale shape: one window
+    per block for ranks (bounded by block size), co-partitioned
+    equi-joins, |blocks| output rows. A production run would sweep
+    multiple sort keys (multi-pass SNM); one pass keeps the oracle
+    1:1."""
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.get(F.split(F.col("p_name"), " "), 0).alias("block"),
+    )
+    w = Window.partitionBy("block").orderBy("p_name", "p_partkey")
+    r = parts.withColumn("rk", F.row_number().over(w))
+    cands = None
+    for off in (1, 2):
+        a = r.select(
+            "block", F.col("p_name").alias("name_a"), F.col("rk").alias("ra")
+        )
+        b = r.select(
+            "block",
+            F.col("p_name").alias("name_b"),
+            (F.col("rk") - off).alias("ra"),
+        )
+        c = a.join(b, ["block", "ra"]).select("block", "name_a", "name_b")
+        cands = c if cands is None else cands.unionByName(c)
+    m = F.when(
+        F.levenshtein("name_a", "name_b") <= 12, 1
+    ).otherwise(0)
+    return (
+        cands.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(m).cast("long").alias("n_matches"),
+        )
+        .orderBy("block")
+    )

@@ -34,6 +34,7 @@ from ingestao_dados_poli_spark.operators import dedup as DD
 from ingestao_dados_poli_spark.operators import fuzzy as FZ
 from ingestao_dados_poli_spark.operators import relational as R
 from ingestao_dados_poli_spark.operators import similarity as SIM
+from ingestao_dados_poli_spark.functions import text as TX
 from ingestao_dados_poli_spark.session import get_spark
 
 
@@ -217,6 +218,13 @@ def main() -> None:
         run(res, "simhash", lambda: DD.simhash_pairs(docs, "text", "doc_id"))
         run(res, "jaccard", lambda: DD.jaccard_pairs(
             docs, "text", "doc_id", k=5, threshold=0.5))
+        # prefix filtering emits candidates only from each doc's rarest
+        # shingles — pair count tracks TRUE near-dups, so time/bytes
+        # must scale with the corpus, not with postings^2; the posting
+        # cap is armed (2000) but must not bind on this corpus
+        run(res, "prefix_jaccard", lambda: DD.prefix_filtered_jaccard(
+            docs, "text", "doc_id", 0.5,
+            tokens=TX.shingles("text", 5), max_posting_len=2000))
         if label != "huge":
             # span dedup reassembles EVERY doc, so cost is scan + 3
             # map-side-combined shuffles — must scale ~linearly like
@@ -265,6 +273,12 @@ def main() -> None:
         vecs.count()
         run(res, "embed_neardup", lambda: SIM.embedding_near_dup_pairs(
             vecs, dim=32, threshold=0.9, num_planes="auto"))
+        # Gram matrix: per-batch int64 partial X^T X, d(d+1)/2-cell
+        # reduce — time linear in n, shuffle bytes ~CONSTANT (cells
+        # per task, never vectors)
+        run(res, "gram_matrix", lambda: SIM.gram_matrix_int(
+            vecs.select(F.col("embedding").cast("array<double>")
+                        .alias("embedding"))))
         # recall over the PLANTED dup pairs (vec i duplicates i-1 when
         # i % 10 == 1): identical vectors collide in every table at any
         # plane count, so auto-planes must not cost planted recall —
@@ -313,8 +327,9 @@ def main() -> None:
             iv.unpersist()
 
     all_ops = ("exact", "span_dedup", "inverted_index", "minhash",
-               "minhash_hotbucket", "simhash", "jaccard", "boiler_hash",
-               "boiler_str", "fuzzy", "embed_neardup", "interval_join")
+               "minhash_hotbucket", "simhash", "jaccard", "prefix_jaccard",
+               "boiler_hash", "boiler_str", "fuzzy", "embed_neardup",
+               "gram_matrix", "interval_join")
     scaling = {
         op: round(results["big"][op] / max(results["small"][op], 0.01), 1)
         for op in all_ops
