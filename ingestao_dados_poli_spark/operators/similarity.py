@@ -1151,3 +1151,103 @@ def gram_matrix_int(
     return out.groupBy("i", "j").agg(
         F.sum("v").cast("long").alias("gram")
     )
+
+
+def grid_density_clusters(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    width: int,
+    min_pts: int,
+    planes: tuple = ((17, 7, 3), (29, 11, 5)),
+    quantum: int = 1_000_000,
+    dim: int = 64,
+) -> DataFrame:
+    """DBSCAN-lite grid-density clustering: project vectors onto two
+    DETERMINISTIC integer hyperplanes (coefficient j of plane
+    (mul, mod, shift) is ``((j*mul) % mod) - shift`` — literal
+    congruence arithmetic, no RNG, identical in any engine), land in
+    integer grid cells of ``width``, call cells with >= ``min_pts``
+    points core, and merge 8-adjacent core cells into clusters via
+    connected components. Returns one row per cluster
+    (cluster = min cell id, n_cells, n_points) plus a noise row
+    (cluster = -1) aggregating all sparse cells — the density-based
+    counterpart to centroid k-means that finds arbitrary-shaped blobs
+    and refuses to force noise into them.
+
+    Exactness: quantized components, integer dot products and
+    truncating grid division keep everything before the CC
+    bit-identical cross-engine. Scale shape: projections are
+    scan-side; ONE map-side-combined groupBy bounds every downstream
+    step by occupied-cell count; adjacency is a 9-offset equi-join on
+    cell coordinates — a point-level pair join never exists."""
+    from ingestao_dados_poli_spark.operators import graph as _G
+
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(quantum)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+    def proj(mul, mod, shift):
+        plane = F.array(
+            *[F.lit(((j * mul) % mod) - shift) for j in range(1, dim + 1)]
+        )
+        return F.aggregate(
+            F.zip_with(q, plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    (m1, o1, s1), (m2, o2, s2) = planes
+    pts = df.select(
+        proj(m1, o1, s1).alias("p1"), proj(m2, o2, s2).alias("p2")
+    ).select(
+        F.expr(f"p1 div {width}").alias("gx"),
+        F.expr(f"p2 div {width}").alias("gy"),
+    )
+    cells = pts.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n"))
+    dense = cells.filter(F.col("n") >= min_pts).withColumn(
+        "cid", (F.col("gx") + 100) * 1000 + (F.col("gy") + 100)
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if not (dx == 0 and dy == 0)
+            ]
+        )
+    )
+    nb = dense.select("cid", "gx", "gy", offs.alias("o")).select(
+        F.col("cid").alias("src"),
+        (F.col("gx") + F.col("o.dx")).alias("ngx"),
+        (F.col("gy") + F.col("o.dy")).alias("ngy"),
+    )
+    edges = nb.join(
+        dense.select(
+            F.col("cid").alias("dst"),
+            F.col("gx").alias("ngx"),
+            F.col("gy").alias("ngy"),
+        ),
+        ["ngx", "ngy"],
+    ).select("src", "dst")
+    comp = _G.connected_components(
+        edges, nodes=dense.select(F.col("cid").alias("node"))
+    )
+    clusters = (
+        comp.join(dense, comp.node == dense.cid)
+        .groupBy(F.col("component").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+        )
+    )
+    noise = cells.filter(F.col("n") < min_pts).agg(
+        F.lit(-1).cast("long").alias("cluster"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_points"),
+    )
+    return clusters.unionByName(noise)

@@ -4002,3 +4002,382 @@ def q257_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         truncdiv(num_s, den).alias("slope_micro"),
         truncdiv(num_b, den).alias("intercept_micro"),
     ).orderBy("o_orderpriority")
+
+
+
+# --------------------- 144. RFM customer segmentation
+
+@q(
+    "q261_rfm_segmentation",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_date,
+               count(*) AS freq,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY last_date, o_custkey) AS r_q,
+               ntile(5) OVER (ORDER BY freq, o_custkey) AS f_q,
+               ntile(5) OVER (ORDER BY cents, o_custkey) AS m_q
+        FROM per)
+    SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q261_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) segmentation — the marketing
+    workhorse: each customer lands in an (R,F,M) quintile cell, and
+    the segment census drives campaign targeting. Quintiles use
+    ntile(5) under a TOTAL order (metric, custkey): the SQL-standard
+    ntile fills earlier buckets first, so with a pinned tie-break
+    both engines assign identical buckets — no percentile thresholds,
+    no float boundaries, recency needs no date arithmetic at all
+    (ntile is invariant under the monotone last-date transform).
+    Scale shape: one map-side-combined per-customer aggregate; the
+    three unpartitioned ntile windows run POST-aggregation (plan
+    invariant) and a production run would partition them by market
+    segment."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_date"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    scored = per.select(
+        F.ntile(5)
+        .over(Window.orderBy("last_date", "o_custkey"))
+        .alias("r_q"),
+        F.ntile(5).over(Window.orderBy("freq", "o_custkey")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy("cents", "o_custkey")).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+
+# --------------------- 145. sequence-pattern matching (regex events)
+
+@q(
+    "q262_sequence_pattern",
+    """
+    WITH s AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1),
+    m AS (SELECT user_id,
+                 len(regexp_extract_all(seq, 'v+c+p')) AS n_matches
+          FROM s)
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_users_matched,
+           CAST(sum(n_matches) AS BIGINT) AS total_matches
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+def q262_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence mining: each user's event stream
+    collapses to an initial-letter string in (ts, event_id) order,
+    and a REGEX counts the behavioral motif views->clicks->purchase
+    ('v+c+p', non-overlapping greedy — identical semantics in both
+    engines' regex). Encoding sequences as strings turns arbitrary
+    ordered-pattern queries (optional steps, alternation, bounded
+    gaps '[^p]{0,3}') into one scan-side regexp over a per-user
+    string — the poor man's MATCH_RECOGNIZE Spark doesn't ship.
+    Scale shape: the only shuffle is the per-user collect (bounded by
+    a user's event count — the same bound any per-user sessionization
+    carries); the regex never leaves codegen. Event-type initials are
+    distinct in this corpus (c/e/p/s/v), so the encoding is
+    lossless."""
+    ev = _t(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts",
+                                "event_id",
+                                F.substring("event_type", 1, 1).alias(
+                                    "ini"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("ini"),
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    m = seq.select(
+        "user_id",
+        F.regexp_count("seq", F.lit("v+c+p")).alias("n_matches"),
+    )
+    return (
+        m.groupBy((F.col("user_id") % 10).cast("long").alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(
+                F.when(F.col("n_matches") > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_users_matched"),
+            F.sum("n_matches").cast("long").alias("total_matches"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+
+# --------------------- 146. sweep-line peak concurrency
+
+@q(
+    "q263_peak_concurrency",
+    """
+    WITH iv AS (
+        SELECT epoch_us(ts) AS s,
+               epoch_us(ts) + ((event_id % 60) + 1) * 60000000 AS e
+        FROM events),
+    b AS (
+        SELECT s // 86400000000 AS day, s AS b_us, 1 AS delta FROM iv
+        UNION ALL
+        SELECT e // 86400000000, e, -1 FROM iv),
+    pre AS (
+        SELECT day, delta,
+               sum(delta) OVER (PARTITION BY day ORDER BY b_us, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS p
+        FROM b),
+    peaks AS (SELECT day, max(p) AS maxp FROM pre GROUP BY 1),
+    sp AS (SELECT s, e, CAST(t.d AS BIGINT) AS day
+           FROM iv, unnest(range(CAST(s // 86400000000 + 1 AS BIGINT),
+                                 CAST(e // 86400000000 + 1 AS BIGINT)))
+                AS t(d)
+           WHERE e > t.d * 86400000000),
+    carry AS (SELECT day, count(*) AS c FROM sp GROUP BY 1)
+    SELECT CAST(make_timestamp(p.day * 86400000000) AS DATE)::VARCHAR
+               AS day,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS carry_in,
+           CAST(coalesce(c.c, 0) + greatest(p.maxp, 0) AS BIGINT) AS peak
+    FROM peaks p LEFT JOIN carry c ON p.day = c.day
+    ORDER BY 1
+    """,
+)
+def q263_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day (max simultaneous open sessions) via
+    the classic SWEEP LINE — +1 at open, -1 at close, max prefix sum
+    — made DISTRIBUTED: boundaries partition by DAY, and sessions
+    spanning a day boundary enter as an exact carry-in count (a
+    bounded explode over the <= 2 days each ~hour-long session
+    touches), so no global ordering ever exists; peak = carry_in +
+    max(0, within-day max prefix). Half-open [s, e) semantics: at an
+    instant, closes process before opens (delta ascending in the
+    sort). Session length derives deterministically from event_id.
+    Scale shape: per-day windows bounded by daily volume, carry
+    computed by a tiny fan-out + count — the pattern that makes
+    interval-overlap analytics (call centers, connection pools,
+    cluster schedulers) work on unbounded history."""
+    D = 86400000000
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + ((F.col("event_id") % 60) + 1) * 60000000
+        ).alias("e"),
+    )
+    b = ev.select(
+        F.expr(f"s div {D}").alias("day"),
+        F.col("s").alias("b_us"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        ev.select(
+            F.expr(f"e div {D}").alias("day"),
+            F.col("e").alias("b_us"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("b_us", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peaks = (
+        b.withColumn("p", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("p").alias("maxp"))
+    )
+    # guard: Spark's sequence(lo, hi) DESCENDS when hi < lo (DuckDB's
+    # range is empty) — a within-day session must contribute no carry
+    lo, hi = F.expr(f"s div {D} + 1"), F.expr(f"e div {D}")
+    sp = ev.select(
+        "e",
+        F.explode(
+            F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("day"),
+    ).filter(F.col("e") > F.col("day") * D)
+    carry = sp.groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        peaks.join(carry, "day", "left")
+        .select(
+            F.timestamp_micros(F.col("day") * D)
+            .cast("date")
+            .cast("string")
+            .alias("day"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("carry_in"),
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                + F.greatest(F.col("maxp"), F.lit(0))
+            )
+            .cast("long")
+            .alias("peak"),
+        )
+        .orderBy("day")
+    )
+
+
+
+# --------------------- 147. exact weighted median
+
+@q(
+    "q264_weighted_median",
+    """
+    WITH h AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               sum(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2),
+    c AS (SELECT flag, cents, w,
+                 sum(w) OVER (PARTITION BY flag ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+                 sum(w) OVER (PARTITION BY flag) AS tw
+          FROM h)
+    SELECT flag, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+           CAST(max(tw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag
+    """,
+)
+def q264_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group (quantity-weighted price): the
+    smallest value whose cumulative weight reaches half the group
+    total — the robust center percentile_approx can only approximate
+    and plain median ignores weights for. Runs on the DISTINCT-VALUE
+    histogram (one map-side-combined groupBy collapses the fact table
+    to (group, value, weight) cells), so the cumulative window scans
+    value-cardinality rows, never raw rows — the q248 derivation
+    specialized to the 50% crossing point. Pure integer comparison
+    (2*cumw >= total), no interpolation, no floats."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = h.withColumn("cw", F.sum("w").over(wc)).withColumn(
+        "tw", F.sum("w").over(Window.partitionBy("flag"))
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").cast("long").alias("wmedian_cents"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+
+# --------------------- 148. KWIC concordance
+
+@q(
+    "q265_kwic_concordance",
+    """
+    WITH tok AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(
+                            lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 FROM documents WHERE doc_id < 200),
+    ex AS (SELECT doc_id, i AS pos, toks[i] AS tk, toks
+           FROM tok, unnest(range(1, len(toks) + 1)) AS u(i)),
+    hits AS (SELECT doc_id, pos,
+                    coalesce(array_to_string(
+                        toks[greatest(pos - 2, 1):pos - 1], ' '), '')
+                        AS left_ctx,
+                    coalesce(array_to_string(
+                        toks[pos + 1:least(pos + 2, len(toks))], ' '), '')
+                        AS right_ctx
+             FROM ex WHERE tk = 'merge')
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, left_ctx, right_ctx
+    FROM hits ORDER BY doc_id, pos
+    """,
+)
+def q265_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) concordance: every occurrence of a
+    term with its ±2-word context window — the corpus-inspection
+    query behind "how is this token actually used" during vocab and
+    filter-rule design. Built on the positional-index machinery
+    (q250): posexplode with the token ARRAY carried alongside, so
+    context extraction is an in-row slice at each hit — no second
+    join back to the document, no substring scanning. Scale shape:
+    scan-side explode + filter; output rows = term frequency. The
+    slice bounds clamp at document edges (greatest/least), matching
+    the oracle's 1-based array slicing exactly."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    norm = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+        " ",
+    )
+    ex = docs.select(
+        "doc_id",
+        norm.alias("toks"),
+        F.posexplode(norm).alias("pos0", "tk"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    hits = ex.filter(F.col("tk") == "merge").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                F.greatest(F.col("pos") - 2, F.lit(1)),
+                F.when(F.col("pos") - 2 >= 1, F.lit(2)).otherwise(
+                    F.col("pos") - 1
+                ),
+            ),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                F.col("pos") + 1,
+                F.greatest(
+                    F.least(
+                        F.lit(2), F.size(F.col("toks")) - F.col("pos")
+                    ),
+                    F.lit(0),
+                ),
+            ),
+            " ",
+        ).alias("right_ctx"),
+    )
+    return hits.orderBy("doc_id", "pos")

@@ -2167,3 +2167,73 @@ def q260_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+
+# -------------------- 141. grid-density clustering (DBSCAN-lite)
+
+@q(
+    "q266_grid_density_clusters",
+    """
+    WITH RECURSIVE
+    e AS (SELECT list_transform(embedding::DOUBLE[],
+              x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+    p AS (SELECT
+              list_sum(list_transform(range(1, 65),
+                  j -> q[j] * (((j * 17) % 7) - 3))) // 3000000 AS gx,
+              list_sum(list_transform(range(1, 65),
+                  j -> q[j] * (((j * 29) % 11) - 5))) // 3000000 AS gy
+          FROM e),
+    cells AS (SELECT gx, gy, count(*) AS n FROM p GROUP BY 1, 2),
+    dense AS (SELECT (gx + 100) * 1000 + (gy + 100) AS cid, gx, gy, n
+              FROM cells WHERE n >= 15),
+    sym AS (
+        SELECT a.cid AS src, b.cid AS dst
+        FROM dense a JOIN dense b
+          ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+         AND a.cid <> b.cid),
+    cc(node, label) AS (
+        SELECT cid AS node, cid AS label FROM dense
+        UNION
+        SELECT s.dst AS node, cc.label
+        FROM cc JOIN sym s ON cc.node = s.src
+    ),
+    comp AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node),
+    clusters AS (
+        SELECT CAST(comp.cluster AS BIGINT) AS cluster,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(dense.n) AS BIGINT) AS n_points
+        FROM comp JOIN dense ON comp.node = dense.cid
+        GROUP BY 1),
+    noise AS (
+        SELECT CAST(-1 AS BIGINT) AS cluster,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS n_points
+        FROM cells WHERE n < 15)
+    SELECT * FROM clusters UNION ALL SELECT * FROM noise ORDER BY cluster
+    """,
+)
+def q266_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (DBSCAN-lite): embeddings project onto
+    two DETERMINISTIC integer hyperplanes (literal congruence
+    coefficients — no RNG, identical in any engine), land in integer
+    grid cells, cells with >= 15 points are "core", and touching core
+    cells (8-neighborhood) merge into clusters via connected
+    components — the density-based alternative to centroid k-means
+    (q223) that finds arbitrary-shaped blobs and leaves sparse noise
+    unclustered. Everything before the CC runs on exact integers
+    (quantized components, integer dot products, truncating grid
+    division — identical in both engines); the CC reuses
+    graph.connected_components against the oracle's recursive-CTE
+    closure (q65's proof pattern). Scale shape: projections are
+    scan-side; the grid aggregate bounds all downstream work by
+    OCCUPIED-CELL count, and cell adjacency is a 9-offset equi-join,
+    never a point-level pair join. This corpus's projected density
+    is unimodal (one core blob + the noise row, cluster -1);
+    separated blobs split into distinct clusters — proven on
+    synthetic two-blob data in test_round5_ops."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.grid_density_clusters(
+        emb, "embedding", width=3000000, min_pts=15
+    ).orderBy("cluster")

@@ -314,3 +314,30 @@ def test_flesch_punctuation_and_guards(spark):
     assert got[2] == 206835 - 1015 - 0
     # 'word' : words=1, sentences=1, syllables=1
     assert got[3] == 206835 - 1015 - 84600
+
+
+# --------------------------------- similarity.grid_density_clusters
+
+def test_grid_density_separates_two_blobs(spark):
+    from ingestao_dados_poli_spark.operators import similarity as SIM
+
+    # two well-separated 64-dim blobs + a couple of isolated noise
+    # points: the clustering must report exactly 2 clusters and put
+    # the strays in the noise row
+    def vec(center, jitter):
+        return [center + 0.001 * ((jitter * (j + 1)) % 5) for j in range(64)]
+
+    rows = (
+        [(i, vec(2.0, i)) for i in range(30)]
+        + [(100 + i, vec(-2.0, i)) for i in range(30)]
+        + [(900, vec(8.0, 1)), (901, vec(-8.0, 2))]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.grid_density_clusters(
+        df, "embedding", width=3000000, min_pts=5
+    ).collect()
+    clusters = [r for r in out if r.cluster >= 0]
+    noise = [r for r in out if r.cluster == -1]
+    assert len(clusters) == 2
+    assert sorted(c.n_points for c in clusters) == [30, 30]
+    assert len(noise) == 1 and noise[0].n_points == 2
