@@ -1075,3 +1075,91 @@ def q205_streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.sum("revenue_cents").cast("long").alias("revenue_cents"),
     )
+
+
+
+# ------------------------- 31. streaming sketch maintenance (CMS)
+
+@q(
+    "q267_streaming_cms",
+    """
+    WITH f AS (SELECT user_id AS key, count(*) AS n
+               FROM events GROUP BY 1),
+    d AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+    cells AS (
+        SELECT depth,
+               ('0x' || substr(md5(depth || ':' || CAST(key AS VARCHAR)),
+                               1, 12))::BIGINT % 256 AS bucket,
+               sum(n) AS cnt
+        FROM f CROSS JOIN d GROUP BY 1, 2)
+    SELECT CAST(depth AS INTEGER) AS depth, CAST(bucket AS BIGINT) AS bucket,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM cells ORDER BY 1, 2
+    """,
+)
+def q267_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance: the count-min grid (q239) built
+    INCREMENTALLY over real micro-batches — events split into 4 files,
+    streamed with maxFilesPerTrigger=1, each foreachBatch contributing
+    a partial grid (<= depth*width cells, the only thing that ever
+    reaches the driver), partials cell-wise summed at the end
+    (sketches.cms_merge). Because CMS cells are sums, the merged
+    streaming sketch must equal the batch-built sketch EXACTLY — the
+    mergeability that makes sketches the right streaming state: O(d*w)
+    per stream regardless of history, no watermark needed, restarts
+    resume from the last persisted partial. The query asserts >= 2
+    real micro-batches ran, and the oracle rebuilds the identical grid
+    from the raw table."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ingestao_dados_poli_spark.operators import sketches as SK
+
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+        tmp = tempfile.mkdtemp(prefix=f"q267_src_{os.getpid()}_")
+        try:
+            ev.repartition(4).write.mode("overwrite").parquet(tmp)
+            schema = spark.read.parquet(tmp).schema
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp)
+            )
+            partials: list = []
+            n_batches = [0]
+
+            def build_partial(batch_df, batch_id):
+                cells = SK.cms_build(batch_df, "user_id").collect()
+                partials.extend(
+                    (int(r.depth), int(r.bucket), int(r.cnt))
+                    for r in cells
+                )
+                n_batches[0] += 1
+
+            query = (
+                src.writeStream.foreachBatch(build_partial)
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="q267_ck_"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        if n_batches[0] < 2:
+            raise AssertionError(
+                f"expected >= 2 micro-batches, got {n_batches[0]}"
+            )
+        merged = SK.cms_merge(
+            spark.createDataFrame(
+                partials, "depth int, bucket long, cnt long"
+            )
+        )
+        return merged.select(
+            "depth", "bucket", F.col("cnt").cast("long").alias("cnt")
+        ).orderBy("depth", "bucket")
