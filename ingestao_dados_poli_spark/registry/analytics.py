@@ -3903,24 +3903,26 @@ def q256_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shiftleft(cast(1 as bigint), cast(40 - least("
         f"(ref - unix_micros(ts)) div {half_life_us}, 40) as int))"
     )
+    # scores live in DECIMAL(38,0): at sf0.1 a hot type's sum is
+    # ~1.1e18 (fits a long) but 1000x it for the permille does NOT —
+    # ANSI mode turns that silent wrap into a hard ARITHMETIC_OVERFLOW
+    # (bench caught exactly this at sf0.1).
     s = (
         ev.crossJoin(F.broadcast(ref))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(weight).cast("long").alias("score_units"),
+            F.sum(weight.cast("decimal(38,0)")).alias("score"),
         )
     )
-    m = s.withColumn(
-        "top", F.max("score_units").over(Window.partitionBy())
-    )
+    m = s.withColumn("top", F.max("score").over(Window.partitionBy()))
+    num = F.lit(1000).cast("decimal(38,0)") * F.col("score")
+    den = F.col("top")
     return m.select(
         "event_type",
         "n_events",
-        "score_units",
-        F.expr("(1000 * score_units) div top").cast("long").alias(
-            "rel_permille"
-        ),
+        F.col("score").cast("long").alias("score_units"),
+        ((num - num % den) / den).cast("long").alias("rel_permille"),
     ).orderBy(F.desc("score_units"), "event_type")
 
 
