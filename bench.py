@@ -111,7 +111,22 @@ def main() -> None:
     best: dict[str, float] = {}
     errors: list[str] = []
     error_seconds: dict[str, float] = {}
-    for name, fn in q.QUERIES.items():
+    import gc as _gc
+
+    for i, (name, fn) in enumerate(q.QUERIES.items()):
+        # Session hygiene between queries: drop cached/checkpointed
+        # blocks the previous query left behind (localCheckpoint blocks
+        # only free when their Python refs are GC'd — py4j delays that)
+        # and nudge the JVM every couple dozen queries. Without this,
+        # ~300 queries x 2 runs accumulate enough block/GC pressure
+        # that LATE queries time 3-8x their isolated cost (verified
+        # with --isolate: q111 3.16s in-sequence vs 0.42s isolated) —
+        # the artifact then reads as per-query regressions that do not
+        # exist. Cleanup time is charged to nobody, like warmup.
+        spark.catalog.clearCache()
+        _gc.collect()
+        if i % 24 == 0:
+            spark._jvm.System.gc()
         t0 = time.time()
         try:
             t1 = run_once(fn)
