@@ -966,6 +966,71 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_permille: int = 800,
+    max_posting_len: int = 500,
+) -> DataFrame:
+    """Exact DIRECTED n-gram containment via the inverted shingle index.
+
+    Containment C(A→B) = |A∩B| / |A| is the asymmetric cousin of
+    Jaccard and the right measure for quote/excerpt detection: a short
+    document lifted verbatim into a much longer one has near-zero
+    Jaccard (the union is dominated by the long doc) but containment
+    ≈ 1. Broder's original resemblance paper (1997) defines both; dedup
+    pipelines that only threshold Jaccard systematically miss
+    subset-duplicates, which is exactly the boilerplate/quotation case
+    a training-corpus cleaner must catch.
+
+    Same machinery as ``jaccard_pairs`` — shingle→doc postings with a
+    windowed stop-shingle cap, one shuffle, in-row pair expansion —
+    but the score is emitted in EXACT integer permille for BOTH
+    directions: ``cont_ab = (1000·|A∩B|) div |A|`` (how much of A is
+    inside B) and ``cont_ba`` likewise. Pairs are kept when EITHER
+    direction reaches ``min_permille``. Integer arithmetic end-to-end:
+    no float rounding to reconcile across engines.
+
+    Scale shape: identical to ``jaccard_pairs`` — postings shuffle
+    8-byte hashed shingles, the cap bounds the in-bucket pair
+    expansion, and the score is computed from counts that rode along
+    with the pair row (no second join back to the corpus).
+    """
+    docs = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        shingle_hashes_udf(k)(_token_hashes(text_col)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+    postings = docs.select("_id", "n_sh", F.explode("sh").alias("shingle"))
+    plen = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    inter = (
+        postings.withColumn("_plen", plen)
+        .filter(F.col("_plen") <= max_posting_len)
+        .groupBy("shingle")
+        .agg(F.collect_list(F.struct("_id", "n_sh")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_in_group(F.array_sort("ids"))).alias("p"))
+        .groupBy(
+            F.col("p.id_a._id").alias("id_a"),
+            F.col("p.id_b._id").alias("id_b"),
+            F.col("p.id_a.n_sh").alias("na"),
+            F.col("p.id_b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        F.expr("(1000 * inter) div na").cast("long").alias("cont_ab"),
+        F.expr("(1000 * inter) div nb").cast("long").alias("cont_ba"),
+    )
+    return out.filter(
+        F.greatest("cont_ab", "cont_ba") >= F.lit(min_permille)
+    )
+
+
 def prefix_filtered_jaccard(
     df: DataFrame,
     text_col: str,

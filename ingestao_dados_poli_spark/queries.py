@@ -22,3 +22,4 @@ from ingestao_dados_poli_spark.registry.text import *  # noqa: F401,F403
 from ingestao_dados_poli_spark.registry.similarity import *  # noqa: F401,F403
 from ingestao_dados_poli_spark.registry.streaming import *  # noqa: F401,F403
 from ingestao_dados_poli_spark.registry.layout import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.mlstats import *  # noqa: F401,F403

@@ -4383,3 +4383,447 @@ def q265_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("right_ctx"),
     )
     return hits.orderBy("doc_id", "pos")
+
+
+# --------------------- 149. time-weighted average (TWAP)
+
+@q(
+    "q276_twap_daily",
+    """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_id
+        FROM events),
+    seg AS (
+        SELECT day, cents,
+               lead(us) OVER (PARTITION BY user_id, day
+                              ORDER BY us, event_id) - us AS dt
+        FROM ev),
+    agg AS (
+        SELECT day, sum(cents * dt) AS wsum, sum(dt) AS tsum
+        FROM seg WHERE dt IS NOT NULL GROUP BY 1)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST((1000000 * wsum) // tsum AS BIGINT) AS twap_microcents
+    FROM agg WHERE tsum > 0 ORDER BY 1
+    """,
+)
+def q276_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP — the fair-average standard
+    when observations arrive irregularly: each reading holds until the
+    user's next event, so sparse quiet periods aren't swamped by burst
+    sampling). Each event's value (in exact cents) is weighted by the
+    MICROSECONDS until that user's next same-day event (lead over a
+    (user, day) window with an event_id tie-break so duplicate
+    timestamps order identically in both engines); the day's TWAP is
+    Σ(cents·dt) / Σdt emitted in exact integer micro-cents. Scale
+    shape: the window partitions by (user, day) — per-partition state
+    is one user-day of events; the day rollup is one
+    map-side-combined groupBy; nothing global until the final
+    ~thousands-of-days frame."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    seg = ev.select(
+        "day", "cents", (F.lead("us", 1).over(w) - F.col("us")).alias("dt")
+    )
+    dec = "decimal(38,0)"
+    agg = (
+        seg.filter(F.col("dt").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.sum(F.col("cents").cast(dec) * F.col("dt")).alias("wsum"),
+            F.sum("dt").cast(dec).alias("tsum"),
+        )
+    )
+    num = F.lit(1000000).cast(dec) * F.col("wsum")
+    den = F.col("tsum")
+    return (
+        agg.filter(F.col("tsum") > 0)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            ((num - num % den) / den).cast("long").alias("twap_microcents"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------- 150. behavioral path mining (top trigrams)
+
+@q(
+    "q278_path_trigrams",
+    """
+    WITH ordered AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t3
+        FROM events),
+    paths AS (
+        SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        FROM ordered WHERE t3 IS NOT NULL GROUP BY 1),
+    ranked AS (
+        SELECT path, n,
+               row_number() OVER (ORDER BY n DESC, path) AS rk
+        FROM paths)
+    SELECT path, CAST(n AS BIGINT) AS n FROM ranked
+    WHERE rk <= 10 ORDER BY n DESC, path
+    """,
+)
+def q278_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 10 most common length-3 event-type
+    sequences across user journeys (the input to funnel redesign and
+    next-action models; q188/q238 cover single transitions, this is
+    the order-3 extension). Consecutive triples come from two lead()
+    calls over a per-user window with an event_id tie-break (duplicate
+    timestamps order identically in both engines — no RNG, no
+    nondeterministic row order), then one count agg and a top-k. Scale
+    shape: window state is one user's stream; trigram cardinality is
+    |event_types|³ at worst, so the count agg map-side combines to a
+    tiny frame before the global top-10 sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    paths = (
+        ordered.filter(F.col("t3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("n"), "path"))
+    return (
+        paths.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .select("path", "n")
+        .orderBy(F.desc("n"), "path")
+    )
+
+
+# --------------------- 151. Theil–Sen robust trend (median of slopes)
+
+@q(
+    "q285_theil_sen_trend",
+    """
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+    idx AS (SELECT y, row_number() OVER (ORDER BY wk) AS x FROM weekly),
+    pairs AS (
+        SELECT (1000000 * (b.y - a.y)) // (b.x - a.x) AS slope
+        FROM idx a JOIN idx b ON b.x > a.x),
+    m AS (SELECT count(*) AS m FROM pairs),
+    sv AS (SELECT slope, count(*) AS cnt FROM pairs GROUP BY 1),
+    cum AS (SELECT slope,
+                   sum(cnt) OVER (ORDER BY slope) AS cum_cnt
+            FROM sv),
+    med AS (SELECT min(slope) AS slope_micro FROM cum, m
+            WHERE cum_cnt >= (m.m + 1) // 2),
+    resid AS (
+        SELECT 1000000 * i.y - s.slope_micro * i.x AS r
+        FROM idx i CROSS JOIN med s),
+    rm AS (SELECT count(*) AS m FROM resid),
+    rv AS (SELECT r, count(*) AS cnt FROM resid GROUP BY 1),
+    rcum AS (SELECT r, sum(cnt) OVER (ORDER BY r) AS cum_cnt FROM rv),
+    rmed AS (SELECT min(r) AS intercept_micro FROM rcum, rm
+             WHERE cum_cnt >= (rm.m + 1) // 2)
+    SELECT CAST((SELECT count(*) FROM weekly) AS BIGINT) AS n_weeks,
+           CAST(m.m AS BIGINT) AS n_pairs,
+           CAST(med.slope_micro AS BIGINT) AS slope_micro,
+           CAST(rmed.intercept_micro AS BIGINT) AS intercept_micro
+    FROM m CROSS JOIN med CROSS JOIN rmed
+    """,
+)
+def q285_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes —
+    29% breakdown point, so a quarter of the weeks can be corrupted
+    before the estimate moves, where q257's OLS folds to a single
+    outlier. Exactness: slopes truncate to integer micro BEFORE the
+    median (both engines rank identical integers; the lower median —
+    k = (m+1) div 2 — is picked by a cumulative-count crossing on the
+    distinct-value histogram, q264's weighted-median machinery, no
+    percentile interpolation); the intercept is the same exact median
+    over per-week residuals against the chosen slope. Scale shape:
+    the O(n²) pair join runs on the WEEKLY aggregate — a few hundred
+    rows per decade regardless of corpus size (the fact table
+    collapses first), so ~10⁵ pair rows where a row-level pair join
+    would be 10¹³; medians run over distinct-value histograms, not
+    raw pair lists."""
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    # The weekly series and the pair table feed several consumers
+    # (counts, two medians) — localCheckpoint once so the fact-table
+    # scan runs once, not per crossJoined scalar subtree (first cut
+    # re-derived it 6x: 34 exchanges for a 4-scalar answer).
+    idx = (
+        weekly.withColumn("x", F.row_number().over(Window.orderBy("wk")))
+        .select("x", "y")
+        .localCheckpoint()
+    )
+    a = idx.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = idx.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, F.col("xb") > F.col("xa"))
+        .select(
+            F.expr("(1000000 * (yb - ya)) div (xb - xa)").alias("slope")
+        )
+        .localCheckpoint()
+    )
+
+    def lower_median_value(df: DataFrame, col: str) -> int:
+        """Exact lower median (k = (m+1) div 2) via cumulative counts
+        over the distinct-value histogram — never sorts raw rows; the
+        result is a 1-row scalar collect."""
+        m = df.count()
+        sv = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = sv.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy(col).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        [row] = (
+            cum.filter(F.col("cum") >= F.lit((m + 1) // 2))
+            .agg(F.min(col).alias("v"))
+            .collect()
+        )
+        return int(row.v)
+
+    n_weeks = idx.count()
+    n_pairs = pairs.count()
+    slope = lower_median_value(pairs, "slope")
+    resid = idx.select(
+        (
+            F.lit(1000000).cast("long") * F.col("y")
+            - F.lit(slope) * F.col("x")
+        ).alias("r")
+    )
+    intercept = lower_median_value(resid, "r")
+    return spark.createDataFrame(
+        [(n_weeks, n_pairs, slope, intercept)],
+        "n_weeks long, n_pairs long, slope_micro long, intercept_micro long",
+    )
+
+
+# --------------------- 152. exact Wasserstein-1 drift
+
+@q(
+    "q287_wasserstein_drift",
+    """
+    WITH src AS (
+        SELECT o_orderpriority AS prio,
+               least(CAST(floor(o_totalprice / 60000.0) AS INTEGER), 9)
+                   AS bin
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    counts AS (
+        SELECT bin,
+               sum(CASE WHEN prio = '1-URGENT' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN prio = '5-LOW' THEN 1 ELSE 0 END) AS cb
+        FROM src GROUP BY 1),
+    grid AS (SELECT unnest(range(0, 10)) AS bin),
+    filled AS (
+        SELECT g.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+        FROM grid g LEFT JOIN counts c ON g.bin = c.bin),
+    cum AS (
+        SELECT bin,
+               sum(ca) OVER (ORDER BY bin) AS cuma,
+               sum(cb) OVER (ORDER BY bin) AS cumb,
+               (SELECT sum(ca) FROM filled) AS na,
+               (SELECT sum(cb) FROM filled) AS nb
+        FROM filled),
+    gaps AS (
+        SELECT bin,
+               (1000000 * cuma) // na AS cdf_a_micro,
+               (1000000 * cumb) // nb AS cdf_b_micro,
+               (1000000 * abs(cuma * nb - cumb * na)) // (na * nb)
+                   AS gap_micro
+        FROM cum)
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(cdf_a_micro AS BIGINT) AS cdf_a_micro,
+           CAST(cdf_b_micro AS BIGINT) AS cdf_b_micro,
+           CAST(gap_micro AS BIGINT) AS gap_micro
+    FROM gaps
+    UNION ALL
+    SELECT -1, 0, 0, CAST(sum(gap_micro) AS BIGINT) FROM gaps
+    ORDER BY bin
+    """,
+)
+def q287_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wasserstein-1 (earth-mover) drift between two segments'
+    price distributions on a fixed equi-width grid — the
+    distribution-shift measure that, unlike PSI (q80), respects the
+    METRIC on the support: probability mass moved two bins costs
+    twice mass moved one bin, so a gradual rightward shift scores
+    proportionally to its size instead of saturating a log-ratio. On
+    a shared grid W1 = binwidth·Σ_bins |CDF_a − CDF_b|; each CDF gap
+    is exact integer micro via cross-multiplication
+    (|cum_a·n_b − cum_b·n_a| // (n_a·n_b)) — no float CDFs, no
+    rounding drift, summable per bin (the -1 row is the total in
+    micro-bin units). Scale shape: one conditional-count agg over the
+    scan collapses everything to 10 bins; windows and joins run on
+    the grid only."""
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 60000.0).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    counts = src.groupBy("bin").agg(
+        F.sum(F.when(F.col("prio") == "1-URGENT", 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("prio") == "5-LOW", 1).otherwise(0)).alias("cb"),
+    )
+    grid = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    filled = grid.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "decimal(38,0)"
+    cum = filled.select(
+        "bin",
+        F.sum("ca").over(w).cast(dec).alias("cuma"),
+        F.sum("cb").over(w).cast(dec).alias("cumb"),
+        F.sum("ca").over(wtot).cast(dec).alias("na"),
+        F.sum("cb").over(wtot).cast(dec).alias("nb"),
+    )
+
+    def tdv(num, den):
+        return ((num - num % den) / den).cast("long")
+
+    M = F.lit(1000000).cast(dec)
+    gaps = cum.select(
+        "bin",
+        tdv(M * F.col("cuma"), F.col("na")).alias("cdf_a_micro"),
+        tdv(M * F.col("cumb"), F.col("nb")).alias("cdf_b_micro"),
+        tdv(
+            M
+            * F.abs(
+                F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+            ),
+            F.col("na") * F.col("nb"),
+        ).alias("gap_micro"),
+    )
+    total = gaps.agg(F.sum("gap_micro").alias("g")).select(
+        F.lit(-1).alias("bin"),
+        F.lit(0).cast("long").alias("cdf_a_micro"),
+        F.lit(0).cast("long").alias("cdf_b_micro"),
+        F.col("g").cast("long").alias("gap_micro"),
+    )
+    return gaps.unionByName(total).orderBy("bin")
+
+
+# --------------------- 153. cohort LTV curves
+
+@q(
+    "q289_cohort_ltv",
+    """
+    WITH om AS (
+        SELECT o_custkey,
+               (date_part('year', o_orderdate) * 12
+                + date_part('month', o_orderdate)) AS m,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+    cohorts AS (
+        SELECT o_custkey, min(m) AS cohort_m FROM om GROUP BY 1),
+    sizes AS (
+        SELECT cohort_m, count(*) AS n_customers
+        FROM cohorts GROUP BY 1),
+    rev AS (
+        SELECT c.cohort_m, o.m - c.cohort_m AS age, sum(o.cents) AS cents
+        FROM om o JOIN cohorts c USING (o_custkey)
+        GROUP BY 1, 2),
+    curve AS (
+        SELECT cohort_m, age,
+               sum(cents) OVER (PARTITION BY cohort_m ORDER BY age)
+                   AS cum_cents
+        FROM rev)
+    SELECT CAST(v.cohort_m AS INTEGER) AS cohort_month,
+           CAST(v.age AS INTEGER) AS age_months,
+           CAST(s.n_customers AS BIGINT) AS n_customers,
+           CAST((1000000 * v.cum_cents) // s.n_customers AS BIGINT)
+               AS ltv_microcents
+    FROM curve v JOIN sizes s USING (cohort_m)
+    WHERE v.age <= 12
+    ORDER BY 1, 2
+    """,
+)
+def q289_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by
+    first-purchase month, cumulative revenue per customer tracked by
+    cohort age (capped at 12 months for a bounded, comparable curve
+    matrix) — the retention-economics view q107's retention counts
+    don't price. Months live as integer year*12+month so age is pure
+    integer subtraction (no interval arithmetic to reconcile);
+    per-customer LTV is a truncating micro-cents division by the
+    cohort's size. Scale shape: one groupBy(customer) for cohorts
+    (map-side combined), revenue collapses to (cohort, age) grain
+    BEFORE the running-sum window — the window input is cohorts ×
+    ages (~hundreds of rows) regardless of corpus size; the cohort
+    assignment rides a broadcast-joinable customer→cohort map at any
+    realistic cardinality (AQE picks the join side)."""
+    orders = _t(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohorts = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = cohorts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    rev = (
+        om.join(cohorts, "o_custkey")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = rev.withColumn("cum_cents", F.sum("cents").over(w))
+    dec = "decimal(38,0)"
+    num = F.lit(1000000).cast(dec) * F.col("cum_cents").cast(dec)
+    den = F.col("n_customers").cast(dec)
+    return (
+        curve.join(F.broadcast(sizes), "cohort_m")
+        .filter(F.col("age") <= 12)
+        .select(
+            F.col("cohort_m").cast("int").alias("cohort_month"),
+            F.col("age").cast("int").alias("age_months"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            ((num - num % den) / den).cast("long").alias("ltv_microcents"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

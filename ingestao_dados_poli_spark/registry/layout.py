@@ -1558,3 +1558,225 @@ def q221_file_governance_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         "o_orderpriority", "n_rows", "n_files", "total_cents"
     ).orderBy("o_orderpriority")
+
+
+# --------------------- 84. rendezvous (HRW) shard placement
+
+@q(
+    "q275_rendezvous_sharding",
+    """
+    WITH k AS (SELECT c_custkey AS key FROM customer),
+    a8 AS (
+        SELECT key,
+               arg_max(s, ('0x' || substr(md5(CAST(key AS VARCHAR) || ':'
+                                          || CAST(s AS VARCHAR)), 1, 15))
+                          ::BIGINT) AS shard
+        FROM k CROSS JOIN (SELECT unnest(range(0, 8)) AS s) GROUP BY key),
+    a9 AS (
+        SELECT key,
+               arg_max(s, ('0x' || substr(md5(CAST(key AS VARCHAR) || ':'
+                                          || CAST(s AS VARCHAR)), 1, 15))
+                          ::BIGINT) AS shard
+        FROM k CROSS JOIN (SELECT unnest(range(0, 9)) AS s) GROUP BY key),
+    c8 AS (SELECT 8 AS n_shards, CAST(shard AS INTEGER) AS shard,
+                  count(*) AS n_keys
+           FROM a8 GROUP BY 2),
+    c9 AS (SELECT 9 AS n_shards, CAST(shard AS INTEGER) AS shard,
+                  count(*) AS n_keys
+           FROM a9 GROUP BY 2),
+    mv AS (SELECT 0 AS n_shards, -1 AS shard, count(*) AS n_keys
+           FROM a8 JOIN a9 USING (key) WHERE a8.shard <> a9.shard)
+    SELECT CAST(n_shards AS INTEGER) AS n_shards, shard,
+           CAST(n_keys AS BIGINT) AS n_keys
+    FROM (SELECT * FROM c8 UNION ALL SELECT * FROM c9
+          UNION ALL SELECT * FROM mv)
+    ORDER BY n_shards, shard
+    """,
+)
+def q275_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    shard placement — the consistent-hashing scheme behind cache and
+    shard routing: key k lands on argmax_s md5(k:s), so growing the
+    cluster from 8 to 9 shards moves ONLY the keys whose new shard
+    wins the argmax — an expected 1/9 of them — while modulo
+    placement would reshuffle 8/9. The query emits per-shard
+    populations under both cluster sizes plus the moved-key count
+    (the n_shards=0 row), letting the balance AND the minimal-motion
+    property be value-checked. Engine side computes the argmax IN-ROW
+    (an array of (weight, shard) structs and array_max — scan-only,
+    ZERO shuffles before the count agg) rather than exploding 8 rows
+    per key; weights are the md5-hex-prefix integers both engines
+    derive identically (q83's idiom). Scale shape: placement is a
+    pure per-row function; the only shuffles are the tiny per-shard
+    count aggs."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+
+    def shard_of(n: int):
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ":",
+                                        F.col("key").cast("string"),
+                                        F.lit(str(s)),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("w"),
+                        F.lit(s).alias("s"),
+                    )
+                    for s in range(n)
+                ]
+            )
+        ).getField("s")
+
+    placed = cust.select(
+        shard_of(8).alias("shard8"), shard_of(9).alias("shard9")
+    )
+    c8 = placed.groupBy(F.col("shard8").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_keys")
+    ).select(F.lit(8).alias("n_shards"), "shard", "n_keys")
+    c9 = placed.groupBy(F.col("shard9").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_keys")
+    ).select(F.lit(9).alias("n_shards"), "shard", "n_keys")
+    mv = placed.filter(F.col("shard8") != F.col("shard9")).agg(
+        F.count(F.lit(1)).alias("n_keys")
+    ).select(F.lit(0).alias("n_shards"), F.lit(-1).alias("shard"), "n_keys")
+    return (
+        c8.unionByName(c9)
+        .unionByName(mv)
+        .select(
+            F.col("n_shards").cast("int").alias("n_shards"),
+            F.col("shard").cast("int").alias("shard"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+        )
+        .orderBy("n_shards", "shard")
+    )
+
+
+# --------------------- 85. Merkle-style partition diff (incremental sync)
+
+@q(
+    "q282_partition_diff",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS st,
+               strftime(o_orderdate, '%Y-%m') AS part
+        FROM orders),
+    v2 AS (
+        SELECT k, CASE WHEN k % 997 = 0 THEN cents + 100 ELSE cents END
+                   AS cents,
+               st, part
+        FROM v1),
+    h1 AS (
+        SELECT part,
+               sum(('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                    || CAST(cents AS VARCHAR) || ':' || st), 1, 15))
+                   ::BIGINT) AS checksum,
+               count(*) AS n_rows
+        FROM v1 GROUP BY 1),
+    h2 AS (
+        SELECT part,
+               sum(('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                    || CAST(cents AS VARCHAR) || ':' || st), 1, 15))
+                   ::BIGINT) AS checksum
+        FROM v2 GROUP BY 1),
+    touched AS (
+        SELECT part, count(*) AS n_touched FROM v1
+        WHERE k % 997 = 0 GROUP BY 1)
+    SELECT h1.part,
+           CAST(h1.n_rows AS BIGINT) AS n_rows,
+           CAST(coalesce(t.n_touched, 0) AS BIGINT) AS n_touched
+    FROM h1 JOIN h2 USING (part)
+    LEFT JOIN touched t USING (part)
+    WHERE h1.checksum <> h2.checksum
+    ORDER BY h1.part
+    """,
+)
+def q282_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style partition diff — the primitive behind incremental
+    replication/backfill: instead of comparing 100 TB row-by-row,
+    each partition folds its rows into an ORDER-INDEPENDENT checksum
+    (sum of per-row md5-prefix integers — commutative, so partition
+    layout and task order can't change it), and only partitions whose
+    checksums disagree get re-synced. The "new version" here bumps
+    every 997th order by $1.00, so exactly the months containing such
+    keys must surface, each with its touched-row count — a wrong
+    row-hash, a dropped row, or a sum that overflows differently
+    would all flip a checksum and fail the value hash. Scale shape:
+    two scans (or one over a CDC feed), map-side-combined sums per
+    partition, and the diff join runs on PARTITION-count rows. The
+    63-bit prefix keeps the BIGINT sum far from wrap at any
+    realistic partition size (2^63/2^60 ≈ 8 rows of headroom per
+    hash bit — sums stay exact for < ~8k rows; DuckDB widens to
+    HUGEINT, Spark to DECIMAL(38), so larger partitions stay exact
+    too)."""
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("part"),
+    )
+    v2 = v1.withColumn(
+        "cents",
+        F.when(F.col("k") % 997 == 0, F.col("cents") + 100).otherwise(
+            F.col("cents")
+        ),
+    )
+
+    def rowhash(df):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("k").cast("string"),
+                        F.col("cents").cast("string"),
+                        F.col("st"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("decimal(38,0)")
+
+    h1 = v1.groupBy("part").agg(
+        F.sum(rowhash(v1)).alias("checksum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    h2 = v2.groupBy("part").agg(F.sum(rowhash(v2)).alias("checksum2"))
+    touched = (
+        v1.filter(F.col("k") % 997 == 0)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_touched"))
+    )
+    return (
+        h1.join(h2, "part")
+        .filter(F.col("checksum") != F.col("checksum2"))
+        .join(touched, "part", "left")
+        .select(
+            "part",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.coalesce(F.col("n_touched"), F.lit(0))
+            .cast("long")
+            .alias("n_touched"),
+        )
+        .orderBy("part")
+    )

@@ -2237,3 +2237,258 @@ def q266_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.grid_density_clusters(
         emb, "embedding", width=3000000, min_pts=15
     ).orderBy("cluster")
+
+
+
+# --------------------- 151. directed n-gram containment (quote detection)
+
+@q(
+    "q268_containment_pairs",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         tokd AS (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                  FROM base),
+         derived AS (SELECT doc_id + 100000 AS doc_id,
+                            array_to_string(toks[1:greatest(len(toks) // 2, 1)], ' ') AS text
+                     FROM tokd),
+         u AS (SELECT doc_id, text FROM base
+               UNION ALL SELECT doc_id, text FROM derived),
+    """
+    + _SHINGLE5_SQL
+    + """,
+         ex AS (SELECT doc_id, len(ss) AS n, unnest(ss) AS s FROM sh),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          any_value(a.n) AS na, any_value(b.n) AS nb,
+                          count(*) AS i
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST((1000 * i) // na AS BIGINT) AS cont_ab,
+           CAST((1000 * i) // nb AS BIGINT) AS cont_ba
+    FROM inter
+    WHERE greatest((1000 * i) // na, (1000 * i) // nb) >= 900
+    ORDER BY 1, 2
+    """,
+)
+def q268_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram CONTAINMENT dedup (Broder 1997's asymmetric
+    resemblance): C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    — the measure that catches quote/excerpt duplicates a Jaccard
+    threshold misses (a short doc embedded in a long one has tiny
+    Jaccard but containment ≈ 1). The corpus is seeded with provable
+    subset-duplicates: each of the first 300 docs gets a companion
+    holding its first ⌈n/2⌉ normalized tokens, whose every 5-shingle
+    is by construction a shingle of its parent — so the ≥900‰ filter
+    MUST recover those parent↔prefix pairs (plus any organic ones,
+    computed identically by both engines). Scores are exact integer
+    permille (`(1000·i) div n`, truncating in both engines) — no
+    float boundary to reconcile. Engine side runs the inverted
+    hashed-shingle index (`containment_pairs`, 8-byte postings, one
+    shuffle, capped buckets); the DuckDB twin brute-force joins string
+    shingle sets, so the value hash certifies the whole pipeline
+    including the hash-vs-string shingle identity."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    toks = F.split(TX.normalize_text(F.col("text")), " ")
+    half = F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))
+    derived = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, F.lit(1), half), " ").alias("text"),
+    )
+    u = base.unionByName(derived)
+    pairs = DD.containment_pairs(
+        u, "text", "doc_id", k=5, min_permille=900, max_posting_len=700
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+# --------------------- 152. exact PCA top component (power iteration)
+
+def _q279_oracle() -> str:
+    """Unrolled 8-step integer power iteration over the exact Gram
+    matrix, as DuckDB SQL. Generated by a loop (the steps are
+    mechanical); every step renormalizes with the SAME truncating
+    division the engine's driver-side big-int iteration uses, so the
+    whole trajectory — not just the fixed point — is bit-identical."""
+    gram = """
+    gcells AS MATERIALIZED (
+        WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+                   FROM embeddings),
+        pr AS (SELECT a.i AS i, b.j AS j
+               FROM (SELECT unnest(range(1, 65)) AS i) a,
+                    (SELECT unnest(range(1, 65)) AS j) b
+               WHERE b.j >= a.i)
+        SELECT p.i, p.j, CAST(sum(e.q[p.i] * e.q[p.j]) AS BIGINT) AS gram
+        FROM e, pr p GROUP BY 1, 2),
+    gfull AS MATERIALIZED (SELECT i, j, gram FROM gcells
+              UNION ALL
+              SELECT j AS i, i AS j, gram FROM gcells WHERE i <> j),
+    v0 AS (SELECT unnest(range(1, 65)) AS i, CAST(1000000 AS HUGEINT) AS x)
+    """
+    steps = []
+    for k in range(1, 9):
+        steps.append(f"""
+    w{k} AS MATERIALIZED (
+        SELECT g.i AS i, sum(CAST(g.gram AS HUGEINT) * v.x) AS y
+        FROM gfull g JOIN v{k - 1} v ON g.j = v.i GROUP BY 1),
+    v{k} AS MATERIALIZED (
+        SELECT i, (1000000 * y) // (SELECT max(abs(y)) FROM w{k}) AS x
+        FROM w{k})""")
+    return (
+        "WITH "
+        + gram
+        + ","
+        + ",".join(steps)
+        + """,
+    w9 AS MATERIALIZED (
+        SELECT g.i AS i, sum(CAST(g.gram AS HUGEINT) * v.x) AS y
+        FROM gfull g JOIN v8 v ON g.j = v.i GROUP BY 1),
+    ray AS (SELECT sum(v.x * w.y) AS num, sum(v.x * v.x) AS den
+            FROM v8 v JOIN w9 w USING (i)),
+    tr AS (SELECT CAST(sum(gram) AS HUGEINT) AS trace
+           FROM gcells WHERE i = j),
+    lam AS (SELECT num // (den * 1000000) AS lam_div6 FROM ray),
+    evr AS (SELECT (1000000 * l.lam_div6) // (t.trace // 1000000)
+                AS evr_micro
+            FROM lam l, tr t)
+    SELECT CAST(i AS INTEGER) AS dim, CAST(x AS BIGINT) AS val FROM v8
+    UNION ALL SELECT 0, CAST(lam_div6 AS BIGINT) FROM lam
+    UNION ALL SELECT -1, CAST(evr_micro AS BIGINT) FROM evr
+    ORDER BY dim
+    """
+    )
+
+
+def _tdiv_int(a: int, b: int) -> int:
+    """Python // floors toward -inf; DuckDB `//` and Spark `div`
+    truncate toward zero. Emulate trunc so the driver-side iteration
+    replays the SQL trajectory bit-for-bit on negatives."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@q("q279_pca_power_iteration", _q279_oracle())
+def q279_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PCA top component at 100 TB shape: the heavy O(N·d²)
+    Gram reduction runs distributed (q254's `gram_matrix_int` — one
+    vectorized int64 matmul per Arrow batch, d(d+1)/2 cells per task
+    on the shuffle), then the O(d²) power iteration runs driver-side
+    on the 2,080-cell Gram — arbitrary-precision Python ints, EIGHT
+    fixed steps, renormalizing each step to 1e6 max-abs with
+    TRUNCATING division. Exactness does not depend on convergence:
+    both engines replay the identical integer trajectory, so the
+    loadings, the Rayleigh quotient (λ in 1e6-reduced units, dim=0
+    row) and the explained-variance ratio (micro, dim=-1 row) all
+    hash-match against an UNROLLED-SQL twin. This is the decomposition
+    a whitening / drift / low-rank-projection stage needs, expressed
+    the only way that scales: distribute the data pass, centralize
+    only the d² summary (driver traffic: 2,080 longs)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cells = SIM.gram_matrix_int(emb, "embedding", 1_000_000).collect()
+    A: dict[tuple[int, int], int] = {}
+    for r in cells:
+        A[(r.i, r.j)] = r.gram
+        A[(r.j, r.i)] = r.gram
+    d = 64
+    x = [10**6] * d
+    for _ in range(8):
+        y = [sum(A[(i, j)] * x[j - 1] for j in range(1, d + 1))
+             for i in range(1, d + 1)]
+        mx = max(abs(v) for v in y)
+        x = [_tdiv_int(10**6 * v, mx) for v in y]
+    y9 = [sum(A[(i, j)] * x[j - 1] for j in range(1, d + 1))
+          for i in range(1, d + 1)]
+    num = sum(a * b for a, b in zip(x, y9))
+    den = sum(a * a for a in x)
+    lam_div6 = _tdiv_int(num, den * 10**6)
+    trace = sum(A[(i, i)] for i in range(1, d + 1))
+    evr_micro = _tdiv_int(10**6 * lam_div6, _tdiv_int(trace, 10**6))
+    rows = (
+        [(i, x[i - 1]) for i in range(1, d + 1)]
+        + [(0, lam_div6), (-1, evr_micro)]
+    )
+    return spark.createDataFrame(rows, "dim int, val long").orderBy("dim")
+
+
+# --------------------- 153. duplication source matrix (curation view)
+
+@q(
+    "q288_dup_source_matrix",
+    """
+    WITH u AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+    """
+    + _SHINGLE5_SQL
+    + """,
+         ex AS (SELECT doc_id, len(ss) AS n, unnest(ss) AS s FROM sh),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          any_value(a.n) AS na, any_value(b.n) AS nb,
+                          count(*) AS i
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (
+             SELECT id_a, id_b FROM inter
+             WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.3),
+         lab AS (
+             SELECT least(da.source, db.source) AS source_a,
+                    greatest(da.source, db.source) AS source_b,
+                    count(*) AS n_pairs
+             FROM pairs p
+             JOIN documents da ON p.id_a = da.doc_id
+             JOIN documents db ON p.id_b = db.doc_id
+             GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CASE WHEN source_a = source_b THEN 'intra' ELSE 'cross' END
+               AS kind
+    FROM lab ORDER BY source_a, source_b
+    """,
+)
+def q288_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard OVER the dedup output: near-duplicate
+    pairs (q29's exact n-gram Jaccard at the same operating point)
+    joined back to document metadata and cross-tabbed by CANONICAL
+    source pair — intra-source duplication means a crawler re-fetch
+    or boilerplate problem inside one feed; cross-source duplication
+    means syndication between feeds, and tells the curator which
+    source to drop as redundant. The (least, greatest) canonical
+    ordering makes the matrix independent of pair orientation in
+    both engines. Scale shape: the pair table (sparse) joins to the
+    doc→source map — broadcastable at any realistic source-map size
+    after projection — then one tiny count agg; the heavy lifting is
+    the dedup join itself, already bounded by q29's posting cap."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = DD.jaccard_pairs(
+        docs, "text", "doc_id", k=5, threshold=0.29, max_posting_len=600
+    ).filter(F.round("jaccard", 6) >= 0.3)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return lab.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.when(F.col("source_a") == F.col("source_b"), "intra")
+        .otherwise("cross")
+        .alias("kind"),
+    ).orderBy("source_a", "source_b")

@@ -1163,3 +1163,90 @@ def q267_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         return merged.select(
             "depth", "bucket", F.col("cnt").cast("long").alias("cnt")
         ).orderBy("depth", "bucket")
+
+
+# ------------------ 13. streaming cell-table maintenance (moments twin)
+
+@q("q283_streaming_seasonal_anomaly", None)
+def q283_streaming_seasonal_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming maintenance of the (day, hour) cell table behind the
+    q273 seasonality screen: events arrive as 4 real micro-batches
+    (maxFilesPerTrigger=1), each foreachBatch contributes ONLY its
+    batch's per-cell partial counts (<= 720 cells for this corpus's
+    30-day window — the only thing crossing to the driver), partials
+    fold by cell-wise SUM, and the 2σ screen runs over the merged
+    table via the SAME `_hour_seasonal_screen` the batch query uses.
+    Counts are sums, so merged-streaming == batch EXACTLY — the q267
+    mergeable-state pattern applied to grouped statistics rather than
+    a sketch: O(active cells) state per trigger, no watermark needed,
+    restart resumes from persisted partials. Asserts >= 2 real
+    micro-batches; the oracle recomputes the identical screen from
+    the raw table, so a dropped batch, a double-counted cell, or any
+    drift between the streaming and batch tails fails on values."""
+    import os
+    import shutil
+    import tempfile
+
+    from ingestao_dados_poli_spark.registry.mlstats import (
+        _hour_seasonal_screen,
+    )
+
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        ev = _t(spark, sf_dir, "events").select("ts")
+        tmp = tempfile.mkdtemp(prefix=f"q283_src_{os.getpid()}_")
+        try:
+            ev.repartition(4).write.mode("overwrite").parquet(tmp)
+            schema = spark.read.parquet(tmp).schema
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp)
+            )
+            partials: list = []
+            n_batches = [0]
+
+            def build_partial(batch_df, batch_id):
+                cells = (
+                    batch_df.groupBy(
+                        F.date_trunc("day", F.col("ts"))
+                        .cast("date")
+                        .alias("day"),
+                        F.hour("ts").cast("int").alias("hod"),
+                    )
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .collect()
+                )
+                partials.extend(
+                    (r.day, int(r.hod), int(r.c)) for r in cells
+                )
+                n_batches[0] += 1
+
+            query = (
+                src.writeStream.foreachBatch(build_partial)
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="q283_ck_"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        if n_batches[0] < 2:
+            raise AssertionError(
+                f"expected >= 2 micro-batches, got {n_batches[0]}"
+            )
+        merged = (
+            spark.createDataFrame(partials, "day date, hod int, c long")
+            .groupBy("day", "hod")
+            .agg(F.sum("c").alias("c"))
+        )
+        return _hour_seasonal_screen(merged)
+
+
+from ingestao_dados_poli_spark.registry import mlstats as _ML  # noqa: E402
+
+ORACLES["q283_streaming_seasonal_anomaly"] = _ML._SEASONAL_SQL

@@ -2331,3 +2331,173 @@ def q251_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------- code-switching / language-mixture detection
+
+# seeded code-switch suffix: the ENGINE's own es marker words (9 es
+# hits, zero en/pt hits — verified disjoint from the other marker
+# sets), so derived docs are PROVABLY mixed whenever the base doc has
+# enough en hits for a >= 30% second share
+_CS_SUFFIX = " " + " ".join(TX._LANG_MARKERS["es"])
+
+@q(
+    "q284_code_switching",
+    f"""
+    WITH u AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text || '{_CS_SUFFIX}' AS text
+        FROM documents WHERE doc_id < 100),
+    scored AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["en"]}')) AS en_hits,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["es"]}')) AS es_hits,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["pt"]}')) AS pt_hits
+        FROM u),
+    ranked AS (
+        SELECT doc_id, en_hits + es_hits + pt_hits AS total,
+               list_sort([
+                   {{'neg': -en_hits, 'lang': 'en'}},
+                   {{'neg': -es_hits, 'lang': 'es'}},
+                   {{'neg': -pt_hits, 'lang': 'pt'}}]) AS r
+        FROM scored)
+    SELECT doc_id, r[1].lang AS lang1, r[2].lang AS lang2,
+           CAST((1000 * -r[1].neg) // total AS BIGINT) AS top_permille,
+           CAST((1000 * -r[2].neg) // total AS BIGINT) AS second_permille
+    FROM ranked
+    WHERE total >= 4 AND (1000 * -r[2].neg) // total >= 300
+    ORDER BY doc_id
+    """,
+)
+def q284_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching (mixed-language) document detection — the
+    corpus-hygiene screen monolingual lang-ID (q34) can't express: a
+    doc whose SECOND-strongest language still owns >= 30% of its
+    marker hits is flagged as mixed (with >= 4 total hits so two
+    stray stopwords can't trigger it). Marker counts reuse the
+    ENGINE's `_LANG_MARKERS` regexes (oracle derives from the same
+    dict — the two sides cannot drift); languages rank in-row via a
+    sorted (−hits, lang) struct array, the same lexicographic
+    tie-break in both engines; shares are exact integer permille.
+    This corpus's text is English-marker-only regardless of its lang
+    label, so provable mixed docs are SEEDED: the first 100 docs get
+    a companion with the engine's 9 es marker words appended — every
+    companion whose base has >= 4 en hits MUST flag (second share
+    >= 300 permille by construction), and a missed one fails on rows.
+    Scale shape: pure scan-side row expressions — three regexp_count
+    passes and an in-row 3-element sort, no shuffle at all before
+    the (already tiny) result."""
+    base = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 400
+    ).select("doc_id", "text")
+    derived = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_CS_SUFFIX)).alias("text"),
+    )
+    docs = base.unionByName(derived)
+    hits = {
+        lang: F.regexp_count(F.lower("text"), F.lit(pat))
+        for lang, pat in _LANG_RE.items()
+    }
+    ranked = docs.select(
+        "doc_id",
+        (hits["en"] + hits["es"] + hits["pt"]).alias("total"),
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        (-hits[lang]).cast("long").alias("neg"),
+                        F.lit(lang).alias("lang"),
+                    )
+                    for lang in ("en", "es", "pt")
+                ]
+            )
+        ).alias("r"),
+    )
+    top = -F.get(F.col("r"), 0).getField("neg")
+    second = -F.get(F.col("r"), 1).getField("neg")
+    out = ranked.select(
+        "doc_id",
+        F.get(F.col("r"), 0).getField("lang").alias("lang1"),
+        F.get(F.col("r"), 1).getField("lang").alias("lang2"),
+        F.expr("(1000 * -r[0].neg) div total").cast("long").alias(
+            "top_permille"
+        ),
+        F.expr("(1000 * -r[1].neg) div total").cast("long").alias(
+            "second_permille"
+        ),
+        F.col("total"),
+    ).filter(
+        (F.col("total") >= 4) & (F.col("second_permille") >= 300)
+    )
+    return out.drop("total").orderBy("doc_id")
+
+
+# --------------------- leave-one-source-out data valuation
+
+@q(
+    "q286_source_loo_value",
+    """
+    WITH wc AS (
+        SELECT source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS words
+        FROM documents),
+    per AS (SELECT source, count(*) AS n, sum(words) AS s
+            FROM wc GROUP BY 1),
+    tot AS (SELECT sum(n) AS nt, sum(s) AS st FROM per)
+    SELECT p.source,
+           CAST(p.n AS BIGINT) AS n_docs,
+           CAST((1000000 * t.st) // t.nt AS BIGINT) AS mean_all_micro,
+           CAST((1000000 * (t.st - p.s)) // (t.nt - p.n) AS BIGINT)
+               AS mean_without_micro,
+           CAST((1000000 * t.st) // t.nt
+                - (1000000 * (t.st - p.s)) // (t.nt - p.n) AS BIGINT)
+               AS delta_micro
+    FROM per p CROSS JOIN tot t ORDER BY p.source
+    """,
+)
+def q286_source_loo_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation — the cheapest member of
+    the Shapley family and the first question a corpus curator asks:
+    how does the corpus-level metric move if source s is DROPPED?
+    Because the metric here (mean words per doc) is a ratio of sums,
+    every leave-one-out value is pure algebra on the per-source
+    (n, Σwords) aggregates — NO per-source re-scan, one pass total,
+    then 20 rows of arithmetic against the broadcast 1-row total.
+    delta > 0 means the source pulls the corpus average up. All
+    divisions truncate in micro units, identically in both engines.
+    At 100 TB the same shape prices any sum-decomposable metric
+    (quality score, dedup rate, token entropy) per source for free."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = docs.select(
+        "source", TX.n_tokens_ws("text").alias("words")
+    )
+    per = wc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("words").cast("decimal(38,0)").alias("s"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st")
+    )
+    M = F.lit(1000000).cast("decimal(38,0)")
+
+    def tdv(num, den):
+        return ((num - num % den) / den).cast("long")
+
+    j = per.crossJoin(F.broadcast(tot))
+    mean_all = tdv(M * F.col("st"), F.col("nt"))
+    mean_wo = tdv(
+        M * (F.col("st") - F.col("s")), F.col("nt") - F.col("n")
+    )
+    return j.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        mean_all.alias("mean_all_micro"),
+        mean_wo.alias("mean_without_micro"),
+        (mean_all - mean_wo).alias("delta_micro"),
+    ).orderBy("source")

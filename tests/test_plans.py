@@ -166,6 +166,11 @@ def test_plan_audit_artifact_clean():
         "q256_decayed_popularity",  # broadcast 1-row reference-instant crossJoin
         "q232_vocab_coverage_cut",  # broadcast 1-row totals crossJoin
         "q234_keyset_pagination",  # broadcast 1-row page-boundary crossJoin
+        "q270_nelson_aalen",  # broadcast 1-row churn-cutoff crossJoin
+        "q271_cuped_adjustment",  # broadcast 1-row theta/moments crossJoin
+        "q272_acf_daily_volume",  # broadcast 1-row series totals + 7-row lag table
+        "q280_gini_feature_gain",  # broadcast 1-row root-impurity crossJoin
+        "q286_source_loo_value",  # broadcast 1-row corpus-totals crossJoin
         "q26_embedding_topk",
         "q48_range_join",
         "q66_tfidf_top_terms",

@@ -242,3 +242,46 @@ def test_dedup_spans_never_invents_text(spark, docs):
         assert all(w in it for w in kept), (text, clean)
         assert out[i]["n_removed"] >= 0
         assert out[i]["n_spans"] >= out[i]["n_removed"]
+
+
+
+@given(docs=DOCS)
+@BATCH_SETTINGS
+def test_containment_pairs_match_python_reference(spark, docs):
+    """containment_pairs == the brute-force shingle-set containment on
+    arbitrary tiny corpora (k=2 so short docs still produce multi-
+    shingle sets; the single-shingle fallback path is exercised by the
+    empty/1-word docs hypothesis generates)."""
+    from ingestao_dados_poli_spark.operators import dedup as DD
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): (r.cont_ab, r.cont_ba)
+        for r in DD.containment_pairs(
+            df, "text", "doc_id", k=2, min_permille=1
+        ).collect()
+    }
+
+    def sh(ws):
+        toks = " ".join(ws).split(" ") if ws else [""]
+        # mirror shingles()/_rolling_shingle_hashes: one fallback
+        # shingle when shorter than k
+        if len(toks) < 2:
+            return {tuple(toks)}
+        return {tuple(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    sets = {i: sh(ws) for i, ws in enumerate(docs)}
+    want = {}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            ca = (1000 * inter) // len(sets[a])
+            cb = (1000 * inter) // len(sets[b])
+            if max(ca, cb) >= 1:
+                want[(a, b)] = (ca, cb)
+    assert got == want

@@ -341,3 +341,59 @@ def test_grid_density_separates_two_blobs(spark):
     assert len(clusters) == 2
     assert sorted(c.n_points for c in clusters) == [30, 30]
     assert len(noise) == 1 and noise[0].n_points == 2
+
+
+# --------------------------------------- dedup.containment_pairs
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    # a 10-token "quote" embedded verbatim in a 100-token host doc:
+    # containment(quote -> host) = 1000 permille while Jaccard is tiny
+    quote = " ".join(f"q{i}" for i in range(10))
+    host = " ".join(f"h{i}" for i in range(50)) + " " + quote + " " + " ".join(
+        f"t{i}" for i in range(40)
+    )
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, host), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r.id_a, r.id_b): (r.cont_ab, r.cont_ba)
+        for r in DD.containment_pairs(df, "text", "doc_id", k=5).collect()
+    }
+    assert set(cont) == {(1, 2)}
+    ab, ba = cont[(1, 2)]
+    assert ab == 1000  # all 6 of the quote's 5-shingles appear in host
+    assert ba < 100
+    jac = DD.jaccard_pairs(df, "text", "doc_id", k=5, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the subset-duplicate
+
+
+def test_containment_threshold_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "a b c d e f"), (4, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        DD.containment_pairs(df, "text", "doc_id", k=5).collect()
+    )
+    # identical-after-normalization docs (including two empties, which
+    # share the single fallback shingle) are mutual subset-duplicates
+    assert [(r.id_a, r.id_b, r.cont_ab, r.cont_ba) for r in rows] == [
+        (1, 2, 1000, 1000),
+        (3, 4, 1000, 1000),
+    ]
+
+
+# ------------------------------- registry.similarity._tdiv_int parity
+
+def test_tdiv_int_truncates_toward_zero():
+    from ingestao_dados_poli_spark.registry.similarity import _tdiv_int
+
+    # DuckDB `//` and Spark `div` truncate toward zero; Python // floors.
+    # The driver-side power iteration must replay SQL exactly on
+    # negative intermediate vectors.
+    assert _tdiv_int(-7, 2) == -3          # python -7 // 2 == -4
+    assert _tdiv_int(7, -2) == -3
+    assert _tdiv_int(-7, -2) == 3
+    assert _tdiv_int(7, 2) == 3
+    assert _tdiv_int(0, 5) == 0
