@@ -2,12 +2,12 @@
 
 The registry itself lives in `ingestao_dados_poli_spark/registry/`
 split by domain (relational, analytics, text, similarity, streaming,
-layout) with shared infrastructure in `registry/_base.py`; importing
+layout, mlstats) with shared infrastructure in `registry/_base.py`; importing
 this module assembles all of them into the same QUERIES / ORACLES
 dicts the driver contract (`__spark_entry__.py`), the oracle gate
 (`tools/check_oracle.py`) and the bench CLI consume. Split in round 5:
 at 8.7k lines the monolith was 51% of the codebase and a single bad
-edit risked every query; no registry module now exceeds 2.5k lines.
+edit risked every query; a stray edit now risks one domain at most.
 
 Everything previously importable from this module still is — the
 star-imports below re-export the shared helpers (including the

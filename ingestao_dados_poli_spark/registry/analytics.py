@@ -4827,3 +4827,239 @@ def q289_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+# --------------------- 154. exact conversion-latency quantiles
+
+@q(
+    "q292_conversion_latency",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT user_id, min(ts) AS first_purchase FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+    lat AS (
+        SELECT (epoch_us(p.first_purchase) - epoch_us(v.first_view))
+                   // 1000000 AS s
+        FROM v JOIN p USING (user_id)
+        WHERE p.first_purchase >= v.first_view),
+    m AS (SELECT count(*) AS m FROM lat),
+    hist AS (SELECT s, count(*) AS cnt FROM lat GROUP BY 1),
+    cum AS (SELECT s, sum(cnt) OVER (ORDER BY s) AS cum_cnt FROM hist),
+    qs AS (
+        SELECT (SELECT min(s) FROM cum, m
+                WHERE cum_cnt >= (m.m + 3) // 4) AS p25,
+               (SELECT min(s) FROM cum, m
+                WHERE cum_cnt >= (m.m + 1) // 2) AS p50,
+               (SELECT min(s) FROM cum, m
+                WHERE cum_cnt >= (3 * m.m + 3) // 4) AS p75)
+    SELECT CAST(m.m AS BIGINT) AS n_users,
+           CAST(qs.p25 AS BIGINT) AS p25_s,
+           CAST(qs.p50 AS BIGINT) AS p50_s,
+           CAST(qs.p75 AS BIGINT) AS p75_s
+    FROM m CROSS JOIN qs
+    """,
+)
+def q292_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: exact p25/p50/p75 of the seconds
+    between each user's FIRST view and FIRST purchase (users who
+    purchased at-or-after their first view) — the product metric
+    funnels (q108) and transition matrices (q188) don't give. Exact
+    order statistics use the ceil-rank convention k_q = ceil(q·m)
+    picked off a cumulative-count walk over the DISTINCT-latency
+    histogram (q264's machinery): integer seconds in, integer seconds
+    out, no percentile interpolation for engines to disagree on.
+    Scale shape: first-touch collapse is one map-side-combined
+    groupBy per event type, the join runs at user grain, and the
+    quantile walk runs over distinct latency values only."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_of(etype, alias):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(alias))
+        )
+
+    lat = (
+        first_of("view", "fv")
+        .join(first_of("purchase", "fp"), "user_id")
+        .filter(F.col("fp") >= F.col("fv"))
+        .select(
+            (
+                (F.unix_micros("fp") - F.unix_micros("fv"))
+                / F.lit(1000000)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    lat = lat.localCheckpoint()
+    m = lat.count()
+    hist = lat.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum_cnt",
+        F.sum("cnt").over(
+            Window.orderBy("s").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    ).localCheckpoint()
+
+    def q_at(k: int) -> int:
+        [row] = (
+            cum.filter(F.col("cum_cnt") >= F.lit(k))
+            .agg(F.min("s").alias("v"))
+            .collect()
+        )
+        return int(row.v)
+
+    p25 = q_at((m + 3) // 4)
+    p50 = q_at((m + 1) // 2)
+    p75 = q_at((3 * m + 3) // 4)
+    return spark.createDataFrame(
+        [(m, p25, p50, p75)],
+        "n_users long, p25_s long, p50_s long, p75_s long",
+    )
+
+
+# --------------------- 155. position-based multi-touch attribution
+
+@q(
+    "q295_position_attribution",
+    """
+    WITH conv AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+    touch AS (
+        SELECT user_id, ts AS tts, event_id AS tid, event_type
+        FROM events WHERE event_type IN ('view', 'click')),
+    joined AS (
+        SELECT c.pid, c.cents, t.event_type, t.tts, t.tid
+        FROM conv c JOIN touch t
+          ON c.user_id = t.user_id
+         AND t.tts >= c.pts - INTERVAL 7 DAY
+         AND t.tts < c.pts),
+    ranked AS (
+        SELECT pid, cents, event_type,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY tts, tid) AS rn,
+               count(*) OVER (PARTITION BY pid) AS n
+        FROM joined),
+    credited AS (
+        SELECT event_type,
+               CASE
+                 WHEN n = 1 THEN cents
+                 WHEN rn = 1 THEN (2 * cents) // 5
+                      + CASE WHEN n = 2 THEN
+                          (cents - 2 * ((2 * cents) // 5) + 1) // 2
+                        ELSE 0 END
+                 WHEN rn = n THEN (2 * cents) // 5
+                      + CASE WHEN n = 2 THEN
+                          (cents - 2 * ((2 * cents) // 5)) // 2
+                        ELSE 0 END
+                 ELSE (cents - 2 * ((2 * cents) // 5)) // (n - 2)
+                      + CASE WHEN rn - 1
+                                  <= (cents - 2 * ((2 * cents) // 5))
+                                     % (n - 2)
+                             THEN 1 ELSE 0 END
+               END AS credit
+        FROM ranked),
+    attributed AS (
+        SELECT event_type, sum(credit) AS credit_cents
+        FROM credited GROUP BY 1),
+    orphan AS (
+        SELECT '(none)' AS event_type,
+               coalesce(sum(cents), 0) AS credit_cents
+        FROM conv WHERE NOT EXISTS (
+            SELECT 1 FROM joined j WHERE j.pid = conv.pid))
+    SELECT event_type, CAST(credit_cents AS BIGINT) AS credit_cents
+    FROM (SELECT * FROM attributed UNION ALL SELECT * FROM orphan)
+    ORDER BY event_type
+    """,
+)
+def q295_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution with EXACT
+    integer credit: each purchase's cents split 40% to the first
+    touch, 40% to the last, 20% across the middles — the
+    largest-remainder discipline (q244) scaled to a per-conversion
+    window: truncating divisions set every base share and the
+    leftover cents go to the EARLIEST middles, so Σ credit == cents
+    for every conversion, bit-identical in both engines (a float
+    40/20/40 would leak fractional cents per conversion — billions
+    of conversions leak real money). Touches are the user's
+    view/click events in the 7 days strictly before the purchase;
+    purchases with no touches land in the '(none)' bucket so total
+    credited always equals total revenue. Scale shape: the
+    touch-window join is an equi-join on user with a range residual
+    (never a cross join); ranking windows partition per conversion
+    (state = one conversion's touches); the rollup is
+    event-type-cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        "event_type",
+    )
+    joined = conv.join(touch, "user_id").filter(
+        (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY"))
+        & (F.col("tts") < F.col("pts"))
+    ).select("pid", "cents", "event_type", "tts", "tid")
+    wp = Window.partitionBy("pid")
+    ranked = joined.select(
+        "pid",
+        "cents",
+        "event_type",
+        F.row_number().over(wp.orderBy("tts", "tid")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    base40 = F.expr("(2 * cents) div 5")
+    pool = F.col("cents") - 2 * base40
+    credit = (
+        F.when(F.col("n") == 1, F.col("cents"))
+        .when(
+            F.col("rn") == 1,
+            base40
+            + F.when(
+                F.col("n") == 2, F.expr("((cents - 2 * ((2 * cents) div 5)) + 1) div 2")
+            ).otherwise(F.lit(0)),
+        )
+        .when(
+            F.col("rn") == F.col("n"),
+            base40
+            + F.when(
+                F.col("n") == 2, F.expr("(cents - 2 * ((2 * cents) div 5)) div 2")
+            ).otherwise(F.lit(0)),
+        )
+        .otherwise(
+            F.expr("(cents - 2 * ((2 * cents) div 5)) div (n - 2)")
+            + F.when(
+                F.col("rn") - 1
+                <= F.expr("(cents - 2 * ((2 * cents) div 5)) % (n - 2)"),
+                1,
+            ).otherwise(0)
+        )
+    )
+    attributed = ranked.select("event_type", credit.alias("credit")).groupBy(
+        "event_type"
+    ).agg(F.sum("credit").alias("credit_cents"))
+    orphan = (
+        conv.join(joined.select("pid").distinct(), "pid", "left_anti")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("credit_cents"))
+        .select(F.lit("(none)").alias("event_type"), "credit_cents")
+    )
+    return (
+        attributed.unionByName(orphan)
+        .select(
+            "event_type", F.col("credit_cents").cast("long").alias("credit_cents")
+        )
+        .orderBy("event_type")
+    )

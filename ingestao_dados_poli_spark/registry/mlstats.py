@@ -844,3 +844,63 @@ def q281_jackknife_ratio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jk_var_micro2"),
     )
     return out.orderBy("o_orderpriority")
+
+
+# --------------------- 161. sample-ratio-mismatch (SRM) screen
+
+@q(
+    "q293_srm_check",
+    """
+    WITH arms AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END) AS n1
+        FROM orders GROUP BY 1)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST((1000000 * (n0 - n1) * (n0 - n1)) // (n0 + n1) AS BIGINT)
+               AS chi2_micro
+    FROM arms
+    WHERE (1000000 * (n0 - n1) * (n0 - n1)) // (n0 + n1) > 3841459
+    ORDER BY day
+    """,
+)
+def q293_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch screen — the FIRST validity check any A/B
+    readout must pass (Fabijan et al. 2019: most "significant"
+    experiment results with an SRM are bugs, not effects): under a
+    50/50 split the daily arm-arrival chi-square is
+    (n0−n1)²/(n0+n1), compared against the 1-dof 95% critical value
+    3.841459. Both sides of the comparison are exact integers (micro
+    units, truncating division) so the flag set is engine-identical —
+    no p-value, no incomplete-gamma approximation to reconcile; with
+    a healthy random split ~5% of days flag by chance, and a
+    systematically lopsided assignment floods the list. Uses the same
+    deterministic custkey-parity arms as the CUPED readout (q271) so
+    the two checks describe one experiment. Scale shape: one
+    conditional-count agg at daily grain; the filter is scan-side
+    arithmetic on the aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    arms = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.pmod(F.col("o_custkey"), F.lit(2)) == 0, 1).otherwise(0)
+        ).alias("n0"),
+        F.sum(
+            F.when(F.pmod(F.col("o_custkey"), F.lit(2)) == 1, 1).otherwise(0)
+        ).alias("n1"),
+    )
+    d = F.col("n0") - F.col("n1")
+    chi2 = F.expr("(1000000 * (n0 - n1) * (n0 - n1)) div (n0 + n1)")
+    return (
+        arms.withColumn("chi2_micro", chi2.cast("long"))
+        .filter(F.col("chi2_micro") > 3841459)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("n0").cast("long"),
+            F.col("n1").cast("long"),
+            "chi2_micro",
+        )
+        .orderBy("day")
+    )

@@ -2492,3 +2492,183 @@ def q288_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("cross")
         .alias("kind"),
     ).orderBy("source_a", "source_b")
+
+
+# --------------------- 154. kNN classification eval on embeddings
+
+@q(
+    "q296_knn_eval",
+    """
+    WITH q AS (SELECT vec_id AS query_id, vec_id % 4 AS label_true,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 50),
+    corpus AS (SELECT vec_id, vec_id % 4 AS label,
+                      embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 50),
+    scored AS (
+        SELECT q.query_id, q.label_true, c.label,
+               round(list_cosine_similarity(c.cv, q.qv), 6) AS s, c.vec_id
+        FROM corpus c CROSS JOIN q),
+    topk AS (
+        SELECT query_id, label_true, label
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY s DESC, vec_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= 5),
+    votes AS (
+        SELECT query_id, label_true, label, count(*) AS v
+        FROM topk GROUP BY 1, 2, 3),
+    pred AS (
+        SELECT query_id, label_true,
+               min(label) FILTER (WHERE rnk = 1) AS label_pred
+        FROM (SELECT *, rank() OVER (PARTITION BY query_id
+                        ORDER BY v DESC) AS rnk
+              FROM votes)
+        GROUP BY 1, 2)
+    SELECT CAST(label_true AS BIGINT) AS label_true,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN label_pred = label_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY 1 ORDER BY 1
+    """,
+)
+def q296_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier holdout evaluation over the embedding corpus —
+    the sanity check embedding pipelines run to prove vectors carry
+    signal: 50 held-out queries, 5-nearest-neighbor majority vote
+    (labels are the deterministic vec_id % 4 so both engines agree on
+    ground truth), per-class accuracy counts. Neighbor ranking uses
+    the 6-dp-rounded cosine with a vec_id tie-break (q26's
+    float-order-stability trick) and vote ties resolve to the
+    SMALLEST label — every ordering decision pinned, so the
+    prediction set is engine-identical. Scale shape: the query block
+    broadcasts against the corpus scan (corpus never shuffles);
+    per-query state downstream is k rows, and the accuracy rollup is
+    a label-cardinality agg. The same harness evaluates any ANN
+    index by swapping the scorer (q76's IVF, q30's LSH)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.pmod(F.col("vec_id"), F.lit(4)).alias("label_true"),
+        F.col("embedding").alias("qv"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 50).select(
+        "vec_id",
+        F.pmod(F.col("vec_id"), F.lit(4)).alias("label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "label_true",
+        "label",
+        F.round(cosine("cv", "qv"), 6).alias("s"),
+        "vec_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "label_true", "label")
+    )
+    votes = topk.groupBy("query_id", "label_true", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("v").desc())
+    pred = (
+        votes.withColumn("rnk", F.rank().over(wv))
+        .filter(F.col("rnk") == 1)
+        .groupBy("query_id", "label_true")
+        .agg(F.min("label").alias("label_pred"))
+    )
+    return (
+        pred.groupBy(F.col("label_true").cast("long").alias("label_true"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("label_pred") == F.col("label_true"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .orderBy("label_true")
+    )
+
+
+# --------------------- 155. similarity-transitivity audit
+
+@q(
+    "q294_transitivity_audit",
+    """
+    WITH u AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+    """
+    + _SHINGLE5_SQL
+    + """,
+         ex AS (SELECT doc_id, len(ss) AS n, unnest(ss) AS s FROM sh),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          any_value(a.n) AS na, any_value(b.n) AS nb,
+                          count(*) AS i
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         e AS (SELECT id_a, id_b FROM inter
+               WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.3),
+         adj AS (SELECT id_a AS ctr, id_b AS leaf FROM e
+                 UNION ALL SELECT id_b, id_a FROM e),
+         wedge AS (
+             SELECT x.leaf AS a, x.ctr AS b, y.leaf AS c
+             FROM adj x JOIN adj y
+               ON x.ctr = y.ctr AND x.leaf < y.leaf),
+         closed AS (
+             SELECT count(*) AS nc FROM wedge w
+             WHERE EXISTS (SELECT 1 FROM e
+                           WHERE e.id_a = w.a AND e.id_b = w.c))
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM wedge) AS BIGINT) AS n_wedges,
+           CAST(closed.nc AS BIGINT) AS n_closed,
+           CAST(CASE WHEN (SELECT count(*) FROM wedge) = 0 THEN 0
+                ELSE (1000 * closed.nc) // (SELECT count(*) FROM wedge)
+                END AS BIGINT) AS closure_permille
+    FROM closed
+    """,
+)
+def q294_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-dup relation — the diagnostic
+    that tells you whether connected-components clustering (q65) is
+    SAFE: similarity is not transitive, and every OPEN wedge
+    (A~B~C with A≁C) is a place where CC glues two non-duplicates
+    into one cluster via a chain. The closure rate (closed wedges /
+    all wedges, exact permille) quantifies that risk on the real
+    pair graph at the q29 operating point; a curator reading a low
+    rate switches from CC to star/medoid clustering before dropping
+    docs. Scale shape: wedges enumerate by joining the adjacency
+    list with itself on the CENTER vertex — bounded by Σ deg², the
+    same oriented-degree bound q163's triangle count relies on —
+    and close with one semi-join back to the (canonically ordered)
+    edge set; no doc text is touched after the pair join."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    e = DD.jaccard_pairs(
+        docs, "text", "doc_id", k=5, threshold=0.29, max_posting_len=600
+    ).filter(F.round("jaccard", 6) >= 0.3).select("id_a", "id_b")
+    e = e.localCheckpoint()
+    adj = e.select(
+        F.col("id_a").alias("ctr"), F.col("id_b").alias("leaf")
+    ).unionByName(
+        e.select(F.col("id_b").alias("ctr"), F.col("id_a").alias("leaf"))
+    )
+    x = adj.select(F.col("ctr"), F.col("leaf").alias("a"))
+    y = adj.select(F.col("ctr"), F.col("leaf").alias("c"))
+    wedge = x.join(y, "ctr").filter(F.col("a") < F.col("c")).select("a", "c")
+    n_edges = e.count()
+    n_wedges = wedge.count()
+    n_closed = wedge.join(
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    ).count()
+    permille = (1000 * n_closed) // n_wedges if n_wedges else 0
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_closed, permille)],
+        "n_edges long, n_wedges long, n_closed long, closure_permille long",
+    )

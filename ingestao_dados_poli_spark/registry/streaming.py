@@ -1250,3 +1250,144 @@ def q283_streaming_seasonal_anomaly(
 from ingestao_dados_poli_spark.registry import mlstats as _ML  # noqa: E402
 
 ORACLES["q283_streaming_seasonal_anomaly"] = _ML._SEASONAL_SQL
+
+
+# ------------------ 14. stream-stream LEFT OUTER interval join
+
+@q(
+    "q290_streaming_left_outer_join",
+    """
+    WITH p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    m AS (SELECT p.user_id, p.ts, count(c.ts) AS k
+          FROM p LEFT JOIN c
+            ON p.user_id = c.user_id
+           AND c.ts >= p.ts - INTERVAL 30 MINUTE
+           AND c.ts <= p.ts
+          GROUP BY 1, 2)
+    SELECT CAST(k AS INTEGER) AS n_clicks_before,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+def q290_streaming_left_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution shape
+    q92's inner join can't express: every purchase appears exactly
+    once, null-padded when NO click preceded it within 30 minutes, so
+    the zero-touch cohort is first-class instead of silently absent.
+    Spark only allows outer stream-stream joins with watermarks AND an
+    event-time bound (state must be provably evictable); unmatched
+    left rows emit only once the watermark passes their match window,
+    so the finite availableNow run appends a SENTINEL event pair
+    beyond max event time (written last, processed last) to flush the
+    tail — the production pattern for draining a finite backfill
+    through a streaming topology. The joined rows land in a parquet
+    sink; the per-purchase click counts and their histogram are
+    computed from the SINK's bytes, and the DuckDB twin recomputes the
+    identical histogram with a batch LEFT JOIN — a purchase dropped,
+    duplicated, or null-padded despite a match all shift a histogram
+    cell. Scale shape: join state is bounded by watermark + lookback
+    per user key; the histogram aggregates (user, ts) grain first."""
+    import os
+    import shutil
+
+    from ingestao_dados_poli_spark.streaming import stream_ops as SO
+
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type"
+        ).filter(F.col("event_type").isin("purchase", "click"))
+        [mx] = ev.agg(F.max("ts").alias("mx")).collect()
+        # pid-scoped dirs cleared on ENTRY (the repo's gate-protocol
+        # convention): the SINK must outlive this function — the
+        # returned DataFrame reads it lazily at driver collect time.
+        pid = os.getpid()
+        tmp = f"/tmp/q290_src_{pid}"
+        sink = f"/tmp/q290_sink_{pid}"
+        ck = f"/tmp/q290_ck_{pid}"
+        for d in (tmp, sink, ck):
+            shutil.rmtree(d, ignore_errors=True)
+        try:
+            # Files must arrive in EVENT-TIME order: the file source
+            # advances the watermark batch by batch, so a randomly
+            # split source would deliver early timestamps in late
+            # batches — behind the watermark, silently dropped (first
+            # cut lost 1/3 of the purchases exactly this way). Write
+            # three contiguous time slices sequentially (increasing
+            # mtime -> processing order), like any real log shipper.
+            [b1] = (
+                ev.select(
+                    F.percentile_approx("ts", [0.5], 10000).alias("b")
+                )
+                .collect()[0]
+                .b
+            )
+            for lo, hi in [(None, b1), (b1, None)]:
+                sl = ev
+                if lo is not None:
+                    sl = sl.filter(F.col("ts") > F.lit(lo))
+                if hi is not None:
+                    sl = sl.filter(F.col("ts") <= F.lit(hi))
+                sl.coalesce(1).write.mode("append").parquet(tmp)
+            # sentinel pair 2h past max event time, appended AFTER the
+            # main files so the file source processes it last and the
+            # watermark sweeps every real match window
+            import datetime as _dt
+
+            sent_ts = mx.mx + _dt.timedelta(hours=2)
+            spark.createDataFrame(
+                [(-1, sent_ts, "purchase"), (-1, sent_ts, "click")],
+                ev.schema,
+            ).coalesce(1).write.mode("append").parquet(tmp)
+            schema = spark.read.parquet(tmp).schema
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp)
+            )
+            purchases = src.filter(
+                F.col("event_type") == "purchase"
+            ).select("user_id", "ts")
+            clicks = src.filter(F.col("event_type") == "click").select(
+                "user_id", "ts"
+            )
+            joined = SO.interval_join_streams(
+                purchases,
+                clicks,
+                ["user_id"],
+                lookback="30 minutes",
+                watermark="10 minutes",
+                how="left_outer",
+            )
+            # outer stream-stream joins keep FOUR state stores per
+            # shard; at this stream's volume the 32-way batch default
+            # spends the micro-batch committing empty stores (q92's
+            # measured 7.4 -> 2.3 s lesson — 29.6 s here before scoping)
+            with SO.state_partitions(spark, 8):
+                query = (
+                    joined.writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ck)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                query.awaitTermination(300)
+            rows = spark.read.parquet(sink).filter(
+                F.col("l_user_id") != -1
+            )
+            per_purchase = rows.groupBy("l_user_id", "l_ts").agg(
+                F.count("r_ts").alias("k")
+            )
+            return (
+                per_purchase.groupBy(
+                    F.col("k").cast("int").alias("n_clicks_before")
+                )
+                .agg(F.count(F.lit(1)).alias("n_purchases"))
+                .orderBy("n_clicks_before")
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

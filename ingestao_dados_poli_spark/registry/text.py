@@ -2501,3 +2501,120 @@ def q286_source_loo_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_wo.alias("mean_without_micro"),
         (mean_all - mean_wo).alias("delta_micro"),
     ).orderBy("source")
+
+
+# --------------------- per-class precision / recall / F1
+
+@q(
+    "q291_lang_id_prf",
+    f"""
+    WITH scored AS (
+        SELECT lang AS lang_true,
+               CASE WHEN greatest(
+                        len(regexp_extract_all(lower(text), '{_LANG_RE["en"]}')),
+                        len(regexp_extract_all(lower(text), '{_LANG_RE["es"]}')),
+                        len(regexp_extract_all(lower(text), '{_LANG_RE["pt"]}'))) = 0
+                         THEN 'und'
+                    WHEN len(regexp_extract_all(lower(text), '{_LANG_RE["pt"]}'))
+                         >= len(regexp_extract_all(lower(text), '{_LANG_RE["es"]}'))
+                     AND len(regexp_extract_all(lower(text), '{_LANG_RE["pt"]}'))
+                         >= len(regexp_extract_all(lower(text), '{_LANG_RE["en"]}'))
+                         THEN 'pt'
+                    WHEN len(regexp_extract_all(lower(text), '{_LANG_RE["es"]}'))
+                         >= len(regexp_extract_all(lower(text), '{_LANG_RE["en"]}'))
+                         THEN 'es'
+                    ELSE 'en' END AS lang_pred
+        FROM documents),
+    classes AS (
+        SELECT lang_true AS c FROM scored
+        UNION SELECT lang_pred FROM scored),
+    stats AS (
+        SELECT k.c,
+               sum(CASE WHEN s.lang_true = k.c AND s.lang_pred = k.c
+                        THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN s.lang_true <> k.c AND s.lang_pred = k.c
+                        THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN s.lang_true = k.c AND s.lang_pred <> k.c
+                        THEN 1 ELSE 0 END) AS fn
+        FROM classes k CROSS JOIN scored s GROUP BY 1)
+    SELECT c AS class,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(CASE WHEN tp + fp = 0 THEN 0
+                ELSE (1000000 * tp) // (tp + fp) END AS BIGINT)
+               AS precision_micro,
+           CAST(CASE WHEN tp + fn = 0 THEN 0
+                ELSE (1000000 * tp) // (tp + fn) END AS BIGINT)
+               AS recall_micro,
+           CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT)
+               AS f1_micro
+    FROM stats ORDER BY 1
+    """,
+)
+def q291_lang_id_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the lang-ID model — the
+    eval readout q34's raw confusion matrix stops short of. F1 uses
+    the integer-exact identity F1 = 2TP/(2TP+FP+FN) (the harmonic
+    mean NEVER needs float P and R), and all three metrics emit
+    truncating micro units with explicit zero-denominator guards
+    (classes the model never predicts — de/fr/zh here — get
+    precision 0, not a division error). Classes are the UNION of
+    truth and prediction labels so both phantom predictions and
+    never-predicted truths appear. Scale shape: one scan scores and
+    counts per (truth, pred) cell implicitly via conditional sums
+    against the broadcast class list; everything after the scan runs
+    on |classes| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang").alias("lang_true"),
+        TX.lang_id("text").alias("lang_pred"),
+    )
+    classes = (
+        scored.select(F.col("lang_true").alias("c"))
+        .union(scored.select("lang_pred"))
+        .distinct()
+    )
+    j = scored.crossJoin(F.broadcast(classes))
+    stats = j.groupBy("c").agg(
+        F.sum(
+            F.when(
+                (F.col("lang_true") == F.col("c"))
+                & (F.col("lang_pred") == F.col("c")),
+                1,
+            ).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(
+                (F.col("lang_true") != F.col("c"))
+                & (F.col("lang_pred") == F.col("c")),
+                1,
+            ).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(
+                (F.col("lang_true") == F.col("c"))
+                & (F.col("lang_pred") != F.col("c")),
+                1,
+            ).otherwise(0)
+        ).alias("fn"),
+    )
+
+    return stats.select(
+        F.col("c").alias("class"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(0))
+        .otherwise(F.expr("(1000000 * tp) div (tp + fp)"))
+        .cast("long")
+        .alias("precision_micro"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(0))
+        .otherwise(F.expr("(1000000 * tp) div (tp + fn)"))
+        .cast("long")
+        .alias("recall_micro"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0))
+        .otherwise(F.expr("(2000000 * tp) div (2 * tp + fp + fn)"))
+        .cast("long")
+        .alias("f1_micro"),
+    ).orderBy("class")

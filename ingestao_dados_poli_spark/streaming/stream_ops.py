@@ -306,11 +306,12 @@ def interval_join_streams(
     right_ts: str = "ts",
     lookback: str = "60 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER join bounded by an event-time interval:
-    right rows within ``[left_ts - lookback, left_ts]`` for equal
-    ``keys`` — the funnel/attribution primitive (e.g. clicks preceding
-    an error).
+    """Stream-stream join bounded by an event-time interval: right
+    rows within ``[left_ts - lookback, left_ts]`` for equal ``keys``
+    — the funnel/attribution primitive (e.g. clicks preceding an
+    error).
 
     Both inputs get watermarks and the join carries an explicit
     event-time range condition; together they let the engine EVICT
@@ -319,6 +320,15 @@ def interval_join_streams(
     streams — an unconstrained stream-stream join would buffer both
     sides entirely). Output mode must be append (stream-stream join
     contract). Also works on batch frames (same plan, minus state).
+
+    ``how='left_outer'`` additionally emits each unmatched left row
+    once with nulls on the right side — but only after the watermark
+    passes the point where a match could still arrive, so on a finite
+    availableNow run the LAST window's outer rows stay buffered
+    unless a later event advances the watermark past them (feed a
+    sentinel row beyond max event time to flush; q290 demonstrates).
+    Spark supports outer stream-stream joins ONLY with a watermark +
+    event-time bound exactly like this one.
     """
     l = left.select(
         *[F.col(k).alias(f"l_{k}") for k in keys],
@@ -342,7 +352,7 @@ def interval_join_streams(
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("r_ts") <= F.col("l_ts"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 def write_stream_parquet(

@@ -171,6 +171,8 @@ def test_plan_audit_artifact_clean():
         "q272_acf_daily_volume",  # broadcast 1-row series totals + 7-row lag table
         "q280_gini_feature_gain",  # broadcast 1-row root-impurity crossJoin
         "q286_source_loo_value",  # broadcast 1-row corpus-totals crossJoin
+        "q291_lang_id_prf",  # broadcast class-list (~8 rows) crossJoin
+        "q296_knn_eval",  # broadcast query-block crossJoin (q26's shape)
         "q26_embedding_topk",
         "q48_range_join",
         "q66_tfidf_top_terms",

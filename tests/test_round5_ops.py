@@ -397,3 +397,29 @@ def test_tdiv_int_truncates_toward_zero():
     assert _tdiv_int(-7, -2) == 3
     assert _tdiv_int(7, 2) == 3
     assert _tdiv_int(0, 5) == 0
+
+
+# ------------------------- registry q295: credit conservation
+
+def test_position_attribution_conserves_every_cent(spark, sf_dir):
+    """Σ credited (touches + '(none)' bucket) must equal total purchase
+    cents EXACTLY — the invariant the largest-remainder allocation
+    exists to guarantee (a float 40/20/40 split leaks fractional
+    cents; the oracle can't catch a leak both engines share)."""
+    from ingestao_dados_poli_spark import queries as Q
+
+    credited = sum(
+        r.credit_cents
+        for r in Q.QUERIES["q295_position_attribution"](
+            spark, sf_dir
+        ).collect()
+    )
+    ev = Q._t(spark, sf_dir, "events")
+    [total] = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("t")
+        )
+        .collect()
+    )
+    assert credited == total.t

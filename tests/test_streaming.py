@@ -357,3 +357,47 @@ def test_quality_gated_foreach_batch_quarantines_degraded(spark, tmp_path):
         if not d.startswith(("_", "."))
     ] if os.path.isdir(str(tmp_path / "staging")) else []
     assert left == []
+
+
+def test_interval_join_left_outer_batch_semantics(spark):
+    """how='left_outer' on batch frames: matched left rows repeat per
+    match, unmatched emit exactly once null-padded — the same
+    multiplicity contract the streaming run (q290) relies on."""
+    import datetime as dt
+
+    from ingestao_dados_poli_spark.streaming import stream_ops as SO
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [(1, ts(60)), (1, ts(200)), (2, ts(60))],
+        "user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(50)), (1, ts(55)), (2, ts(300))],
+        "user_id long, ts timestamp",
+    )
+    out = SO.interval_join_streams(
+        left,
+        right,
+        ["user_id"],
+        lookback="30 minutes",
+        watermark="10 minutes",
+        how="left_outer",
+    ).collect()
+    got = sorted(
+        (r.l_user_id, r.l_ts.minute + 60 * r.l_ts.hour,
+         None if r.r_ts is None else r.r_ts.minute + 60 * r.r_ts.hour)
+        for r in out
+    )
+    # user 1 @13:00 matches clicks @12:50 and @12:55; user 1 @15:20
+    # has none in [14:50, 15:20]; user 2 @13:00 precedes its click
+    assert got == [
+        (1, 13 * 60, 12 * 60 + 50),
+        (1, 13 * 60, 12 * 60 + 55),
+        (1, 15 * 60 + 20, None),
+        (2, 13 * 60, None),
+    ]
