@@ -5063,3 +5063,84 @@ def q295_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------- 156. share-of-parent hierarchy report
+
+@q(
+    "q298_share_of_parent",
+    """
+    WITH base AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2),
+    reg AS (SELECT region, sum(cents) AS rcents FROM base GROUP BY 1),
+    tot AS (SELECT sum(cents) AS tcents FROM base)
+    SELECT b.region, b.nation,
+           CAST(b.cents AS BIGINT) AS cents,
+           CAST((1000000 * b.cents) // r.rcents AS BIGINT)
+               AS share_of_region_micro,
+           CAST((1000000 * r.rcents) // t.tcents AS BIGINT)
+               AS region_share_micro
+    FROM base b JOIN reg r USING (region) CROSS JOIN tot t
+    ORDER BY b.region, b.nation
+    """,
+)
+def q298_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent on the region→nation hierarchy — the
+    ratio_to_report shape every BI rollup needs (q18's ROLLUP gives
+    subtotals; this gives each node's weight WITHIN its parent and
+    each parent's weight in the whole, both as exact truncating
+    micro-shares of integer cents). Scale shape: the fact table joins
+    customer→nation→region through broadcastable dims (AQE picks
+    broadcast; nation/region are config-sized), collapses to
+    (region, nation) grain in one map-side-combined agg, and every
+    share computation runs on that ≤ |nations| frame — the 1-row
+    grand total is the allowlisted broadcast crossJoin."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    reg = base.groupBy("region").agg(F.sum("cents").alias("rcents"))
+    tot = base.agg(F.sum("cents").alias("tcents"))
+    dec = "decimal(38,0)"
+
+    def tdv(num, den):
+        num = num.cast(dec)
+        den = den.cast(dec)
+        return ((num - num % den) / den).cast("long")
+
+    M = F.lit(1000000).cast(dec)
+    return (
+        base.join(reg, "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("cents").cast("long").alias("cents"),
+            tdv(M * F.col("cents"), F.col("rcents")).alias(
+                "share_of_region_micro"
+            ),
+            tdv(M * F.col("rcents"), F.col("tcents")).alias(
+                "region_share_micro"
+            ),
+        )
+        .orderBy("region", "nation")
+    )

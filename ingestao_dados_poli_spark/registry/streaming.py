@@ -1391,3 +1391,161 @@ def q290_streaming_left_outer_join(
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ------------------ 15. streaming drift monitor (mergeable histograms)
+
+@q(
+    "q297_streaming_drift_monitor",
+    """
+    WITH src AS (
+        SELECT CASE WHEN event_type IN ('view', 'click') THEN 'engage'
+                    ELSE 'act' END AS grp,
+               least(CAST(floor(value / 10.0) AS INTEGER), 9) AS bin
+        FROM events),
+    counts AS (
+        SELECT bin,
+               sum(CASE WHEN grp = 'engage' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN grp = 'act' THEN 1 ELSE 0 END) AS cb
+        FROM src GROUP BY 1),
+    grid AS (SELECT unnest(range(0, 10)) AS bin),
+    filled AS (
+        SELECT g.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+        FROM grid g LEFT JOIN counts c ON g.bin = c.bin),
+    cum AS (
+        SELECT bin,
+               sum(ca) OVER (ORDER BY bin) AS cuma,
+               sum(cb) OVER (ORDER BY bin) AS cumb,
+               (SELECT sum(ca) FROM filled) AS na,
+               (SELECT sum(cb) FROM filled) AS nb
+        FROM filled)
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST((1000000 * cuma) // na AS BIGINT) AS cdf_a_micro,
+           CAST((1000000 * cumb) // nb AS BIGINT) AS cdf_b_micro,
+           CAST((1000000 * abs(cuma * nb - cumb * na)) // (na * nb)
+                AS BIGINT) AS gap_micro
+    FROM cum ORDER BY bin
+    """,
+)
+def q297_streaming_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming drift monitoring: the Wasserstein-grid histograms
+    (q287's shape) maintained INCREMENTALLY over real micro-batches —
+    each foreachBatch contributes only its partial per-bin counts
+    (≤ 10 bins × 2 groups crossing to the driver per trigger),
+    partials fold by cell-wise sum, and the CDF-gap profile computed
+    from the merged table must equal the batch recomputation EXACTLY
+    (counts are sums — the q267/q283 mergeable-state discipline
+    applied to drift detection). This is how a production monitor
+    watches distribution shift on an unbounded stream with O(bins)
+    state and no event retention; the oracle rebuilds the profile
+    from the raw table, so a dropped batch or a double-fold shifts a
+    CDF cell and fails on values. Asserts >= 2 real micro-batches."""
+    import os
+    import shutil
+
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        ev = _t(spark, sf_dir, "events").select("event_type", "value")
+        pid = os.getpid()
+        tmp = f"/tmp/q297_src_{pid}"
+        ckd = f"/tmp/q297_ck_{pid}"
+        for d in (tmp, ckd):
+            shutil.rmtree(d, ignore_errors=True)
+        try:
+            ev.repartition(4).write.mode("overwrite").parquet(tmp)
+            schema = spark.read.parquet(tmp).schema
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(tmp)
+            )
+            partials: list = []
+            n_batches = [0]
+
+            def build_partial(batch_df, batch_id):
+                cells = (
+                    batch_df.select(
+                        F.when(
+                            F.col("event_type").isin("view", "click"),
+                            "engage",
+                        )
+                        .otherwise("act")
+                        .alias("grp"),
+                        F.least(
+                            F.floor(F.col("value") / 10.0).cast("int"),
+                            F.lit(9),
+                        ).alias("bin"),
+                    )
+                    .groupBy("grp", "bin")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .collect()
+                )
+                partials.extend(
+                    (r.grp, int(r.bin), int(r.c)) for r in cells
+                )
+                n_batches[0] += 1
+
+            query = (
+                src.writeStream.foreachBatch(build_partial)
+                .option("checkpointLocation", ckd)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(300)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        if n_batches[0] < 2:
+            raise AssertionError(
+                f"expected >= 2 micro-batches, got {n_batches[0]}"
+            )
+        merged = (
+            spark.createDataFrame(partials, "grp string, bin int, c long")
+            .groupBy("bin")
+            .agg(
+                F.sum(F.when(F.col("grp") == "engage", F.col("c"))
+                      .otherwise(0)).alias("ca"),
+                F.sum(F.when(F.col("grp") == "act", F.col("c"))
+                      .otherwise(0)).alias("cb"),
+            )
+        )
+        grid = spark.range(0, 10).select(
+            F.col("id").cast("int").alias("bin")
+        )
+        filled = grid.join(merged, "bin", "left").select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        w = Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wtot = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        dec = "decimal(38,0)"
+        cum = filled.select(
+            "bin",
+            F.sum("ca").over(w).cast(dec).alias("cuma"),
+            F.sum("cb").over(w).cast(dec).alias("cumb"),
+            F.sum("ca").over(wtot).cast(dec).alias("na"),
+            F.sum("cb").over(wtot).cast(dec).alias("nb"),
+        )
+
+        def tdv(num, den):
+            return ((num - num % den) / den).cast("long")
+
+        M = F.lit(1000000).cast(dec)
+        return cum.select(
+            "bin",
+            tdv(M * F.col("cuma"), F.col("na")).alias("cdf_a_micro"),
+            tdv(M * F.col("cumb"), F.col("nb")).alias("cdf_b_micro"),
+            tdv(
+                M
+                * F.abs(
+                    F.col("cuma") * F.col("nb")
+                    - F.col("cumb") * F.col("na")
+                ),
+                F.col("na") * F.col("nb"),
+            ).alias("gap_micro"),
+        ).orderBy("bin")

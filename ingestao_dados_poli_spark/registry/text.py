@@ -2618,3 +2618,81 @@ def q291_lang_id_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f1_micro"),
     ).orderBy("class")
+
+
+# --------------------- source vocabulary overlap matrix
+
+@q(
+    "q299_vocab_overlap_matrix",
+    """
+    WITH tok AS (
+        SELECT DISTINCT source,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                      '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents WHERE trim(text) <> ''),
+    sizes AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS i
+        FROM tok a JOIN tok b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b,
+           CAST(i.i AS BIGINT) AS n_shared,
+           CAST((1000 * i.i) // least(sa.n, sb.n) AS BIGINT)
+               AS overlap_permille
+    FROM inter i
+    JOIN sizes sa ON i.source_a = sa.source
+    JOIN sizes sb ON i.source_b = sb.source
+    WHERE (1000 * i.i) // least(sa.n, sb.n) >= 500
+    ORDER BY 1, 2
+    """,
+)
+def q299_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szymkiewicz–Simpson OVERLAP coefficient |A∩B| / min(|A|,|B|)
+    between source vocabularies — the redundancy measure for feeds:
+    a small source whose vocabulary sits INSIDE a big one scores
+    ~1000‰ here while its Jaccard vs the giant is tiny (same
+    asymmetry argument as containment dedup q268, lifted from
+    documents to source-level vocab SETS). Pairs ≥ 500‰ are the
+    drop-candidates a curator reviews. Exact integer permille;
+    the distinct (source, token) table is the only large
+    intermediate, and the pair intersection joins token postings
+    whose length is bounded by |sources| (each token contributes at
+    most |sources|²/2 pairs, with |sources| = 20) — never a
+    doc-level pair join. Scale shape: one distinct-agg over the
+    scan, one posting join on token, a |sources|²-row rollup."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.split(TX.normalize_text(F.col("text")), " ")
+        ).alias("token"),
+    ).distinct()
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("source").alias("source_a"), "token")
+    b = tok.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("i").cast("long").alias("n_shared"),
+            F.expr("(1000 * i) div least(na, nb)").cast("long").alias(
+                "overlap_permille"
+            ),
+        )
+        .filter(F.col("overlap_permille") >= 500)
+    )
+    return out.orderBy("source_a", "source_b")

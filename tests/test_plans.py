@@ -173,6 +173,7 @@ def test_plan_audit_artifact_clean():
         "q286_source_loo_value",  # broadcast 1-row corpus-totals crossJoin
         "q291_lang_id_prf",  # broadcast class-list (~8 rows) crossJoin
         "q296_knn_eval",  # broadcast query-block crossJoin (q26's shape)
+        "q298_share_of_parent",  # broadcast 1-row grand-total crossJoin
         "q26_embedding_topk",
         "q48_range_join",
         "q66_tfidf_top_terms",
