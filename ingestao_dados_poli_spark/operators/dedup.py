@@ -246,6 +246,44 @@ def salted_bucket_pairs(
     )
 
 
+def plain_bucket_pairs(
+    banded: DataFrame,
+    group_keys: list[str],
+    doc_col: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Unsalted candidate pairs: ONE groupBy + in-row capped expansion
+    (`_bucket_pairs_capped` still degrades a >cap bucket in-row, so no
+    unguarded O(n²)). Same pair set as `salted_bucket_pairs` for
+    buckets at or under the cap — identical collect_list → identical
+    expansion; only the over-cap degradation differs (in-row chunks vs
+    salted sub-groups).
+
+    ONLY for structurally-bounded inputs — e.g. the degenerate-exact
+    oracle configuration (num_planes=0 → ONE constant-signature bucket
+    over a pre-bounded slice): collect_list's aggregation buffer does
+    not spill, so an unbounded hot bucket belongs on the salted path.
+    Exists because the salted path's count window (extra sort +
+    windowed pass over every banded row) measured 2.2× overhead on the
+    degenerate config where bucket sizes are already known bounded
+    (q39 regression, round-5 verdict).
+
+    NOTE for callers: a Generate runs inside its input row's task, so
+    with ONE bucket every returned pair lives in a single partition —
+    run per-pair verification AFTER the next exchange (e.g. a
+    dropDuplicates on the pair ids), not in-row, or the verify
+    serializes on one core (the actual q39 regression mechanism)."""
+    return (
+        banded.groupBy(*group_keys)
+        .agg(F.collect_list(doc_col).alias("_docs"))
+        .select(
+            F.explode(
+                _bucket_pairs_capped(F.col("_docs"), max_bucket_size)
+            ).alias("p")
+        )
+    )
+
+
 # ---------------------------------------------------------------- exact
 
 def fingerprint_exact(col: Column | str) -> Column:

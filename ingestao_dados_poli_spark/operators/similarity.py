@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ingestao_dados_poli_spark.functions.vectors import cosine
 from ingestao_dados_poli_spark.operators.dedup import (
     _pairs_in_group,
+    plain_bucket_pairs,
     salted_bucket_pairs,
 )
 from ingestao_dados_poli_spark.partitioning import fan_out
@@ -418,7 +419,14 @@ def embedding_near_dup_pairs(
     """
     if num_planes == "auto":
         num_planes = auto_num_planes(df.count())
-    if dim:
+    if num_planes == 0:
+        # Degenerate-exact mode: every signature is trivially the
+        # constant 0 (no planes → no bits), so every table is ONE
+        # bucket holding the whole (pre-bounded) corpus — skip the
+        # signature computation entirely and go straight to the
+        # id-only pair expansion below.
+        sigs = None
+    elif dim:
         sig_fn = _lsh_signatures_udf(num_planes, num_tables, dim)
         sigs = fan_out(df).select(
             F.col(id_col).alias("_id"),
@@ -452,16 +460,84 @@ def embedding_near_dup_pairs(
     # simhash paths, which already scored pre-dedup. Duplicate pairs
     # from different tables carry identical scores, so dedup after
     # scoring returns the same rows.
+    if num_planes == 0:
+        # Degenerate-exact mode: the whole (pre-bounded) corpus is ONE
+        # bucket per table. Three costs the production path pays are
+        # pure overhead or actively harmful here: the signature UDF
+        # (constant output); the salted count window; the in-row score
+        # (a Generate runs inside its input row's task, so the whole
+        # quadratic verify pins to ONE core); and — the dominant one,
+        # measured — expanding pairs that CARRY the vectors (125k
+        # nested-struct pairs × 2×64 doubles built serially in the
+        # bucket's task). So: expand ID-ONLY pairs in-row (cheap slim
+        # structs), let the dedup exchange spread them, then
+        # broadcast-join the (bounded, ≤cap-row) vector table back
+        # twice and cosine-verify in parallel post-exchange.
+        # 3.7 s → ~1 s on q39 at sf0.1.
+        id_pairs = (
+            plain_bucket_pairs(
+                fan_out(df).select(
+                    F.col(id_col).alias("doc"),
+                    F.explode(
+                        F.array(*[F.lit(t) for t in range(num_tables)])
+                    ).alias("tbl"),
+                    F.lit(0).cast("long").alias("sig"),
+                ),
+                ["tbl", "sig"],
+                "doc",
+                max_bucket_size,
+            )
+            .select(
+                F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # norms ride the broadcast table (computed once per VECTOR, not
+        # twice per PAIR — n vs n² norm folds), so the per-pair verify
+        # is just the dot product. try_divide, not `/`: zero-norm rows
+        # make the denominator 0, a runtime error under ANSI; NULL sim
+        # fails the >= threshold filter, matching `cosine`'s contract.
+        from ingestao_dados_poli_spark.functions.vectors import dot, norm
+
+        vecs = df.select(
+            F.col(id_col).alias("_vid"),
+            F.col(vec_col).alias("_vv"),
+            norm(F.col(vec_col)).alias("_vn"),
+        )
+        paired = (
+            id_pairs.join(
+                F.broadcast(vecs)
+                .withColumnRenamed("_vv", "_va")
+                .withColumnRenamed("_vn", "_na"),
+                F.col("id_a") == F.col("_vid"),
+            )
+            .drop("_vid")
+            .join(
+                F.broadcast(vecs)
+                .withColumnRenamed("_vv", "_vb")
+                .withColumnRenamed("_vn", "_nb"),
+                F.col("id_b") == F.col("_vid"),
+            )
+            .drop("_vid")
+        )
+        sim_post = F.try_divide(
+            dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")
+        ).cast("double")
+        if score_round is not None:
+            sim_post = F.round(sim_post, score_round)
+        return (
+            paired.select("id_a", "id_b", sim_post.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    # Production (probabilistic) mode: score IN-ROW before the
+    # cross-table dedup — see the shuffle-bytes note above; the many
+    # salted groups provide the parallelism the degenerate mode lacks.
+    banded = sigs.select(F.struct("_id", "_v").alias("doc"), "tbl", "sig")
     sim = cosine(F.col("p.id_a._v"), F.col("p.id_b._v")).cast("double")
     if score_round is not None:
         sim = F.round(sim, score_round)
     return (
-        salted_bucket_pairs(
-            sigs.select(F.struct("_id", "_v").alias("doc"), "tbl", "sig"),
-            ["tbl", "sig"],
-            "doc",
-            max_bucket_size,
-        )
+        salted_bucket_pairs(banded, ["tbl", "sig"], "doc", max_bucket_size)
         .select(
             F.col("p.id_a._id").alias("id_a"),
             F.col("p.id_b._id").alias("id_b"),

@@ -10,6 +10,8 @@ assembled registry.
 from __future__ import annotations
 
 
+import functools
+
 from collections.abc import Callable
 
 
@@ -80,16 +82,18 @@ def _events_ts(df: DataFrame) -> DataFrame:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver owns the session; date_trunc/year/cast-to-string on
-    # timestamps all convert through the SESSION timezone, while the
-    # DuckDB oracle computes on naive (UTC-equivalent) timestamps — so
-    # pin UTC here, not only in our own session factory.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # UTC pinning lives in the `q` decorator (scoped around the whole
+    # query build), NOT here: a set at read time would leak past the
+    # query into a host session the driver owns.
     if name == "events":
-        # nanosAsLong is a no-op on micro-precision files; needed only for
-        # the TIMESTAMP(NANOS) vintage the reader would otherwise reject.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # nanosAsLong is a no-op on micro-precision files; needed only
+        # for the TIMESTAMP(NANOS) vintage the reader would otherwise
+        # reject. The parquet footer schema binds EAGERLY at
+        # read.parquet, so scoping around the read suffices.
+        with scoped_conf(
+            spark, "spark.sql.legacy.parquet.nanosAsLong", "true"
+        ):
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return _events_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -97,10 +101,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        # Every registered query runs its BUILD under session-timezone
+        # UTC: date_trunc/year/cast-to-string on timestamps convert
+        # through the session timezone, while the DuckDB oracle
+        # computes on naive (UTC-equivalent) timestamps. Timezone-aware
+        # expressions bind their zone at ANALYSIS time (which PySpark
+        # runs eagerly as each DataFrame is built inside fn), so the
+        # scope covers everything that matters and the host session's
+        # own timezone is restored before the driver collects.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str, *a, **k):
+            with scoped_conf(spark, "spark.sql.session.timeZone", "UTC"):
+                return fn(spark, sf_dir, *a, **k)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

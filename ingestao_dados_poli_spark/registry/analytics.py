@@ -4579,10 +4579,18 @@ def q285_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = idx.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = idx.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    # 1000000 * weekly-cents-delta overflows BIGINT at larger SF under
+    # ANSI (same exposure q256 hit); DuckDB auto-promotes to HUGEINT,
+    # so route the numerator through DECIMAL(38,0) and truncate with
+    # the exact-multiple trick (num - num % den keeps div-toward-zero,
+    # matching DuckDB `//` on negatives).
+    s_num = (F.lit(1000000).cast("decimal(38,0)")
+             * (F.col("yb") - F.col("ya")).cast("decimal(38,0)"))
+    s_den = (F.col("xb") - F.col("xa")).cast("decimal(38,0)")
     pairs = (
         a.join(b, F.col("xb") > F.col("xa"))
         .select(
-            F.expr("(1000000 * (yb - ya)) div (xb - xa)").alias("slope")
+            ((s_num - s_num % s_den) / s_den).cast("long").alias("slope")
         )
         .localCheckpoint()
     )
@@ -4611,10 +4619,16 @@ def q285_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_weeks = idx.count()
     n_pairs = pairs.count()
     slope = lower_median_value(pairs, "slope")
+    # Same HUGEINT-vs-long exposure as the slope numerator: 1000000*y
+    # is weekly cents ×10⁶ — stay in decimal(38,0) through the median
+    # (the DuckDB twin stays in HUGEINT); int() on the scalar at the
+    # end is exact.
     resid = idx.select(
         (
-            F.lit(1000000).cast("long") * F.col("y")
-            - F.lit(slope) * F.col("x")
+            F.lit(1000000).cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+            - F.lit(slope).cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
         ).alias("r")
     )
     intercept = lower_median_value(resid, "r")

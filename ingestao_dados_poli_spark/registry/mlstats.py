@@ -67,7 +67,9 @@ def _truncdiv(num, den):
         FROM cum GROUP BY 1)
     SELECT grp AS l_linestatus,
            CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
-           CAST((1000000 * num2) // (2 * pos * neg) AS BIGINT) AS auc_micro
+           CAST(CASE WHEN pos * neg = 0 THEN 0
+                ELSE (1000000 * num2) // (2 * pos * neg) END AS BIGINT)
+               AS auc_micro
     FROM agg ORDER BY 1
     """,
 )
@@ -114,10 +116,18 @@ def q269_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grp").alias("l_linestatus"),
         F.col("pos").cast("long").alias("n_pos"),
         F.col("neg").cast("long").alias("n_neg"),
-        _truncdiv(
-            F.lit(1000000).cast(_DEC) * F.col("num2"),
-            F.lit(2).cast(_DEC) * F.col("pos") * F.col("neg"),
-        ).alias("auc_micro"),
+        # An all-positive or all-negative segment makes the Mann–Whitney
+        # denominator zero — ANSI Spark would throw DIVIDE_BY_ZERO where
+        # DuckDB's `// 0` yields NULL, so both engines pin it to 0
+        # (AUC is undefined with one class; 0 is the sentinel).
+        F.when(F.col("pos") * F.col("neg") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            _truncdiv(
+                F.lit(1000000).cast(_DEC) * F.col("num2"),
+                F.lit(2).cast(_DEC) * F.col("pos") * F.col("neg"),
+            )
+        )
+        .alias("auc_micro"),
     ).orderBy("l_linestatus")
 
 
@@ -357,8 +367,10 @@ def q272_acf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fact table collapses to DAILY grain first (one
     map-side-combined groupBy bounds everything downstream to ~2.4k
     rows/decade regardless of corpus size), the 1-row total broadcast
-    back; the lag window partitions BY LAG so the 7 shifted series
-    window in parallel rather than sequentially widening one plan."""
+    back; the lag-k series come from an index EQUI-JOIN (day-number
+    self-join with the 7 lags exploded as data) rather than 7 separate
+    F.lag windows, so all lags materialize in one shuffle instead of
+    sequentially widening one plan."""
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
@@ -594,9 +606,13 @@ def q274_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CASE WHEN y7 IS NOT NULL THEN 1 ELSE 0 END) AS n7
         FROM lagged GROUP BY 1)
     SELECT prio AS o_orderpriority,
-           CAST((1000000 * e1) // n1 AS BIGINT) AS mae_naive_micro,
-           CAST((1000000 * e7) // n7 AS BIGINT) AS mae_seasonal_micro,
-           CAST((1000000 * e7 * n1) // (e1 * n7) AS BIGINT) AS mase_micro
+           CAST(CASE WHEN n1 = 0 THEN 0
+                ELSE (1000000 * e1) // n1 END AS BIGINT) AS mae_naive_micro,
+           CAST(CASE WHEN n7 = 0 THEN 0
+                ELSE (1000000 * e7) // n7 END AS BIGINT) AS mae_seasonal_micro,
+           CAST(CASE WHEN coalesce(e1, 0) * n7 = 0 THEN 0
+                ELSE (1000000 * e7 * n1) // (e1 * n7) END AS BIGINT)
+               AS mase_micro
     FROM err ORDER BY 1
     """,
 )
@@ -638,13 +654,24 @@ def q277_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n7"),
     )
     M = F.lit(1000000).cast(_DEC)
+    zero = F.lit(0).cast("long")
+    # A series too short for the lag (n=0) or a perfectly-flat naive
+    # error (e1=0) zeroes a denominator: ANSI Spark throws where DuckDB
+    # NULLs, so both engines pin the undefined ratio to 0 (same guard
+    # pattern as q291's precision/recall).
     return err.select(
         F.col("prio").alias("o_orderpriority"),
-        _truncdiv(M * F.col("e1"), F.col("n1")).alias("mae_naive_micro"),
-        _truncdiv(M * F.col("e7"), F.col("n7")).alias("mae_seasonal_micro"),
-        _truncdiv(M * F.col("e7") * F.col("n1"), F.col("e1") * F.col("n7")).alias(
-            "mase_micro"
-        ),
+        F.when(F.col("n1") == 0, zero)
+        .otherwise(_truncdiv(M * F.col("e1"), F.col("n1")))
+        .alias("mae_naive_micro"),
+        F.when(F.col("n7") == 0, zero)
+        .otherwise(_truncdiv(M * F.col("e7"), F.col("n7")))
+        .alias("mae_seasonal_micro"),
+        F.when(F.coalesce(F.col("e1"), F.lit(0)) * F.col("n7") == 0, zero)
+        .otherwise(
+            _truncdiv(M * F.col("e7") * F.col("n1"), F.col("e1") * F.col("n7"))
+        )
+        .alias("mase_micro"),
     ).orderBy("o_orderpriority")
 
 
@@ -891,7 +918,6 @@ def q293_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.pmod(F.col("o_custkey"), F.lit(2)) == 1, 1).otherwise(0)
         ).alias("n1"),
     )
-    d = F.col("n0") - F.col("n1")
     chi2 = F.expr("(1000000 * (n0 - n1) * (n0 - n1)) div (n0 + n1)")
     return (
         arms.withColumn("chi2_micro", chi2.cast("long"))
