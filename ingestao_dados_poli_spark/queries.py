@@ -17,9 +17,14 @@ every query function.
 
 from ingestao_dados_poli_spark.registry._base import *  # noqa: F401,F403
 from ingestao_dados_poli_spark.registry.relational import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.relational_sql import *  # noqa: F401,F403
 from ingestao_dados_poli_spark.registry.analytics import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.analytics_behavior import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.analytics_trend import *  # noqa: F401,F403
 from ingestao_dados_poli_spark.registry.text import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.text_scoring import *  # noqa: F401,F403
 from ingestao_dados_poli_spark.registry.similarity import *  # noqa: F401,F403
+from ingestao_dados_poli_spark.registry.similarity_graph import *  # noqa: F401,F403
 from ingestao_dados_poli_spark.registry.streaming import *  # noqa: F401,F403
 from ingestao_dados_poli_spark.registry.layout import *  # noqa: F401,F403
 from ingestao_dados_poli_spark.registry.mlstats import *  # noqa: F401,F403

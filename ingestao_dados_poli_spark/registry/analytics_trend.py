@@ -1,0 +1,1737 @@
+"""Analytic registry (trend/attribution slice): sequence models,
+change-points, concentration curves, trends, attribution and
+conversion suites (q242-q298).
+
+Split out of registry/analytics.py in round 6 — it had regrown past
+the round-4 "no registry module >2,500 lines" line; every block is
+verbatim. Registration happens via the shared `q` decorator from
+`._base`, so importing this module populates QUERIES/ORACLES.
+"""
+
+from ingestao_dados_poli_spark.registry._base import *  # noqa: F401,F403
+
+# --------------------- 135. bigram next-event model: train/eval
+
+@q(
+    "q242_next_event_model",
+    """
+    WITH t AS (
+        SELECT user_id, event_type AS to_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        FROM events),
+    tr AS (
+        SELECT from_type, to_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 4096 AS b
+        FROM t WHERE from_type IS NOT NULL),
+    model AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM tr WHERE b < 3277 GROUP BY 1, 2),
+    pred AS (
+        SELECT from_type, to_type AS predicted_next
+        FROM (SELECT from_type, to_type,
+                     row_number() OVER (
+                         PARTITION BY from_type
+                         ORDER BY n DESC, to_type) AS r
+              FROM model) WHERE r = 1),
+    testc AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM tr WHERE b >= 3277 GROUP BY 1, 2)
+    SELECT t.from_type, p.predicted_next,
+           CAST(sum(t.n) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.to_type = p.predicted_next
+                         THEN t.n ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST((1000 * sum(CASE WHEN t.to_type = p.predicted_next
+                                 THEN t.n ELSE 0 END)) // sum(t.n)
+                AS BIGINT) AS acc_permille
+    FROM testc t JOIN pred p USING (from_type)
+    GROUP BY 1, 2 ORDER BY t.from_type
+    """,
+)
+def q242_next_event_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simplest train→eval loop a behavioral pipeline runs, end to
+    end in one plan: split USERS deterministically 80/20 by md5 bucket
+    (corpus.hash_bucket — whole streams stay on one side, no
+    leakage), fit a bigram MLE next-event model on the train side
+    (argmax transition count, smallest event type breaking ties so the
+    argmax is total-order deterministic), and score exact-match
+    accuracy on the held-out side in integer permille. Builds on
+    q238's transition machinery; proves cross-engine that model
+    FITTING (not just feature counting) reproduces bit-for-bit when
+    tie-breaks are pinned. Scale shape: one user_id-partitioned lag
+    window over facts; everything downstream operates on the
+    |event_types|²-row transition tables, and the fitted model
+    (|event_types| rows) broadcasts into the eval join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .select(
+            "from_type",
+            F.col("event_type").alias("to_type"),
+            CO.hash_bucket(F.col("user_id"), 4096).alias("_b"),
+        )
+    )
+    model = (
+        trans.filter(F.col("_b") < 3277)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("from_type").orderBy(F.desc("n"), "to_type")
+    pred = (
+        model.withColumn("_r", F.row_number().over(wm))
+        .filter(F.col("_r") == 1)
+        .select("from_type", F.col("to_type").alias("predicted_next"))
+    )
+    testc = (
+        trans.filter(F.col("_b") >= 3277)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    correct = F.when(
+        F.col("to_type") == F.col("predicted_next"), F.col("n")
+    ).otherwise(F.lit(0))
+    return (
+        testc.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted_next")
+        .agg(
+            F.sum("n").cast("long").alias("n_test"),
+            F.sum(correct).cast("long").alias("n_correct"),
+        )
+        .withColumn(
+            "acc_permille",
+            F.expr("(1000 * n_correct) div n_test").cast("long"),
+        )
+        .orderBy("from_type")
+    )
+
+
+
+# --------------------- 136. Pareto frontier (skyline)
+
+@q(
+    "q245_pareto_frontier",
+    """
+    WITH g AS (
+        SELECT p_size, min(round(p_retailprice, 2)) AS best
+        FROM part GROUP BY 1),
+    s AS (
+        SELECT p_size, best,
+               min(best) OVER (ORDER BY p_size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prior
+        FROM g)
+    SELECT CAST(p_size AS BIGINT) AS p_size,
+           CAST(best AS DOUBLE) AS min_price
+    FROM s WHERE prior IS NULL OR best < prior
+    ORDER BY p_size DESC
+    """,
+)
+def q245_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier / skyline (relational.pareto_frontier_2d):
+    the (size, price) points no other part dominates — bigger-and-
+    cheaper beats both dimensions, so the frontier is the set of
+    strictly improving price minima scanning sizes downward. The
+    textbook skyline is a quadratic NOT-EXISTS self-join; the engine's
+    plan is the 2D specialization — ONE map-side-combined groupBy
+    (best price per size) followed by a running-min sweep over the
+    ~50-row aggregate, with the unpartitioned window safely
+    post-aggregation (the registry-wide plan invariant). Skylines
+    merge distributively (skyline(A∪B) = skyline(skyline(A) ∪
+    skyline(B))), so shard-local frontiers recombine with the same
+    two steps at any scale."""
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round("p_retailprice", 2).alias("price"),
+    )
+    fr = R.pareto_frontier_2d(part, "p_size", "price")
+    return fr.select(
+        "p_size", F.col("price").alias("min_price")
+    ).orderBy(F.desc("p_size"))
+
+
+
+# --------------------- 137. CUSUM change-point chart
+
+@q(
+    "q246_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT CAST(CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                    AS VARCHAR) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1),
+    t AS (SELECT *, sum(cents) OVER () // count(*) OVER () AS target
+          FROM daily),
+    p AS (SELECT day, cents,
+                 sum(cents - target) OVER (
+                     ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS pre
+          FROM t),
+    c AS (SELECT day, cents,
+                 pre - least(0, min(pre) OVER (
+                     ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)) AS cusum
+          FROM p)
+    SELECT day, CAST(cents AS BIGINT) AS cents,
+           CAST(cusum AS BIGINT) AS cusum
+    FROM c ORDER BY cusum DESC, day LIMIT 20
+    """,
+)
+def q246_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart (timeseries.cusum_upper): the 20 days with
+    the strongest sustained upward revenue drift. The Page recursion
+    s_t = max(0, s_{t-1} + x_t - target) looks inherently sequential;
+    the engine runs its closed form s_t = p_t - min(0, min prefix p)
+    — two cumulative windows over one sorted pass, no iteration, no
+    UDF — with everything in integer cents (per-row cents BEFORE the
+    sum: a float sum's rounding would depend on reduction order and
+    break cross-engine equality). Both global windows sit over the
+    POST-AGGREGATION daily table (registry plan invariant); the
+    reference level is the integer-div daily mean from the same
+    table. Top-k via TakeOrderedAndProject."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias(
+            "_day"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    daily = daily.withColumn(
+        "_target",
+        F.expr(
+            "sum(cents) over () div count(1) over ()"
+        ),
+    )
+    from ingestao_dados_poli_spark.operators import timeseries as TS
+
+    charted = TS.cusum_upper(daily, "cents", "_day", F.col("_target"))
+    return (
+        charted.select(
+            F.col("_day").cast("string").alias("day"),
+            F.col("cents"),
+            F.col("cusum").cast("long").alias("cusum"),
+        )
+        .orderBy(F.desc("cusum"), "day")
+        .limit(20)
+    )
+
+
+
+# --------------------- 138. Benford first-digit screen
+
+@q(
+    "q247_benford_profile",
+    """
+    WITH v AS (SELECT o_totalprice FROM orders WHERE o_totalprice >= 1),
+    d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM v),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    e(digit, exp_ppm) AS (VALUES
+        (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+    t AS (SELECT c.digit, c.n,
+                 (1000000 * c.n) // sum(c.n) OVER () AS obs_ppm,
+                 e.exp_ppm
+          FROM c JOIN e USING (digit))
+    SELECT digit, n, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+           CAST(exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(obs_ppm - exp_ppm AS BIGINT) AS delta_ppm
+    FROM t ORDER BY digit
+    """,
+)
+def q247_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen (quality.benford_profile)
+    over order totals — the forensic-accounting profile that flags
+    fabricated, truncated, or clamped numeric columns (natural
+    multiplicative data follows P(d) = log10(1+1/d); TPC-H's
+    uniform-ish totals visibly do NOT, and the signed per-digit
+    deviations say exactly where). Expected shares are integer-PPM
+    LITERALS, so no cross-engine log() enters the comparison; observed
+    shares are exact integer division. One 9-key map-side-combined
+    groupBy + a window over the 9-row aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    return Q.benford_profile(orders, "o_totalprice")
+
+
+
+# --------------------- 139. Lorenz curve + Gini concentration
+
+@q(
+    "q249_lorenz_gini",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1),
+    r AS (SELECT o_custkey, v,
+                 row_number() OVER (ORDER BY v, o_custkey) AS i,
+                 sum(v) OVER (ORDER BY v, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 count(*) OVER () AS n,
+                 sum(v) OVER () AS S
+          FROM per),
+    r2 AS (SELECT *, sum(i * v) OVER () AS W FROM r),
+    g AS (SELECT *,
+                 (1000 * (2 * W - (n + 1) * S)) // (n * S) AS gini
+          FROM r2),
+    d AS (SELECT (10 * i + n - 1) // n AS pt, count(*) AS n_keys,
+                 max(cum) AS cum_v, max(S) AS S, max(gini) AS gini
+          FROM g GROUP BY 1)
+    SELECT CAST(pt AS BIGINT) AS point,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(cum_v AS BIGINT) AS cum_value,
+           CAST((1000 * cum_v) // S AS BIGINT) AS cum_share_permille,
+           CAST(gini AS BIGINT) AS gini_permille
+    FROM d ORDER BY point
+    """,
+)
+def q249_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile (quality.lorenz_gini): customers
+    sort by total spend, the Lorenz curve reports each decile's exact
+    cumulative permille share, and the constant gini_permille column
+    carries the closed-form Gini G = (2*Σi*v_i - (n+1)S)/(nS) — the
+    skew number you read before picking a join/partition strategy on
+    this key (0 = uniform, →1000 = one whale). Arithmetic is exact
+    integers with the ×1000 numerator in DECIMAL(38) exact-multiple
+    division (ANSI-safe where a long would overflow past ~1e5 keys ×
+    1e13 cents); the DuckDB twin runs the same formula in HUGEINT, so
+    the hash match certifies the decimal path. All windows sit over
+    the per-customer aggregate — raw orders are never globally
+    sorted."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return Q.lorenz_gini(orders, "o_custkey", "cents", n_points=10)
+
+
+
+# --------------------- 140. event precedence matrix
+
+@q(
+    "q253_event_precedence",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events),
+    f AS (SELECT user_id, event_type, min(seq) AS fs
+          FROM s GROUP BY 1, 2),
+    p AS (SELECT a.event_type AS first_type, b.event_type AS then_type,
+                 count(*) AS n_users
+          FROM f a JOIN f b ON a.user_id = b.user_id
+                           AND a.event_type <> b.event_type
+                           AND a.fs < b.fs
+          GROUP BY 1, 2)
+    SELECT first_type, then_type, CAST(n_users AS BIGINT) AS n_users
+    FROM p ORDER BY 1, 2
+    """,
+)
+def q253_event_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type precedence matrix: for every ordered pair (a, b),
+    how many users saw their FIRST a strictly before their first b —
+    the any-gap ordering signal q238's adjacent-bigram matrix cannot
+    see (onboarding flows, feature-discovery order). First occurrence
+    is the min of a per-user (ts, event_id) ROW SEQUENCE, so ties
+    break deterministically and the comparison is on unique integers.
+    Scale shape: one user-partitioned window; the first-occurrence
+    table (<= |event_types| rows per user) self-joins CO-PARTITIONED
+    on user_id — the quadratic is |types|² per user, never users²;
+    output is the |types|² matrix."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.withColumn("seq", F.row_number().over(w))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("seq").alias("fs"))
+    )
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("first_type"),
+        F.col("fs").alias("fa"),
+    )
+    b = firsts.select(
+        "user_id",
+        F.col("event_type").alias("then_type"),
+        F.col("fs").alias("fb"),
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("first_type") != F.col("then_type"))
+            & (F.col("fa") < F.col("fb"))
+        )
+        .groupBy("first_type", "then_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("first_type", "then_type")
+    )
+
+
+
+# --------------------- 141. trailing-window distinct actives
+
+@q(
+    "q255_trailing_actives",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM events),
+    cov AS (SELECT user_id, day + CAST(k AS INTEGER) AS cday
+            FROM d, unnest(range(0, 7)) AS t(k)),
+    days AS (SELECT DISTINCT day FROM d),
+    w AS (SELECT cday, count(DISTINCT user_id) AS wau
+          FROM cov GROUP BY 1),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau
+            FROM d GROUP BY 1)
+    SELECT CAST(days.day AS VARCHAR) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau
+    FROM days JOIN dau ON days.day = dau.day
+              JOIN w ON w.cday = days.day
+    ORDER BY 1
+    """,
+)
+def q255_trailing_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day distinct actives (WAU) per day, EXACT.
+    Sliding-window COUNT DISTINCT can't use a plain window frame
+    (distinct doesn't decompose over frames) and the naive per-day
+    self-join rescans the fact table once per day; the scalable shape
+    is the BOUNDED EXPLODE: dedup to (user, day) first (one map-side-
+    combined distinct — the big shrink happens before any fan-out),
+    then each active-day covers the next 7 calendar days (x7 fan-out
+    of the already-deduped table) and one distinct-count per covered
+    day finishes it. Fan-out factor = window width, independent of
+    data volume. Output restricted to days with activity."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).distinct()
+    cov = d.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, k)").alias("cday"))
+    days = d.select("day").distinct()
+    wau = cov.groupBy("cday").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = d.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return (
+        days.join(dau, "day")
+        .join(wau, days.day == wau.cday)
+        .select(
+            F.col("day").cast("string").alias("day"), "dau", "wau"
+        )
+        .orderBy("day")
+    )
+
+
+
+# --------------------- 142. exact binary-decay popularity
+
+@q(
+    "q256_decayed_popularity",
+    """
+    WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events),
+    s AS (SELECT event_type,
+                 count(*) AS n_events,
+                 sum(1::BIGINT << (40 - least(
+                     (r.ref - epoch_us(ts)) // (7::BIGINT * 86400 * 1000000),
+                     40))) AS score
+          FROM events, r GROUP BY event_type),
+    m AS (SELECT *, max(score) OVER () AS top FROM s)
+    SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(score AS BIGINT) AS score_units,
+           CAST((1000 * score) // top AS BIGINT) AS rel_permille
+    FROM m ORDER BY score_units DESC, event_type
+    """,
+)
+def q256_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed popularity, EXACT: each event weighs
+    2^-(age in 7-day half-lives), summed per event type — the
+    freshness-weighted ranking behind trending feeds. Floating decay
+    (exp(-λΔt)) would accumulate differently per reduction order;
+    quantizing age to INTEGER half-lives makes every weight a power
+    of two, scored in units of 2^-40 via a single shiftleft — sums
+    are exact bigints, order-independent, and still mergeable across
+    shards/streams (the sketch-family property, free of sketches).
+    The reference instant is the corpus max timestamp (1-row
+    broadcast crossJoin, the allowlisted shape); relative permille
+    normalizes against the top type via a window over the 5-row
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.unix_micros("ts")).alias("ref"))
+    half_life_us = 7 * 86400 * 1000000
+    weight = F.expr(
+        "shiftleft(cast(1 as bigint), cast(40 - least("
+        f"(ref - unix_micros(ts)) div {half_life_us}, 40) as int))"
+    )
+    # scores live in DECIMAL(38,0): at sf0.1 a hot type's sum is
+    # ~1.1e18 (fits a long) but 1000x it for the permille does NOT —
+    # ANSI mode turns that silent wrap into a hard ARITHMETIC_OVERFLOW
+    # (bench caught exactly this at sf0.1).
+    s = (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(weight.cast("decimal(38,0)")).alias("score"),
+        )
+    )
+    m = s.withColumn("top", F.max("score").over(Window.partitionBy()))
+    num = F.lit(1000).cast("decimal(38,0)") * F.col("score")
+    den = F.col("top")
+    return m.select(
+        "event_type",
+        "n_events",
+        F.col("score").cast("long").alias("score_units"),
+        ((num - num % den) / den).cast("long").alias("rel_permille"),
+    ).orderBy(F.desc("score_units"), "event_type")
+
+
+
+# --------------------- 143. exact OLS trend per segment
+
+@q(
+    "q257_ols_trend",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority AS prio,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1, 2),
+    xy AS (SELECT prio, y,
+                  row_number() OVER (PARTITION BY prio ORDER BY day) AS x
+           FROM daily),
+    agg AS (SELECT prio, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy GROUP BY 1)
+    SELECT prio AS o_orderpriority, CAST(n AS BIGINT) AS n_days,
+           CAST((1000000 * (n * sxy - sx * sy))
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+           CAST((1000000 * (sy * sxx - sx * sxy))
+                // (n * sxx - sx * sx) AS BIGINT) AS intercept_micro
+    FROM agg ORDER BY 1
+    """,
+)
+def q257_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ordinary-least-squares revenue trend, EXACT: slope
+    and intercept of daily cents over day index from the closed-form
+    normal equations — every moment (Σx, Σy, Σxy, Σx²) is an exact
+    integer from one map-side-combined aggregation, and the final
+    division emits micro-units via DECIMAL(38) FLOOR division
+    (exact-multiple trick with `%`, whose sign follows the dividend
+    in BOTH engines, so a NEGATIVE slope truncates toward zero
+    identically to DuckDB's `//`
+    truncates toward zero on negatives, and a floor-style division
+    here would read one micro-unit lower on a falling trend). No
+    iterative fitting, no
+    floats until nothing is left to round. Scale shape: daily
+    pre-aggregation bounds the window input; moments are one further
+    groupBy; at bigger scales only the decimal widths grow."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    w = Window.partitionBy("prio").orderBy("day")
+    xy = daily.withColumn("x", F.row_number().over(w))
+    dec = "decimal(38,0)"
+    agg = xy.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+    )
+    num_s = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * F.lit(1000000).cast(dec)
+    )
+    num_b = (
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        * F.lit(1000000).cast(dec)
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+
+    def truncdiv(num, d):
+        return ((num - num % d) / d).cast("long")
+
+    return agg.select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("n").cast("long").alias("n_days"),
+        truncdiv(num_s, den).alias("slope_micro"),
+        truncdiv(num_b, den).alias("intercept_micro"),
+    ).orderBy("o_orderpriority")
+
+
+
+# --------------------- 144. RFM customer segmentation
+
+@q(
+    "q261_rfm_segmentation",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_date,
+               count(*) AS freq,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY last_date, o_custkey) AS r_q,
+               ntile(5) OVER (ORDER BY freq, o_custkey) AS f_q,
+               ntile(5) OVER (ORDER BY cents, o_custkey) AS m_q
+        FROM per)
+    SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q261_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) segmentation — the marketing
+    workhorse: each customer lands in an (R,F,M) quintile cell, and
+    the segment census drives campaign targeting. Quintiles use
+    ntile(5) under a TOTAL order (metric, custkey): the SQL-standard
+    ntile fills earlier buckets first, so with a pinned tie-break
+    both engines assign identical buckets — no percentile thresholds,
+    no float boundaries, recency needs no date arithmetic at all
+    (ntile is invariant under the monotone last-date transform).
+    Scale shape: one map-side-combined per-customer aggregate; the
+    three unpartitioned ntile windows run POST-aggregation (plan
+    invariant) and a production run would partition them by market
+    segment."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_date"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    scored = per.select(
+        F.ntile(5)
+        .over(Window.orderBy("last_date", "o_custkey"))
+        .alias("r_q"),
+        F.ntile(5).over(Window.orderBy("freq", "o_custkey")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy("cents", "o_custkey")).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+
+# --------------------- 145. sequence-pattern matching (regex events)
+
+@q(
+    "q262_sequence_pattern",
+    """
+    WITH s AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1),
+    m AS (SELECT user_id,
+                 len(regexp_extract_all(seq, 'v+c+p')) AS n_matches
+          FROM s)
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_users_matched,
+           CAST(sum(n_matches) AS BIGINT) AS total_matches
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+def q262_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence mining: each user's event stream
+    collapses to an initial-letter string in (ts, event_id) order,
+    and a REGEX counts the behavioral motif views->clicks->purchase
+    ('v+c+p', non-overlapping greedy — identical semantics in both
+    engines' regex). Encoding sequences as strings turns arbitrary
+    ordered-pattern queries (optional steps, alternation, bounded
+    gaps '[^p]{0,3}') into one scan-side regexp over a per-user
+    string — the poor man's MATCH_RECOGNIZE Spark doesn't ship.
+    Scale shape: the only shuffle is the per-user collect (bounded by
+    a user's event count — the same bound any per-user sessionization
+    carries); the regex never leaves codegen. Event-type initials are
+    distinct in this corpus (c/e/p/s/v), so the encoding is
+    lossless."""
+    ev = _t(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts",
+                                "event_id",
+                                F.substring("event_type", 1, 1).alias(
+                                    "ini"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("ini"),
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    m = seq.select(
+        "user_id",
+        F.regexp_count("seq", F.lit("v+c+p")).alias("n_matches"),
+    )
+    return (
+        m.groupBy((F.col("user_id") % 10).cast("long").alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(
+                F.when(F.col("n_matches") > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_users_matched"),
+            F.sum("n_matches").cast("long").alias("total_matches"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+
+# --------------------- 146. sweep-line peak concurrency
+
+@q(
+    "q263_peak_concurrency",
+    """
+    WITH iv AS (
+        SELECT epoch_us(ts) AS s,
+               epoch_us(ts) + ((event_id % 60) + 1) * 60000000 AS e
+        FROM events),
+    b AS (
+        SELECT s // 86400000000 AS day, s AS b_us, 1 AS delta FROM iv
+        UNION ALL
+        SELECT e // 86400000000, e, -1 FROM iv),
+    pre AS (
+        SELECT day, delta,
+               sum(delta) OVER (PARTITION BY day ORDER BY b_us, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS p
+        FROM b),
+    peaks AS (SELECT day, max(p) AS maxp FROM pre GROUP BY 1),
+    sp AS (SELECT s, e, CAST(t.d AS BIGINT) AS day
+           FROM iv, unnest(range(CAST(s // 86400000000 + 1 AS BIGINT),
+                                 CAST(e // 86400000000 + 1 AS BIGINT)))
+                AS t(d)
+           WHERE e > t.d * 86400000000),
+    carry AS (SELECT day, count(*) AS c FROM sp GROUP BY 1)
+    SELECT CAST(make_timestamp(p.day * 86400000000) AS DATE)::VARCHAR
+               AS day,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS carry_in,
+           CAST(coalesce(c.c, 0) + greatest(p.maxp, 0) AS BIGINT) AS peak
+    FROM peaks p LEFT JOIN carry c ON p.day = c.day
+    ORDER BY 1
+    """,
+)
+def q263_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day (max simultaneous open sessions) via
+    the classic SWEEP LINE — +1 at open, -1 at close, max prefix sum
+    — made DISTRIBUTED: boundaries partition by DAY, and sessions
+    spanning a day boundary enter as an exact carry-in count (a
+    bounded explode over the <= 2 days each ~hour-long session
+    touches), so no global ordering ever exists; peak = carry_in +
+    max(0, within-day max prefix). Half-open [s, e) semantics: at an
+    instant, closes process before opens (delta ascending in the
+    sort). Session length derives deterministically from event_id.
+    Scale shape: per-day windows bounded by daily volume, carry
+    computed by a tiny fan-out + count — the pattern that makes
+    interval-overlap analytics (call centers, connection pools,
+    cluster schedulers) work on unbounded history."""
+    D = 86400000000
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + ((F.col("event_id") % 60) + 1) * 60000000
+        ).alias("e"),
+    )
+    b = ev.select(
+        F.expr(f"s div {D}").alias("day"),
+        F.col("s").alias("b_us"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        ev.select(
+            F.expr(f"e div {D}").alias("day"),
+            F.col("e").alias("b_us"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("b_us", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peaks = (
+        b.withColumn("p", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("p").alias("maxp"))
+    )
+    # guard: Spark's sequence(lo, hi) DESCENDS when hi < lo (DuckDB's
+    # range is empty) — a within-day session must contribute no carry
+    lo, hi = F.expr(f"s div {D} + 1"), F.expr(f"e div {D}")
+    sp = ev.select(
+        "e",
+        F.explode(
+            F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("day"),
+    ).filter(F.col("e") > F.col("day") * D)
+    carry = sp.groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        peaks.join(carry, "day", "left")
+        .select(
+            F.timestamp_micros(F.col("day") * D)
+            .cast("date")
+            .cast("string")
+            .alias("day"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("carry_in"),
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                + F.greatest(F.col("maxp"), F.lit(0))
+            )
+            .cast("long")
+            .alias("peak"),
+        )
+        .orderBy("day")
+    )
+
+
+
+# --------------------- 147. exact weighted median
+
+@q(
+    "q264_weighted_median",
+    """
+    WITH h AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               sum(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2),
+    c AS (SELECT flag, cents, w,
+                 sum(w) OVER (PARTITION BY flag ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+                 sum(w) OVER (PARTITION BY flag) AS tw
+          FROM h)
+    SELECT flag, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+           CAST(max(tw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag
+    """,
+)
+def q264_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group (quantity-weighted price): the
+    smallest value whose cumulative weight reaches half the group
+    total — the robust center percentile_approx can only approximate
+    and plain median ignores weights for. Runs on the DISTINCT-VALUE
+    histogram (one map-side-combined groupBy collapses the fact table
+    to (group, value, weight) cells), so the cumulative window scans
+    value-cardinality rows, never raw rows — the q248 derivation
+    specialized to the 50% crossing point. Pure integer comparison
+    (2*cumw >= total), no interpolation, no floats."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = h.withColumn("cw", F.sum("w").over(wc)).withColumn(
+        "tw", F.sum("w").over(Window.partitionBy("flag"))
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").cast("long").alias("wmedian_cents"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+
+# --------------------- 148. KWIC concordance
+
+@q(
+    "q265_kwic_concordance",
+    """
+    WITH tok AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(
+                            lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                 FROM documents WHERE doc_id < 200),
+    ex AS (SELECT doc_id, i AS pos, toks[i] AS tk, toks
+           FROM tok, unnest(range(1, len(toks) + 1)) AS u(i)),
+    hits AS (SELECT doc_id, pos,
+                    coalesce(array_to_string(
+                        toks[greatest(pos - 2, 1):pos - 1], ' '), '')
+                        AS left_ctx,
+                    coalesce(array_to_string(
+                        toks[pos + 1:least(pos + 2, len(toks))], ' '), '')
+                        AS right_ctx
+             FROM ex WHERE tk = 'merge')
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, left_ctx, right_ctx
+    FROM hits ORDER BY doc_id, pos
+    """,
+)
+def q265_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) concordance: every occurrence of a
+    term with its ±2-word context window — the corpus-inspection
+    query behind "how is this token actually used" during vocab and
+    filter-rule design. Built on the positional-index machinery
+    (q250): posexplode with the token ARRAY carried alongside, so
+    context extraction is an in-row slice at each hit — no second
+    join back to the document, no substring scanning. Scale shape:
+    scan-side explode + filter; output rows = term frequency. The
+    slice bounds clamp at document edges (greatest/least), matching
+    the oracle's 1-based array slicing exactly."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    norm = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+        " ",
+    )
+    ex = docs.select(
+        "doc_id",
+        norm.alias("toks"),
+        F.posexplode(norm).alias("pos0", "tk"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    hits = ex.filter(F.col("tk") == "merge").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                F.greatest(F.col("pos") - 2, F.lit(1)),
+                F.when(F.col("pos") - 2 >= 1, F.lit(2)).otherwise(
+                    F.col("pos") - 1
+                ),
+            ),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                F.col("pos") + 1,
+                F.greatest(
+                    F.least(
+                        F.lit(2), F.size(F.col("toks")) - F.col("pos")
+                    ),
+                    F.lit(0),
+                ),
+            ),
+            " ",
+        ).alias("right_ctx"),
+    )
+    return hits.orderBy("doc_id", "pos")
+
+
+# --------------------- 149. time-weighted average (TWAP)
+
+@q(
+    "q276_twap_daily",
+    """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_id
+        FROM events),
+    seg AS (
+        SELECT day, cents,
+               lead(us) OVER (PARTITION BY user_id, day
+                              ORDER BY us, event_id) - us AS dt
+        FROM ev),
+    agg AS (
+        SELECT day, sum(cents * dt) AS wsum, sum(dt) AS tsum
+        FROM seg WHERE dt IS NOT NULL GROUP BY 1)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST((1000000 * wsum) // tsum AS BIGINT) AS twap_microcents
+    FROM agg WHERE tsum > 0 ORDER BY 1
+    """,
+)
+def q276_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP — the fair-average standard
+    when observations arrive irregularly: each reading holds until the
+    user's next event, so sparse quiet periods aren't swamped by burst
+    sampling). Each event's value (in exact cents) is weighted by the
+    MICROSECONDS until that user's next same-day event (lead over a
+    (user, day) window with an event_id tie-break so duplicate
+    timestamps order identically in both engines); the day's TWAP is
+    Σ(cents·dt) / Σdt emitted in exact integer micro-cents. Scale
+    shape: the window partitions by (user, day) — per-partition state
+    is one user-day of events; the day rollup is one
+    map-side-combined groupBy; nothing global until the final
+    ~thousands-of-days frame."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    seg = ev.select(
+        "day", "cents", (F.lead("us", 1).over(w) - F.col("us")).alias("dt")
+    )
+    dec = "decimal(38,0)"
+    agg = (
+        seg.filter(F.col("dt").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.sum(F.col("cents").cast(dec) * F.col("dt")).alias("wsum"),
+            F.sum("dt").cast(dec).alias("tsum"),
+        )
+    )
+    num = F.lit(1000000).cast(dec) * F.col("wsum")
+    den = F.col("tsum")
+    return (
+        agg.filter(F.col("tsum") > 0)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            ((num - num % den) / den).cast("long").alias("twap_microcents"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------- 150. behavioral path mining (top trigrams)
+
+@q(
+    "q278_path_trigrams",
+    """
+    WITH ordered AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t3
+        FROM events),
+    paths AS (
+        SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        FROM ordered WHERE t3 IS NOT NULL GROUP BY 1),
+    ranked AS (
+        SELECT path, n,
+               row_number() OVER (ORDER BY n DESC, path) AS rk
+        FROM paths)
+    SELECT path, CAST(n AS BIGINT) AS n FROM ranked
+    WHERE rk <= 10 ORDER BY n DESC, path
+    """,
+)
+def q278_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 10 most common length-3 event-type
+    sequences across user journeys (the input to funnel redesign and
+    next-action models; q188/q238 cover single transitions, this is
+    the order-3 extension). Consecutive triples come from two lead()
+    calls over a per-user window with an event_id tie-break (duplicate
+    timestamps order identically in both engines — no RNG, no
+    nondeterministic row order), then one count agg and a top-k. Scale
+    shape: window state is one user's stream; trigram cardinality is
+    |event_types|³ at worst, so the count agg map-side combines to a
+    tiny frame before the global top-10 sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    paths = (
+        ordered.filter(F.col("t3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("n"), "path"))
+    return (
+        paths.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .select("path", "n")
+        .orderBy(F.desc("n"), "path")
+    )
+
+
+# --------------------- 151. Theil–Sen robust trend (median of slopes)
+
+@q(
+    "q285_theil_sen_trend",
+    """
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+    idx AS (SELECT y, row_number() OVER (ORDER BY wk) AS x FROM weekly),
+    pairs AS (
+        SELECT (1000000 * (b.y - a.y)) // (b.x - a.x) AS slope
+        FROM idx a JOIN idx b ON b.x > a.x),
+    m AS (SELECT count(*) AS m FROM pairs),
+    sv AS (SELECT slope, count(*) AS cnt FROM pairs GROUP BY 1),
+    cum AS (SELECT slope,
+                   sum(cnt) OVER (ORDER BY slope) AS cum_cnt
+            FROM sv),
+    med AS (SELECT min(slope) AS slope_micro FROM cum, m
+            WHERE cum_cnt >= (m.m + 1) // 2),
+    resid AS (
+        SELECT 1000000 * i.y - s.slope_micro * i.x AS r
+        FROM idx i CROSS JOIN med s),
+    rm AS (SELECT count(*) AS m FROM resid),
+    rv AS (SELECT r, count(*) AS cnt FROM resid GROUP BY 1),
+    rcum AS (SELECT r, sum(cnt) OVER (ORDER BY r) AS cum_cnt FROM rv),
+    rmed AS (SELECT min(r) AS intercept_micro FROM rcum, rm
+             WHERE cum_cnt >= (rm.m + 1) // 2)
+    SELECT CAST((SELECT count(*) FROM weekly) AS BIGINT) AS n_weeks,
+           CAST(m.m AS BIGINT) AS n_pairs,
+           CAST(med.slope_micro AS BIGINT) AS slope_micro,
+           CAST(rmed.intercept_micro AS BIGINT) AS intercept_micro
+    FROM m CROSS JOIN med CROSS JOIN rmed
+    """,
+)
+def q285_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes —
+    29% breakdown point, so a quarter of the weeks can be corrupted
+    before the estimate moves, where q257's OLS folds to a single
+    outlier. Exactness: slopes truncate to integer micro BEFORE the
+    median (both engines rank identical integers; the lower median —
+    k = (m+1) div 2 — is picked by a cumulative-count crossing on the
+    distinct-value histogram, q264's weighted-median machinery, no
+    percentile interpolation); the intercept is the same exact median
+    over per-week residuals against the chosen slope. Scale shape:
+    the O(n²) pair join runs on the WEEKLY aggregate — a few hundred
+    rows per decade regardless of corpus size (the fact table
+    collapses first), so ~10⁵ pair rows where a row-level pair join
+    would be 10¹³; medians run over distinct-value histograms, not
+    raw pair lists."""
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    # The weekly series and the pair table feed several consumers
+    # (counts, two medians) — localCheckpoint once so the fact-table
+    # scan runs once, not per crossJoined scalar subtree (first cut
+    # re-derived it 6x: 34 exchanges for a 4-scalar answer).
+    idx = (
+        weekly.withColumn("x", F.row_number().over(Window.orderBy("wk")))
+        .select("x", "y")
+        .localCheckpoint()
+    )
+    a = idx.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = idx.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    # 1000000 * weekly-cents-delta overflows BIGINT at larger SF under
+    # ANSI (same exposure q256 hit); DuckDB auto-promotes to HUGEINT,
+    # so route the numerator through DECIMAL(38,0) and truncate with
+    # the exact-multiple trick (num - num % den keeps div-toward-zero,
+    # matching DuckDB `//` on negatives).
+    s_num = (F.lit(1000000).cast("decimal(38,0)")
+             * (F.col("yb") - F.col("ya")).cast("decimal(38,0)"))
+    s_den = (F.col("xb") - F.col("xa")).cast("decimal(38,0)")
+    pairs = (
+        a.join(b, F.col("xb") > F.col("xa"))
+        .select(
+            ((s_num - s_num % s_den) / s_den).cast("long").alias("slope")
+        )
+        .localCheckpoint()
+    )
+
+    def lower_median_value(df: DataFrame, col: str) -> int:
+        """Exact lower median (k = (m+1) div 2) via cumulative counts
+        over the distinct-value histogram — never sorts raw rows; the
+        result is a 1-row scalar collect."""
+        m = df.count()
+        sv = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = sv.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy(col).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        [row] = (
+            cum.filter(F.col("cum") >= F.lit((m + 1) // 2))
+            .agg(F.min(col).alias("v"))
+            .collect()
+        )
+        return int(row.v)
+
+    n_weeks = idx.count()
+    n_pairs = pairs.count()
+    slope = lower_median_value(pairs, "slope")
+    # Same HUGEINT-vs-long exposure as the slope numerator: 1000000*y
+    # is weekly cents ×10⁶ — stay in decimal(38,0) through the median
+    # (the DuckDB twin stays in HUGEINT); int() on the scalar at the
+    # end is exact.
+    resid = idx.select(
+        (
+            F.lit(1000000).cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+            - F.lit(slope).cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("r")
+    )
+    intercept = lower_median_value(resid, "r")
+    return spark.createDataFrame(
+        [(n_weeks, n_pairs, slope, intercept)],
+        "n_weeks long, n_pairs long, slope_micro long, intercept_micro long",
+    )
+
+
+# --------------------- 152. exact Wasserstein-1 drift
+
+@q(
+    "q287_wasserstein_drift",
+    """
+    WITH src AS (
+        SELECT o_orderpriority AS prio,
+               least(CAST(floor(o_totalprice / 60000.0) AS INTEGER), 9)
+                   AS bin
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    counts AS (
+        SELECT bin,
+               sum(CASE WHEN prio = '1-URGENT' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN prio = '5-LOW' THEN 1 ELSE 0 END) AS cb
+        FROM src GROUP BY 1),
+    grid AS (SELECT unnest(range(0, 10)) AS bin),
+    filled AS (
+        SELECT g.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+        FROM grid g LEFT JOIN counts c ON g.bin = c.bin),
+    cum AS (
+        SELECT bin,
+               sum(ca) OVER (ORDER BY bin) AS cuma,
+               sum(cb) OVER (ORDER BY bin) AS cumb,
+               (SELECT sum(ca) FROM filled) AS na,
+               (SELECT sum(cb) FROM filled) AS nb
+        FROM filled),
+    gaps AS (
+        SELECT bin,
+               (1000000 * cuma) // na AS cdf_a_micro,
+               (1000000 * cumb) // nb AS cdf_b_micro,
+               (1000000 * abs(cuma * nb - cumb * na)) // (na * nb)
+                   AS gap_micro
+        FROM cum)
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(cdf_a_micro AS BIGINT) AS cdf_a_micro,
+           CAST(cdf_b_micro AS BIGINT) AS cdf_b_micro,
+           CAST(gap_micro AS BIGINT) AS gap_micro
+    FROM gaps
+    UNION ALL
+    SELECT -1, 0, 0, CAST(sum(gap_micro) AS BIGINT) FROM gaps
+    ORDER BY bin
+    """,
+)
+def q287_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wasserstein-1 (earth-mover) drift between two segments'
+    price distributions on a fixed equi-width grid — the
+    distribution-shift measure that, unlike PSI (q80), respects the
+    METRIC on the support: probability mass moved two bins costs
+    twice mass moved one bin, so a gradual rightward shift scores
+    proportionally to its size instead of saturating a log-ratio. On
+    a shared grid W1 = binwidth·Σ_bins |CDF_a − CDF_b|; each CDF gap
+    is exact integer micro via cross-multiplication
+    (|cum_a·n_b − cum_b·n_a| // (n_a·n_b)) — no float CDFs, no
+    rounding drift, summable per bin (the -1 row is the total in
+    micro-bin units). Scale shape: one conditional-count agg over the
+    scan collapses everything to 10 bins; windows and joins run on
+    the grid only."""
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 60000.0).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    counts = src.groupBy("bin").agg(
+        F.sum(F.when(F.col("prio") == "1-URGENT", 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("prio") == "5-LOW", 1).otherwise(0)).alias("cb"),
+    )
+    grid = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    filled = grid.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "decimal(38,0)"
+    cum = filled.select(
+        "bin",
+        F.sum("ca").over(w).cast(dec).alias("cuma"),
+        F.sum("cb").over(w).cast(dec).alias("cumb"),
+        F.sum("ca").over(wtot).cast(dec).alias("na"),
+        F.sum("cb").over(wtot).cast(dec).alias("nb"),
+    )
+
+    def tdv(num, den):
+        return ((num - num % den) / den).cast("long")
+
+    M = F.lit(1000000).cast(dec)
+    gaps = cum.select(
+        "bin",
+        tdv(M * F.col("cuma"), F.col("na")).alias("cdf_a_micro"),
+        tdv(M * F.col("cumb"), F.col("nb")).alias("cdf_b_micro"),
+        tdv(
+            M
+            * F.abs(
+                F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+            ),
+            F.col("na") * F.col("nb"),
+        ).alias("gap_micro"),
+    )
+    total = gaps.agg(F.sum("gap_micro").alias("g")).select(
+        F.lit(-1).alias("bin"),
+        F.lit(0).cast("long").alias("cdf_a_micro"),
+        F.lit(0).cast("long").alias("cdf_b_micro"),
+        F.col("g").cast("long").alias("gap_micro"),
+    )
+    return gaps.unionByName(total).orderBy("bin")
+
+
+# --------------------- 153. cohort LTV curves
+
+@q(
+    "q289_cohort_ltv",
+    """
+    WITH om AS (
+        SELECT o_custkey,
+               (date_part('year', o_orderdate) * 12
+                + date_part('month', o_orderdate)) AS m,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+    cohorts AS (
+        SELECT o_custkey, min(m) AS cohort_m FROM om GROUP BY 1),
+    sizes AS (
+        SELECT cohort_m, count(*) AS n_customers
+        FROM cohorts GROUP BY 1),
+    rev AS (
+        SELECT c.cohort_m, o.m - c.cohort_m AS age, sum(o.cents) AS cents
+        FROM om o JOIN cohorts c USING (o_custkey)
+        GROUP BY 1, 2),
+    curve AS (
+        SELECT cohort_m, age,
+               sum(cents) OVER (PARTITION BY cohort_m ORDER BY age)
+                   AS cum_cents
+        FROM rev)
+    SELECT CAST(v.cohort_m AS INTEGER) AS cohort_month,
+           CAST(v.age AS INTEGER) AS age_months,
+           CAST(s.n_customers AS BIGINT) AS n_customers,
+           CAST((1000000 * v.cum_cents) // s.n_customers AS BIGINT)
+               AS ltv_microcents
+    FROM curve v JOIN sizes s USING (cohort_m)
+    WHERE v.age <= 12
+    ORDER BY 1, 2
+    """,
+)
+def q289_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by
+    first-purchase month, cumulative revenue per customer tracked by
+    cohort age (capped at 12 months for a bounded, comparable curve
+    matrix) — the retention-economics view q107's retention counts
+    don't price. Months live as integer year*12+month so age is pure
+    integer subtraction (no interval arithmetic to reconcile);
+    per-customer LTV is a truncating micro-cents division by the
+    cohort's size. Scale shape: one groupBy(customer) for cohorts
+    (map-side combined), revenue collapses to (cohort, age) grain
+    BEFORE the running-sum window — the window input is cohorts ×
+    ages (~hundreds of rows) regardless of corpus size; the cohort
+    assignment rides a broadcast-joinable customer→cohort map at any
+    realistic cardinality (AQE picks the join side)."""
+    orders = _t(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohorts = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = cohorts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    rev = (
+        om.join(cohorts, "o_custkey")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = rev.withColumn("cum_cents", F.sum("cents").over(w))
+    dec = "decimal(38,0)"
+    num = F.lit(1000000).cast(dec) * F.col("cum_cents").cast(dec)
+    den = F.col("n_customers").cast(dec)
+    return (
+        curve.join(F.broadcast(sizes), "cohort_m")
+        .filter(F.col("age") <= 12)
+        .select(
+            F.col("cohort_m").cast("int").alias("cohort_month"),
+            F.col("age").cast("int").alias("age_months"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            ((num - num % den) / den).cast("long").alias("ltv_microcents"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+# --------------------- 154. exact conversion-latency quantiles
+
+@q(
+    "q292_conversion_latency",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT user_id, min(ts) AS first_purchase FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+    lat AS (
+        SELECT (epoch_us(p.first_purchase) - epoch_us(v.first_view))
+                   // 1000000 AS s
+        FROM v JOIN p USING (user_id)
+        WHERE p.first_purchase >= v.first_view),
+    m AS (SELECT count(*) AS m FROM lat),
+    hist AS (SELECT s, count(*) AS cnt FROM lat GROUP BY 1),
+    cum AS (SELECT s, sum(cnt) OVER (ORDER BY s) AS cum_cnt FROM hist),
+    qs AS (
+        SELECT (SELECT min(s) FROM cum, m
+                WHERE cum_cnt >= (m.m + 3) // 4) AS p25,
+               (SELECT min(s) FROM cum, m
+                WHERE cum_cnt >= (m.m + 1) // 2) AS p50,
+               (SELECT min(s) FROM cum, m
+                WHERE cum_cnt >= (3 * m.m + 3) // 4) AS p75)
+    SELECT CAST(m.m AS BIGINT) AS n_users,
+           CAST(qs.p25 AS BIGINT) AS p25_s,
+           CAST(qs.p50 AS BIGINT) AS p50_s,
+           CAST(qs.p75 AS BIGINT) AS p75_s
+    FROM m CROSS JOIN qs
+    """,
+)
+def q292_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: exact p25/p50/p75 of the seconds
+    between each user's FIRST view and FIRST purchase (users who
+    purchased at-or-after their first view) — the product metric
+    funnels (q108) and transition matrices (q188) don't give. Exact
+    order statistics use the ceil-rank convention k_q = ceil(q·m)
+    picked off a cumulative-count walk over the DISTINCT-latency
+    histogram (q264's machinery): integer seconds in, integer seconds
+    out, no percentile interpolation for engines to disagree on.
+    Scale shape: first-touch collapse is one map-side-combined
+    groupBy per event type, the join runs at user grain, and the
+    quantile walk runs over distinct latency values only."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_of(etype, alias):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(alias))
+        )
+
+    lat = (
+        first_of("view", "fv")
+        .join(first_of("purchase", "fp"), "user_id")
+        .filter(F.col("fp") >= F.col("fv"))
+        .select(
+            (
+                (F.unix_micros("fp") - F.unix_micros("fv"))
+                / F.lit(1000000)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    lat = lat.localCheckpoint()
+    m = lat.count()
+    hist = lat.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum_cnt",
+        F.sum("cnt").over(
+            Window.orderBy("s").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    ).localCheckpoint()
+
+    def q_at(k: int) -> int:
+        [row] = (
+            cum.filter(F.col("cum_cnt") >= F.lit(k))
+            .agg(F.min("s").alias("v"))
+            .collect()
+        )
+        return int(row.v)
+
+    p25 = q_at((m + 3) // 4)
+    p50 = q_at((m + 1) // 2)
+    p75 = q_at((3 * m + 3) // 4)
+    return spark.createDataFrame(
+        [(m, p25, p50, p75)],
+        "n_users long, p25_s long, p50_s long, p75_s long",
+    )
+
+
+# --------------------- 155. position-based multi-touch attribution
+
+@q(
+    "q295_position_attribution",
+    """
+    WITH conv AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+    touch AS (
+        SELECT user_id, ts AS tts, event_id AS tid, event_type
+        FROM events WHERE event_type IN ('view', 'click')),
+    joined AS (
+        SELECT c.pid, c.cents, t.event_type, t.tts, t.tid
+        FROM conv c JOIN touch t
+          ON c.user_id = t.user_id
+         AND t.tts >= c.pts - INTERVAL 7 DAY
+         AND t.tts < c.pts),
+    ranked AS (
+        SELECT pid, cents, event_type,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY tts, tid) AS rn,
+               count(*) OVER (PARTITION BY pid) AS n
+        FROM joined),
+    credited AS (
+        SELECT event_type,
+               CASE
+                 WHEN n = 1 THEN cents
+                 WHEN rn = 1 THEN (2 * cents) // 5
+                      + CASE WHEN n = 2 THEN
+                          (cents - 2 * ((2 * cents) // 5) + 1) // 2
+                        ELSE 0 END
+                 WHEN rn = n THEN (2 * cents) // 5
+                      + CASE WHEN n = 2 THEN
+                          (cents - 2 * ((2 * cents) // 5)) // 2
+                        ELSE 0 END
+                 ELSE (cents - 2 * ((2 * cents) // 5)) // (n - 2)
+                      + CASE WHEN rn - 1
+                                  <= (cents - 2 * ((2 * cents) // 5))
+                                     % (n - 2)
+                             THEN 1 ELSE 0 END
+               END AS credit
+        FROM ranked),
+    attributed AS (
+        SELECT event_type, sum(credit) AS credit_cents
+        FROM credited GROUP BY 1),
+    orphan AS (
+        SELECT '(none)' AS event_type,
+               coalesce(sum(cents), 0) AS credit_cents
+        FROM conv WHERE NOT EXISTS (
+            SELECT 1 FROM joined j WHERE j.pid = conv.pid))
+    SELECT event_type, CAST(credit_cents AS BIGINT) AS credit_cents
+    FROM (SELECT * FROM attributed UNION ALL SELECT * FROM orphan)
+    ORDER BY event_type
+    """,
+)
+def q295_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution with EXACT
+    integer credit: each purchase's cents split 40% to the first
+    touch, 40% to the last, 20% across the middles — the
+    largest-remainder discipline (q244) scaled to a per-conversion
+    window: truncating divisions set every base share and the
+    leftover cents go to the EARLIEST middles, so Σ credit == cents
+    for every conversion, bit-identical in both engines (a float
+    40/20/40 would leak fractional cents per conversion — billions
+    of conversions leak real money). Touches are the user's
+    view/click events in the 7 days strictly before the purchase;
+    purchases with no touches land in the '(none)' bucket so total
+    credited always equals total revenue. Scale shape: the
+    touch-window join is an equi-join on user with a range residual
+    (never a cross join); ranking windows partition per conversion
+    (state = one conversion's touches); the rollup is
+    event-type-cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        "event_type",
+    )
+    joined = conv.join(touch, "user_id").filter(
+        (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY"))
+        & (F.col("tts") < F.col("pts"))
+    ).select("pid", "cents", "event_type", "tts", "tid")
+    wp = Window.partitionBy("pid")
+    ranked = joined.select(
+        "pid",
+        "cents",
+        "event_type",
+        F.row_number().over(wp.orderBy("tts", "tid")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    base40 = F.expr("(2 * cents) div 5")
+    pool = F.col("cents") - 2 * base40
+    credit = (
+        F.when(F.col("n") == 1, F.col("cents"))
+        .when(
+            F.col("rn") == 1,
+            base40
+            + F.when(
+                F.col("n") == 2, F.expr("((cents - 2 * ((2 * cents) div 5)) + 1) div 2")
+            ).otherwise(F.lit(0)),
+        )
+        .when(
+            F.col("rn") == F.col("n"),
+            base40
+            + F.when(
+                F.col("n") == 2, F.expr("(cents - 2 * ((2 * cents) div 5)) div 2")
+            ).otherwise(F.lit(0)),
+        )
+        .otherwise(
+            F.expr("(cents - 2 * ((2 * cents) div 5)) div (n - 2)")
+            + F.when(
+                F.col("rn") - 1
+                <= F.expr("(cents - 2 * ((2 * cents) div 5)) % (n - 2)"),
+                1,
+            ).otherwise(0)
+        )
+    )
+    attributed = ranked.select("event_type", credit.alias("credit")).groupBy(
+        "event_type"
+    ).agg(F.sum("credit").alias("credit_cents"))
+    orphan = (
+        conv.join(joined.select("pid").distinct(), "pid", "left_anti")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("credit_cents"))
+        .select(F.lit("(none)").alias("event_type"), "credit_cents")
+    )
+    return (
+        attributed.unionByName(orphan)
+        .select(
+            "event_type", F.col("credit_cents").cast("long").alias("credit_cents")
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------- 156. share-of-parent hierarchy report
+
+@q(
+    "q298_share_of_parent",
+    """
+    WITH base AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2),
+    reg AS (SELECT region, sum(cents) AS rcents FROM base GROUP BY 1),
+    tot AS (SELECT sum(cents) AS tcents FROM base)
+    SELECT b.region, b.nation,
+           CAST(b.cents AS BIGINT) AS cents,
+           CAST((1000000 * b.cents) // r.rcents AS BIGINT)
+               AS share_of_region_micro,
+           CAST((1000000 * r.rcents) // t.tcents AS BIGINT)
+               AS region_share_micro
+    FROM base b JOIN reg r USING (region) CROSS JOIN tot t
+    ORDER BY b.region, b.nation
+    """,
+)
+def q298_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent on the region→nation hierarchy — the
+    ratio_to_report shape every BI rollup needs (q18's ROLLUP gives
+    subtotals; this gives each node's weight WITHIN its parent and
+    each parent's weight in the whole, both as exact truncating
+    micro-shares of integer cents). Scale shape: the fact table joins
+    customer→nation→region through broadcastable dims (AQE picks
+    broadcast; nation/region are config-sized), collapses to
+    (region, nation) grain in one map-side-combined agg, and every
+    share computation runs on that ≤ |nations| frame — the 1-row
+    grand total is the allowlisted broadcast crossJoin."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    reg = base.groupBy("region").agg(F.sum("cents").alias("rcents"))
+    tot = base.agg(F.sum("cents").alias("tcents"))
+    dec = "decimal(38,0)"
+
+    def tdv(num, den):
+        num = num.cast(dec)
+        den = den.cast(dec)
+        return ((num - num % den) / den).cast("long")
+
+    M = F.lit(1000000).cast(dec)
+    return (
+        base.join(reg, "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("cents").cast("long").alias("cents"),
+            tdv(M * F.col("cents"), F.col("rcents")).alias(
+                "share_of_region_micro"
+            ),
+            tdv(M * F.col("rcents"), F.col("tcents")).alias(
+                "region_share_micro"
+            ),
+        )
+        .orderBy("region", "nation")
+    )

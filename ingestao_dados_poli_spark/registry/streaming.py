@@ -1390,8 +1390,12 @@ def q290_streaming_left_outer_join(
             # outer stream-stream joins keep FOUR state stores per
             # shard; at this stream's volume the 32-way batch default
             # spends the micro-batch committing empty stores (q92's
-            # measured 7.4 -> 2.3 s lesson — 29.6 s here before scoping)
-            with SO.state_partitions(spark, 8):
+            # measured 7.4 -> 2.3 s lesson — 29.6 s here before
+            # scoping). Swept 8/4/2 at sf0.1: 8.1/3.6/3.3 s — the store
+            # COMMIT (files per store per shard per batch) dominates,
+            # so 4 shards; rows/shard stays ~10k, far from any memory
+            # bound, and production sizing scales shards with volume.
+            with SO.state_partitions(spark, 4):
                 query = (
                     joined.writeStream.format("parquet")
                     .option("path", sink)

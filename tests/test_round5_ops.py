@@ -384,10 +384,10 @@ def test_containment_threshold_and_empty_docs(spark):
     ]
 
 
-# ------------------------------- registry.similarity._tdiv_int parity
+# ------------------------- registry.similarity_graph._tdiv_int parity
 
 def test_tdiv_int_truncates_toward_zero():
-    from ingestao_dados_poli_spark.registry.similarity import _tdiv_int
+    from ingestao_dados_poli_spark.registry.similarity_graph import _tdiv_int
 
     # DuckDB `//` and Spark `div` truncate toward zero; Python // floors.
     # The driver-side power iteration must replay SQL exactly on
