@@ -930,3 +930,157 @@ def q293_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ------ 166. dedup -> versioned publish -> mix -> drift (pipeline E2E)
+
+@q(
+    "q300_dedup_mix_eval_pipeline",
+    r"""
+    WITH dn AS (SELECT doc_id, lang, source,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                           AS fp
+                FROM documents),
+    b1 AS (SELECT doc_id, lang, source, fp FROM dn WHERE doc_id < 250),
+    b2 AS (SELECT doc_id, lang, source, fp FROM dn WHERE doc_id >= 250
+           UNION ALL
+           SELECT doc_id + 50000, lang, source, fp FROM dn WHERE doc_id < 60),
+    s1 AS (SELECT fp, min(doc_id) AS doc_id FROM b1 GROUP BY fp),
+    surv1 AS (SELECT b.doc_id, b.lang, b.source
+              FROM b1 b JOIN s1 ON b.doc_id = s1.doc_id),
+    seen AS (SELECT DISTINCT fp FROM b1),
+    s2 AS (SELECT fp, min(doc_id) AS doc_id FROM b2
+           WHERE fp NOT IN (SELECT fp FROM seen) GROUP BY fp),
+    surv2 AS (SELECT b.doc_id, b.lang, b.source
+              FROM b2 b JOIN s2 ON b.doc_id = s2.doc_id),
+    corpus AS (SELECT * FROM surv1 UNION ALL SELECT * FROM surv2),
+    rc AS (SELECT lang, source, count(*) AS n_raw
+           FROM (SELECT lang, source FROM b1
+                 UNION ALL SELECT lang, source FROM b2)
+           GROUP BY 1, 2),
+    dc AS (SELECT lang, source, count(*) AS n_dedup
+           FROM corpus GROUP BY 1, 2),
+    cells AS (SELECT coalesce(rc.lang, dc.lang) AS lang,
+                     coalesce(rc.source, dc.source) AS source,
+                     coalesce(rc.n_raw, 0)::HUGEINT AS n_raw,
+                     coalesce(dc.n_dedup, 0)::HUGEINT AS n_dedup
+              FROM rc FULL JOIN dc
+                ON rc.lang = dc.lang AND rc.source = dc.source),
+    w AS (SELECT *,
+                 pow(n_dedup / sum(n_dedup) OVER (), 0.5) AS wr,
+                 sum(n_raw) OVER () AS tot_r,
+                 sum(n_dedup) OVER () AS tot_d
+          FROM cells)
+    SELECT lang, source,
+           CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(n_dedup AS BIGINT) AS n_dedup,
+           CAST(round(wr / sum(wr) OVER (), 6) AS DOUBLE) AS mix_weight,
+           CAST((1000000 * abs(n_dedup * tot_r - n_raw * tot_d))
+                // (tot_d * tot_r) AS BIGINT) AS drift_micro
+    FROM w ORDER BY lang, source
+    """,
+)
+def q300_dedup_mix_eval_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The blueprint's training-data pipeline run END TO END through
+    the engine's own components, oracled as ONE query: two ingest
+    batches (the second with planted cross-batch duplicates) dedup
+    through the VERSIONED fingerprint store (q133's lifecycle —
+    batch 2's plan reads only 16-byte fingerprints, never batch 1's
+    text), the surviving corpus is PUBLISHED through the
+    atomic-commit versioned table and read BACK from its bytes, and
+    the mix/eval stage computes q98's temperature-scaled mixture
+    weights (alpha=0.5) plus a per-cell drift profile of the deduped
+    mix against the raw ingest mix — exact integer micro units via
+    cross-multiplied truncating division (q287's idiom), so the
+    whole chain (dedup set algebra -> publish -> share shift) is
+    value-hash-checked against DuckDB recomputing it from raw text.
+    A fingerprint lost in the store, a survivor dropped at publish,
+    or a share drifted by one document all hash-fail. In-line
+    lifecycle assertions pin the store at versions [1, 2] and the
+    publish at version 1. Scale shape: per-ingest cost is
+    |batch| + |fp store|; the mix/drift stage runs on the (lang x
+    source) cell table — config-bounded cardinality — so its
+    unpartitioned windows are over dozens of rows at any corpus
+    size, and the cell products route through decimal(38,0) ahead
+    of the BIGINT range."""
+    import atexit
+    import os as _os
+    import shutil as _shutil
+
+    from ingestao_dados_poli_spark.operators import dedup as DD
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    did = F.col("doc_id")
+    b1 = docs.filter(did < 250)
+    b2 = docs.filter(did >= 250).unionByName(
+        docs.filter(did < 60).select(
+            (did + 50000).alias("doc_id"), "text", "lang", "source"
+        )
+    )
+    pid = _os.getpid()
+    store = f"/tmp/q300_fp_{pid}"
+    pub = f"/tmp/q300_pub_{pid}"
+    for d in (store, pub):
+        _shutil.rmtree(d, ignore_errors=True)
+        atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    s1, _ = DD.dedup_ingest_batch(spark, b1, store, "text", "doc_id")
+    s2, _ = DD.dedup_ingest_batch(spark, b2, store, "text", "doc_id")
+    corpus = s1.unionByName(s2).select("doc_id", "lang", "source")
+    pub_version = V.publish(spark, corpus, pub)
+    got = V.committed_versions(spark, store)
+    if got != [1, 2] or pub_version != 1:
+        raise AssertionError(
+            f"pipeline lifecycle drifted: store {got}, publish {pub_version}"
+        )
+    published = V.read_version(spark, pub, pub_version)
+
+    raw_cells = (
+        b1.select("lang", "source")
+        .unionByName(b2.select("lang", "source"))
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+    )
+    ded_cells = published.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_dedup")
+    )
+    cells = (
+        raw_cells.join(ded_cells, ["lang", "source"], "full_outer")
+        .select(
+            "lang",
+            "source",
+            F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
+            F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+        )
+    )
+    w_all = Window.partitionBy()
+    nd = F.col("n_dedup").cast(_DEC)
+    nr = F.col("n_raw").cast(_DEC)
+    tot_d = F.sum(nd).over(w_all)
+    tot_r = F.sum(nr).over(w_all)
+    wr = F.pow(F.col("n_dedup") / F.sum("n_dedup").over(w_all), 0.5)
+    scored = cells.select(
+        "lang",
+        "source",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.col("n_dedup").cast("long").alias("n_dedup"),
+        wr.alias("_wr"),
+        _truncdiv(
+            F.lit(1000000).cast(_DEC) * F.abs(nd * tot_r - nr * tot_d),
+            tot_d * tot_r,
+        ).alias("drift_micro"),
+    )
+    return scored.select(
+        "lang",
+        "source",
+        "n_raw",
+        "n_dedup",
+        F.round(F.col("_wr") / F.sum("_wr").over(w_all), 6).alias(
+            "mix_weight"
+        ),
+        "drift_micro",
+    ).orderBy("lang", "source")
