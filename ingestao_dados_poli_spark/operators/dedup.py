@@ -1120,7 +1120,24 @@ def prefix_filtered_jaccard(
         F.col(id_col).alias("_id"), F.array_distinct(tokens).alias("_ts")
     )
     docs = docs.withColumn("_m", F.size("_ts"))
-    ex = docs.select("_id", "_m", F.explode("_ts").alias("_tk"))
+    # The candidate plumbing (df counts, frequency ranking, posting
+    # join) runs on xxhash64 of the token, NOT the token string: every
+    # exchange below carries the exploded token table at least once,
+    # and an 8-byte key vs a ~30-byte shingle string is a ~3x cut on
+    # the operator's total shuffle bytes (the round-5 scale rung
+    # measured 13.2 GB at 500k docs, ~5 exploded-table passes — this
+    # was the engine's single largest shuffle). Prefix filtering only
+    # needs ONE consistent global total order, which (df, hash) is; a
+    # 64-bit collision merges two postings — extra CANDIDATES the
+    # exact string-set verify rejects — and could in principle reorder
+    # a prefix boundary, at birthday odds ~1e-4 for a 5e7-token vocab;
+    # the q241 oracle (brute-force string join) would surface any
+    # realized miss.
+    ex = docs.select(
+        "_id",
+        "_m",
+        F.explode(F.transform("_ts", lambda t: F.xxhash64(t))).alias("_tk"),
+    )
     vocab = ex.groupBy("_tk").agg(F.count(F.lit(1)).alias("_df"))
     ranked = ex.join(vocab, "_tk")
     w = Window.partitionBy("_id").orderBy("_df", "_tk")

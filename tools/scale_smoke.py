@@ -167,6 +167,18 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    # Broadcast joins OFF for the whole smoke (smoke-local session; no
+    # leak): at 100 TB none of these operators' build sides fit in an
+    # executor, so the cluster plan is the shuffle plan — but locally
+    # the SMALL tiers' build sides duck under the 10 MB threshold and
+    # skip exchanges the huge tier pays, which is exactly how round 5's
+    # artifact reported exact-dedup "1019x" shuffle growth: the small
+    # tier broadcast the keep-set (0.24 MB moved), the huge tier
+    # crossed the threshold and shuffled the corpus (linear-in-bytes
+    # from there). Forcing the shuffle plan at every tier makes the
+    # ratio measure the OPERATOR's curve, not a threshold crossing.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
     # untimed warmup: JIT, codegen, Python UDF worker pool — otherwise
     # the small run absorbs it all and the ratio flatters the big run
@@ -225,23 +237,22 @@ def main() -> None:
         run(res, "prefix_jaccard", lambda: DD.prefix_filtered_jaccard(
             docs, "text", "doc_id", 0.5,
             tokens=TX.shingles("text", 5), max_posting_len=2000))
-        if label != "huge":
-            # span dedup reassembles EVERY doc, so cost is scan + 3
-            # map-side-combined shuffles — must scale ~linearly like
-            # whole-doc exact dedup, not with the duplicated-span count
-            run(res, "span_dedup", lambda: CO.dedup_spans(docs, span_words=5))
-            # posting build is one scan + one map-side-combined shuffle
-            # of distinct (term, doc) pairs — linear in corpus size
-            run(res, "inverted_index", lambda: CO.build_inverted_index(docs))
-            # hash-keyed vs string-keyed boilerplate detection. Measured
-            # result (the reason hash_key is NOT the default): the hash
-            # plan's second scan costs ~1.8x wall locally while lz4
-            # shuffle compression erases most of the 8-byte-key
-            # advantage on low-entropy text (~10% fewer bytes).
-            run(res, "boiler_hash", lambda: CO.boilerplate_ngrams(
-                docs, n=5, top_k=20, hash_key=True))
-            run(res, "boiler_str", lambda: CO.boilerplate_ngrams(
-                docs, n=5, top_k=20, hash_key=False))
+        # span dedup reassembles EVERY doc, so cost is scan + 3
+        # map-side-combined shuffles — must scale ~linearly like
+        # whole-doc exact dedup, not with the duplicated-span count
+        run(res, "span_dedup", lambda: CO.dedup_spans(docs, span_words=5))
+        # posting build is one scan + one map-side-combined shuffle
+        # of distinct (term, doc) pairs — linear in corpus size
+        run(res, "inverted_index", lambda: CO.build_inverted_index(docs))
+        # hash-keyed vs string-keyed boilerplate detection. Measured
+        # result (the reason hash_key is NOT the default): the hash
+        # plan's second scan costs ~1.8x wall locally while lz4
+        # shuffle compression erases most of the 8-byte-key
+        # advantage on low-entropy text (~10% fewer bytes).
+        run(res, "boiler_hash", lambda: CO.boilerplate_ngrams(
+            docs, n=5, top_k=20, hash_key=True))
+        run(res, "boiler_str", lambda: CO.boilerplate_ngrams(
+            docs, n=5, top_k=20, hash_key=False))
         docs.unpersist()
         # hot-bucket degradation: one identical-text bucket of ~n/3
         # members per band. Time must stay ~linear (sampled pairs are
@@ -297,34 +308,33 @@ def main() -> None:
         found = planted.join(pairs, ["id_a", "id_b"], "left_semi").count()
         res["embed_dup_recall"] = round(found / max(n_planted, 1), 3)
         vecs.unpersist()
-        if label != "huge":
-            # interval overlap: n intervals in n/20 key groups, width
-            # ~bucket; candidate pairs stay near-linear because the join
-            # is equi on (key, bucket), never an inequality nested loop
-            iv = (
-                spark.range(n)
-                .select(
-                    (F.col("id") % (n // 20)).alias("k"),
-                    (F.col("id") * 37 % 100000).alias("a_s"),
-                    (F.col("id") * 37 % 100000 + 50 + F.col("id") % 100).alias("a_e"),
-                )
-                .cache()
+        # interval overlap: n intervals in n/20 key groups, width
+        # ~bucket; candidate pairs stay near-linear because the join
+        # is equi on (key, bucket), never an inequality nested loop
+        iv = (
+            spark.range(n)
+            .select(
+                (F.col("id") % (n // 20)).alias("k"),
+                (F.col("id") * 37 % 100000).alias("a_s"),
+                (F.col("id") * 37 % 100000 + 50 + F.col("id") % 100).alias("a_e"),
             )
-            iv.count()
-            iv2 = iv.select(
-                F.col("k"),
-                F.col("a_s").alias("b_s"),
-                F.col("a_e").alias("b_e"),
-            )
-            run(res, "interval_join", lambda: R.interval_join(
-                iv,
-                iv2,
-                left_range=("a_s", "a_e"),
-                right_range=("b_s", "b_e"),
-                bucket_width=128,
-                extra_keys=["k"],
-            ))
-            iv.unpersist()
+            .cache()
+        )
+        iv.count()
+        iv2 = iv.select(
+            F.col("k"),
+            F.col("a_s").alias("b_s"),
+            F.col("a_e").alias("b_e"),
+        )
+        run(res, "interval_join", lambda: R.interval_join(
+            iv,
+            iv2,
+            left_range=("a_s", "a_e"),
+            right_range=("b_s", "b_e"),
+            bucket_width=128,
+            extra_keys=["k"],
+        ))
+        iv.unpersist()
 
     all_ops = ("exact", "span_dedup", "inverted_index", "minhash",
                "minhash_hotbucket", "simhash", "jaccard", "prefix_jaccard",
@@ -335,7 +345,38 @@ def main() -> None:
         for op in all_ops
         if op in results["big"]
     }
-    payload = {"results": results, "size_ratio": big / small, "time_ratio": scaling}
+    # per-doc shuffle bytes per tier: the scale claim is a FLAT (or
+    # gently bounded) per-doc curve, which normalization makes visible
+    # where a raw ratio conflates data growth with plan drift
+    per_doc = {
+        label: {
+            op: round(res[f"{op}_shuffle_mb"] * 1000 / res["n_docs"], 3)
+            for op in all_ops
+            if f"{op}_shuffle_mb" in res
+        }
+        for label, res in results.items()
+    }
+    payload = {
+        "results": results,
+        "size_ratio": big / small,
+        "time_ratio": scaling,
+        "shuffle_kb_per_doc": per_doc,
+        "_notes": {
+            "broadcast": "auto-broadcast joins are disabled for every "
+            "tier: at 100 TB no build side here fits an executor, and "
+            "leaving the 10 MB threshold on let small tiers skip "
+            "exchanges the huge tier pays (round-5 'exact 1019x' was "
+            "this — the small tier broadcast the keep-set, the huge "
+            "tier shuffled the corpus; the operator's true curve is "
+            "linear in corpus bytes).",
+            "embed_neardup": "auto_num_planes quantizes to "
+            "ceil(log2(n/target)), so the expected bucket size — and "
+            "with it candidate pairs/doc — oscillates within "
+            "[target/2, target] between plane steps; per-doc shuffle "
+            "bytes breathe by up to ~2x across tiers but are bounded "
+            "by construction, not divergent.",
+        },
+    }
     if huge_tier:
         payload["size_ratio_huge"] = huge / small
         payload["time_ratio_huge"] = {
