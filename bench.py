@@ -11,16 +11,20 @@ and committed each round.
 Execution is forced with the noop sink (full computation, no collect, no
 result materialization on the driver) — the honest way to time a plan.
 
-Methodology (changed in round 2, documented for comparability): each
-query is executed TWICE and the per-query minimum is reported; the
-headline "value" is the sum of minima. Round 1 reported single-shot
-times. The change is noise suppression, not spin: this host shows
-CPU-steal spikes under sustained load (single queries observed 3-6x
-slower in one full run than in the next, e.g. 21.5s vs 3.3s for the
-same unchanged plan), and the minimum of two runs is the standard way
-to read through that to the actual plan cost. Both statistics are
-emitted: "value"/"queries" are best-of-2, "cold_sum"/"cold_queries"
-are the first-run times (which include per-query codegen compilation).
+Methodology (round 2: best-of-2; round 6: three SEPARATED full passes
+over the registry, per-query min across passes). The change is noise suppression, not spin:
+this host shows multi-second CPU-steal stalls that hit a contiguous
+window of queries, so two back-to-back runs of one query sat in the
+same stall window and its best-of-2 was still poisoned (round 6
+measured three consecutive full runs each flagging a different random
+cluster of 8-24 "regressions" whose --isolate times matched baseline
+exactly). With the passes minutes apart the same query rarely
+stalls twice, never three times; the minimum reads through to the
+plan cost (interleaved A/B: single-shot swings of 3-10x, min-of-3
+stable to ~10%). Both
+statistics are emitted: "value"/"queries" are min-across-passes,
+"cold_sum"/"cold_queries" are the pass-1 times (which include
+per-query codegen compilation).
 
 Outlier isolation: `python bench.py --isolate q131 q182` re-times just
 those queries in a FRESH session with the same warmup, printing one
@@ -113,40 +117,55 @@ def main() -> None:
     error_seconds: dict[str, float] = {}
     import gc as _gc
 
-    for i, (name, fn) in enumerate(q.QUERIES.items()):
-        # Session hygiene between queries: drop cached/checkpointed
-        # blocks the previous query left behind (localCheckpoint blocks
-        # only free when their Python refs are GC'd — py4j delays that)
-        # and nudge the JVM every couple dozen queries. Without this,
-        # ~300 queries x 2 runs accumulate enough block/GC pressure
-        # that LATE queries time 3-8x their isolated cost (verified
-        # with --isolate: q111 3.16s in-sequence vs 0.42s isolated) —
-        # the artifact then reads as per-query regressions that do not
-        # exist. Cleanup time is charged to nobody, like warmup.
-        spark.catalog.clearCache()
-        _gc.collect()
-        if i % 24 == 0:
-            spark._jvm.System.gc()
-        t0 = time.time()
-        try:
-            t1 = run_once(fn)
-        except Exception:
-            # One failing query must not abort the bench and lose the
-            # whole artifact (the exact loss mode this harness exists
-            # to prevent); record time-to-FAILURE separately, flag it,
-            # move on. Failure latency must NOT enter "value"/"cold_sum"
-            # — a fast crash would make the bench look faster.
-            errors.append(name)
-            error_seconds[name] = round(time.time() - t0, 3)
-            continue
-        try:
-            t2 = run_once(fn)
-        except Exception:
-            # A query that can't re-run in-process (e.g. sink-name clash)
-            # keeps its first timing rather than failing the bench.
-            t2 = t1
-        cold[name] = round(t1, 3)
-        best[name] = round(min(t1, t2), 3)
+    # Three SEPARATED full passes over the registry, per-query min
+    # across passes (round 6; was two back-to-back runs per query).
+    # This host's CPU-steal stalls last seconds and hit a contiguous
+    # window of queries — back-to-back runs of one query sit in the
+    # SAME window, so its best-of-2 was still poisoned (three round-6
+    # full runs each flagged a different random cluster of 8-24
+    # "regressions" whose --isolate times matched baseline exactly;
+    # an interleaved A/B showed single-shot swings of 3-10x while
+    # min-of-3 was stable to ~10%). Minutes apart, the same query
+    # rarely stalls twice, never three times.
+    for pass_i in range(3):
+        for i, (name, fn) in enumerate(q.QUERIES.items()):
+            # Session hygiene between queries: drop cached/checkpointed
+            # blocks the previous query left behind (localCheckpoint
+            # blocks only free when their Python refs are GC'd — py4j
+            # delays that) and nudge the JVM every couple dozen
+            # queries. Without this, ~300 queries x 2 runs accumulate
+            # enough block/GC pressure that LATE queries time 3-8x
+            # their isolated cost (verified with --isolate: q111 3.16s
+            # in-sequence vs 0.42s isolated) — the artifact then reads
+            # as per-query regressions that do not exist. Cleanup time
+            # is charged to nobody, like warmup.
+            if name in errors:
+                continue
+            spark.catalog.clearCache()
+            _gc.collect()
+            if i % 24 == 0:
+                spark._jvm.System.gc()
+            t0 = time.time()
+            try:
+                t = run_once(fn)
+            except Exception:
+                if pass_i == 0:
+                    # One failing query must not abort the bench and
+                    # lose the whole artifact (the exact loss mode this
+                    # harness exists to prevent); record
+                    # time-to-FAILURE separately, flag it, move on.
+                    # Failure latency must NOT enter "value"/"cold_sum"
+                    # — a fast crash would make the bench look faster.
+                    errors.append(name)
+                    error_seconds[name] = round(time.time() - t0, 3)
+                # A query that can't re-run in-process (e.g. sink-name
+                # clash) keeps its pass-1 timing rather than failing.
+                continue
+            if pass_i == 0:
+                cold[name] = round(t, 3)
+                best[name] = round(t, 3)
+            else:
+                best[name] = round(min(best.get(name, t), t), 3)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {

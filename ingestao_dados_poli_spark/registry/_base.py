@@ -13,6 +13,7 @@ from __future__ import annotations
 import functools
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -86,16 +87,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # query build), NOT here: a set at read time would leak past the
     # query into a host session the driver owns.
     if name == "events":
-        # nanosAsLong is a no-op on micro-precision files; needed only
-        # for the TIMESTAMP(NANOS) vintage the reader would otherwise
-        # reject. The parquet footer schema binds EAGERLY at
-        # read.parquet, so scoping around the read suffices.
+        # Read NATIVELY first: the nanosAsLong legacy flag costs a
+        # measured 1.7x on every events scan (it drops the vectorized
+        # timestamp reader) and flipping any conf invalidates session
+        # caches (~0.3-0.5 s/query) — so the flag is applied, scoped,
+        # ONLY when the footer actually carries TIMESTAMP(NANOS) (the
+        # old testdata vintage), which surfaces eagerly as a schema
+        # error at read.parquet.
+        path = f"{sf_dir}/events.parquet"
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            with scoped_conf(
+                spark, "spark.sql.legacy.parquet.nanosAsLong", "true"
+            ):
+                df = spark.read.parquet(path)
+        return _events_ts(df)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@contextmanager
+def events_compat(spark: SparkSession, sf_dir: str):
+    """Scope the nanosAsLong legacy reader flag around a block ONLY if
+    ``events.parquet`` actually needs it (TIMESTAMP(NANOS) vintage —
+    probed by one footer read, which fails eagerly on that type).
+    Streaming queries wrap their whole body because the file source
+    re-reads events per micro-batch; on modern micro-precision data
+    this is a NO-OP, because the flag costs a measured 1.7x on every
+    events scan (it drops the vectorized timestamp reader) and each
+    conf flip invalidates session caches (~0.3-0.5 s/query)."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        spark.read.parquet(path)
+        needs = False
+    except Exception:
+        needs = True
+    if needs:
         with scoped_conf(
             spark, "spark.sql.legacy.parquet.nanosAsLong", "true"
         ):
-            df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return _events_ts(df)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            yield
+    else:
+        yield
 
 
 
@@ -255,6 +288,7 @@ __all__ = [
     "ORACLES",
     "_events_ts",
     "_t",
+    "events_compat",
     "q",
     "_SHINGLE5_SQL",
     "_LANG_RE",

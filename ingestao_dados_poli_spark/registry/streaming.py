@@ -57,10 +57,10 @@ def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts,
     )
 
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+    # events_compat: no-op on micro-precision data; applies the scoped
+    # legacy reader flag for the whole stream run (micro-batches re-read
+    # the files) only when the footer carries TIMESTAMP(NANOS).
+    with events_compat(spark, sf_dir):
         path = f"{sf_dir}/events.parquet"
         raw_schema = spark.read.parquet(path).schema
         # FileStreamSource wants a DIRECTORY; glob-filter to the one table.
@@ -128,10 +128,10 @@ def q75_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions,
     )
 
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+    # events_compat: no-op on micro-precision data; applies the scoped
+    # legacy reader flag for the whole stream run (micro-batches re-read
+    # the files) only when the footer carries TIMESTAMP(NANOS).
+    with events_compat(spark, sf_dir):
         path = f"{sf_dir}/events.parquet"
         raw_schema = spark.read.parquet(path).schema
         src = (
@@ -189,10 +189,10 @@ def q78_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions,
     )
 
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+    # events_compat: no-op on micro-precision data; applies the scoped
+    # legacy reader flag for the whole stream run (micro-batches re-read
+    # the files) only when the footer carries TIMESTAMP(NANOS).
+    with events_compat(spark, sf_dir):
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
         def src():
@@ -255,10 +255,10 @@ def q89_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
 
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+    # events_compat: no-op on micro-precision data; applies the scoped
+    # legacy reader flag for the whole stream run (micro-batches re-read
+    # the files) only when the footer carries TIMESTAMP(NANOS).
+    with events_compat(spark, sf_dir):
         path = f"{sf_dir}/events.parquet"
         raw_schema = spark.read.parquet(path).schema
         src = (
@@ -410,10 +410,10 @@ def q92_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions,
     )
 
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+    # events_compat: no-op on micro-precision data; applies the scoped
+    # legacy reader flag for the whole stream run (micro-batches re-read
+    # the files) only when the footer carries TIMESTAMP(NANOS).
+    with events_compat(spark, sf_dir):
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
         def ev_stream() -> DataFrame:
@@ -490,7 +490,7 @@ def q129_streaming_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executes after _t returns so its conf must outlive the call, but
     # this stream runs to completion inside the block — the flag can be
     # restored the moment the last micro-batch commits.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+    with events_compat(spark, sf_dir):
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         src = (
             spark.readStream.schema(raw_schema)
@@ -576,10 +576,10 @@ def q152_streaming_session_window(
         state_partitions,
     )
 
-    # Scoped (q129 pattern): the stream runs to completion inside the
-    # block, so the legacy reader flag is restored the moment the
-    # last micro-batch commits instead of leaking into the session.
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+    # events_compat: no-op on micro-precision data; applies the scoped
+    # legacy reader flag for the whole stream run (micro-batches re-read
+    # the files) only when the footer carries TIMESTAMP(NANOS).
+    with events_compat(spark, sf_dir):
         path = f"{sf_dir}/events.parquet"
         raw_schema = spark.read.parquet(path).schema
         src = (
@@ -1132,7 +1132,7 @@ def q267_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ingestao_dados_poli_spark.operators import sketches as SK
 
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+    with events_compat(spark, sf_dir):
         ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
         tmp = tempfile.mkdtemp(prefix=f"q267_src_{os.getpid()}_")
         ck = None
@@ -1216,7 +1216,7 @@ def q283_streaming_seasonal_anomaly(
         _hour_seasonal_screen,
     )
 
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+    with events_compat(spark, sf_dir):
         ev = _t(spark, sf_dir, "events").select("ts")
         tmp = tempfile.mkdtemp(prefix=f"q283_src_{os.getpid()}_")
         ck = None
@@ -1323,7 +1323,7 @@ def q290_streaming_left_outer_join(
 
     from ingestao_dados_poli_spark.streaming import stream_ops as SO
 
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+    with events_compat(spark, sf_dir):
         ev = _t(spark, sf_dir, "events").select(
             "user_id", "ts", "event_type"
         ).filter(F.col("event_type").isin("purchase", "click"))
@@ -1475,7 +1475,7 @@ def q297_streaming_drift_monitor(
     import os
     import shutil
 
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+    with events_compat(spark, sf_dir):
         ev = _t(spark, sf_dir, "events").select("event_type", "value")
         pid = os.getpid()
         tmp = f"/tmp/q297_src_{pid}"

@@ -43,6 +43,12 @@ DEFAULT_CONF: dict[str, str] = {
     # Proleptic-Gregorian date/time PARSING (no silent legacy-calendar
     # fallback) — keeps timestamp parsing deterministic across JVMs.
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    # NOTE: spark.sql.legacy.parquet.nanosAsLong is deliberately NOT a
+    # session default: A/B-measured 1.7x slower events scans even on
+    # micro-precision files (the legacy flag drops the vectorized
+    # timestamp reader path). `_t` reads natively and retries under a
+    # scoped flag only when the footer actually carries
+    # TIMESTAMP(NANOS).
 }
 
 
@@ -91,6 +97,14 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
         old = spark.conf.get(key)
     except Exception:
         old = None
+    if old == value:
+        # Already in effect: setting (and later restoring) would be two
+        # conf flips, and ANY conf flip invalidates session-level plan/
+        # relation caches — measured ~0.3-0.5 s added per registry query
+        # when the UTC pin toggled around every call. Read-only probe,
+        # no mutation, no restore needed.
+        yield
+        return
     spark.conf.set(key, value)
     try:
         yield

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import pathlib
+import statistics
 
 _ROOT = pathlib.Path(__file__).parent.parent
 _RATIO = 2.0
@@ -31,15 +32,31 @@ def test_no_cross_round_bench_regressions():
     assert base["sf"] == cur["sf"], (
         f"baseline sf {base['sf']} != bench sf {cur['sf']}: refreeze"
     )
+    common = [
+        (name, t_old, cur["queries"][name])
+        for name, t_old in base["queries"].items()
+        if name in cur["queries"]
+    ]
+    # Host-speed normalization: this box's throughput drifts between
+    # rounds (co-tenant CPU steal) — a uniform 1.2-1.3x shift across
+    # all 300 queries is the HOST, not 300 regressions. The median
+    # per-query ratio estimates that shift robustly (a real regression
+    # in a handful of queries cannot move the median of ~300); the
+    # gate then flags queries that moved >2x AGAINST the field.
+    scale = statistics.median(
+        t_new / t_old for _, t_old, t_new in common if t_old >= 0.2
+    )
     movers = {}
-    for name, t_new in cur["queries"].items():
-        t_old = base["queries"].get(name)
-        if t_old is None:
-            continue  # new query this round; gated from the next freeze
-        if t_new > _RATIO * t_old and t_new - t_old > _ABS_DELTA:
-            movers[name] = f"{t_old:.2f}s -> {t_new:.2f}s ({t_new / t_old:.2f}x)"
+    for name, t_old, t_new in common:
+        expected = scale * t_old
+        if t_new > _RATIO * expected and t_new - expected > _ABS_DELTA:
+            movers[name] = (
+                f"{t_old:.2f}s -> {t_new:.2f}s "
+                f"({t_new / t_old:.2f}x raw, host-scale {scale:.2f}x)"
+            )
     assert not movers, (
         "bench regressions vs BENCH_baseline.json "
-        f"(>{_RATIO}x and >{_ABS_DELTA}s): {movers} — investigate, then "
-        "refreeze with tools/freeze_bench_baseline.py if legitimate"
+        f"(>{_RATIO}x beyond the {scale:.2f}x host-speed shift, "
+        f">{_ABS_DELTA}s): {movers} — investigate, then refreeze with "
+        "tools/freeze_bench_baseline.py if legitimate"
     )
