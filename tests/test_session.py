@@ -21,3 +21,25 @@ def test_driver_memory_raised(spark):
     # local mode = driver-only JVM; the 1g default OOMs the suite
     mem = spark.sparkContext.getConf().get("spark.driver.memory")
     assert mem.endswith("g") and int(mem[:-1]) >= 8
+
+
+def test_scoped_conf_restores_and_early_outs(spark):
+    from ingestao_dados_poli_spark.session import scoped_conf
+
+    key = "spark.sql.session.timeZone"
+    assert spark.conf.get(key) == "UTC"
+    # equal value: no flip happens (the early-out exists because any
+    # conf flip invalidates session caches — round-6 measured
+    # ~0.3-0.5 s added per query when the UTC pin toggled every call)
+    with scoped_conf(spark, key, "UTC"):
+        assert spark.conf.get(key) == "UTC"
+    assert spark.conf.get(key) == "UTC"
+    # different value: applied inside, restored after
+    with scoped_conf(spark, key, "America/Sao_Paulo"):
+        assert spark.conf.get(key) == "America/Sao_Paulo"
+    assert spark.conf.get(key) == "UTC"
+    # previously-unset key: unset again afterwards (default-read ok)
+    k2 = "spark.sql.legacy.parquet.nanosAsLong"
+    with scoped_conf(spark, k2, "true"):
+        assert spark.conf.get(k2) == "true"
+    assert spark.conf.get(k2, "false") == "false"
