@@ -115,6 +115,7 @@ def main() -> None:
     best: dict[str, float] = {}
     errors: list[str] = []
     error_seconds: dict[str, float] = {}
+    rerun_failed: list[str] = []
     import gc as _gc
 
     # Three SEPARATED full passes over the registry, per-query min
@@ -158,8 +159,12 @@ def main() -> None:
                     # — a fast crash would make the bench look faster.
                     errors.append(name)
                     error_seconds[name] = round(time.time() - t0, 3)
-                # A query that can't re-run in-process (e.g. sink-name
-                # clash) keeps its pass-1 timing rather than failing.
+                elif name not in rerun_failed:
+                    # Succeeded in pass 1 but threw on a later pass:
+                    # keep the pass-1 timing (it's a real measurement)
+                    # but FLAG it — a query that became flaky mid-bench
+                    # must be distinguishable from a healthy one.
+                    rerun_failed.append(name)
                 continue
             if pass_i == 0:
                 cold[name] = round(t, 3)
@@ -178,6 +183,7 @@ def main() -> None:
         "n_queries": len(best),
         "errors": errors,
         "error_seconds": error_seconds,
+        "rerun_failed": rerun_failed,
         "sf": sf_val,
     }
     out_path = os.path.join(
@@ -201,6 +207,7 @@ def main() -> None:
                 "n_queries": full["n_queries"],
                 "errors": errors,
                 "error_seconds": error_seconds,
+                "rerun_failed": rerun_failed,
                 "sf": sf_val,
                 "full": "BENCH_local.json",
             }

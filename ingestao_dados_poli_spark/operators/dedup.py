@@ -1103,43 +1103,54 @@ def prefix_filtered_jaccard(
     banded MinHash path (``salted_bucket_pairs``) whose degradation
     is distributed. None (default) = lossless, no cap.
 
-    Scale shape: token ordering is one vocabulary-sized count agg
-    joined back (AQE broadcasts small vocabularies) + a per-doc window
-    (state bounded by doc length); the candidate join shuffles only
-    PREFIX tokens — a ``1-t`` fraction of the postings; the verify
-    joins candidate pairs back to the (id, token-set) table twice and
-    compares sets in-row. Returns ``(id_a, id_b, jac_permille)`` with
-    the exact integer permille ``(1000*i) div (na+nb-i)``.
+    Scale shape (round 7): the WHOLE token side is TWO shuffles of the
+    exploded (id, m, tk) table — one by token (a count window computes
+    each token's document frequency on that exchange; previously this
+    was a separate vocabulary groupBy joined back, i.e. two extra
+    exploded-table passes) and one by doc for the frequency rank; the
+    candidate join shuffles only PREFIX tokens — a ``1-t`` fraction of
+    the postings — and Spark reuses one exchange for the self-join's
+    two sides. The verify joins candidate pairs back to the
+    (id, hashed-token-set) table twice (AQE broadcasts the candidate
+    side) and compares sets in-row. Returns ``(id_a, id_b,
+    jac_permille)`` with the exact integer permille
+    ``(1000*i) div (na+nb-i)``.
     """
     if tokens is None:
         tokens = F.split(
             F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
             " ",
         )
-    docs = fan_out(df).select(
-        F.col(id_col).alias("_id"), F.array_distinct(tokens).alias("_ts")
-    )
-    docs = docs.withColumn("_m", F.size("_ts"))
-    # The candidate plumbing (df counts, frequency ranking, posting
-    # join) runs on xxhash64 of the token, NOT the token string: every
-    # exchange below carries the exploded token table at least once,
-    # and an 8-byte key vs a ~30-byte shingle string is a ~3x cut on
-    # the operator's total shuffle bytes (the round-5 scale rung
-    # measured 13.2 GB at 500k docs, ~5 exploded-table passes — this
-    # was the engine's single largest shuffle). Prefix filtering only
-    # needs ONE consistent global total order, which (df, hash) is; a
-    # 64-bit collision merges two postings — extra CANDIDATES the
-    # exact string-set verify rejects — and could in principle reorder
-    # a prefix boundary, at birthday odds ~1e-4 for a 5e7-token vocab;
+    # Everything — df counts, ranking, postings, the prefix bound _m,
+    # AND the verify's set intersection — runs on xxhash64 of the
+    # token, NOT the token string: every exchange below carries the
+    # exploded token table at least once, and an 8-byte key vs a
+    # ~30-byte shingle string is a ~3x cut on the operator's total
+    # shuffle bytes (the round-5 scale rung measured 13.2 GB at 500k
+    # docs — this was the engine's single largest shuffle). _m and the
+    # postings both derive from array_distinct of the HASHED set, so
+    # the prefix length is computed in the same universe it filters
+    # (round-6 advice: a string-universe _m could disagree with the
+    # hash postings on an intra-doc collision and mis-place the prefix
+    # boundary). PPJoin only needs ONE consistent global total order,
+    # which (df, hash) is; the residual collision exposure — two
+    # DISTINCT strings sharing a hash, ~1e-4 birthday odds for a
+    # 5e7-token vocab — merges two tokens in the measure itself, and
     # the q241 oracle (brute-force string join) would surface any
-    # realized miss.
-    ex = docs.select(
-        "_id",
-        "_m",
-        F.explode(F.transform("_ts", lambda t: F.xxhash64(t))).alias("_tk"),
+    # realized divergence.
+    docs = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(F.array_distinct(tokens), lambda t: F.xxhash64(t))
+        ).alias("_hs"),
+    ).withColumn("_m", F.size("_hs"))
+    ex = docs.select("_id", "_m", F.explode("_hs").alias("_tk"))
+    # Document frequency via a count window on the by-token exchange —
+    # NOT a groupBy + join-back, which would shuffle the exploded table
+    # twice more (once for the partial agg, once to re-join postings).
+    ranked = ex.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_tk"))
     )
-    vocab = ex.groupBy("_tk").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = ex.join(vocab, "_tk")
     w = Window.partitionBy("_id").orderBy("_df", "_tk")
     # prefix length m - ceil(t*m) + 1, evaluated per doc in-row
     plen = F.col("_m") - F.ceil(F.col("_m") * F.lit(threshold)) + 1
@@ -1170,12 +1181,12 @@ def prefix_filtered_jaccard(
     )
     sets_a = docs.select(
         F.col("_id").alias("id_a"),
-        F.col("_ts").alias("_ta"),
+        F.col("_hs").alias("_ta"),
         F.col("_m").alias("na"),
     )
     sets_b = docs.select(
         F.col("_id").alias("id_b"),
-        F.col("_ts").alias("_tb"),
+        F.col("_hs").alias("_tb"),
         F.col("_m").alias("nb"),
     )
     verified = (

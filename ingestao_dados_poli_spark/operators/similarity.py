@@ -413,12 +413,27 @@ def embedding_near_dup_pairs(
     ``num_planes="auto"`` sizes the plane count from the corpus via
     ``auto_num_planes`` (one count() — a driver scalar, metadata-cheap
     on parquet) so candidate pairs stay LINEAR in n instead of
-    quadratic at a fixed operating point. The production setting for
-    unknown-size inputs; fixed counts remain for oracle-twin configs
-    whose candidate sets must be reproducible independent of n.
+    quadratic at a fixed operating point, and additionally REBUCKETS
+    the signatures into exactly ``round(n / target)`` buckets
+    (``xxhash64(tbl, sig) mod B``): plane counts quantize bucket
+    population to powers of two — the expected size breathes within a
+    2x band between plane steps, which is exactly the 1.64 → 3.67
+    kB/doc tier oscillation the round-6 scale artifact measured — while
+    the mod pins it AT the target at every n. Same-sig rows always
+    share a bucket, so the candidate set is a strict SUPERSET of the
+    plain-plane candidates (recall can only go up); the merged-bucket
+    extras are random, bounded by the constant bucket size, and
+    rejected by the exact cosine verify like any other non-dup
+    candidate. The production setting for unknown-size inputs; fixed
+    counts remain for oracle-twin configs whose candidate sets must be
+    reproducible independent of n.
     """
+    rebucket: int | None = None
     if num_planes == "auto":
-        num_planes = auto_num_planes(df.count())
+        n_rows = df.count()
+        target = 32  # auto_num_planes' target_bucket_size default
+        num_planes = auto_num_planes(n_rows, target_bucket_size=target)
+        rebucket = max(1, int(round(n_rows / target)))
     if num_planes == 0:
         # Degenerate-exact mode: every signature is trivially the
         # constant 0 (no planes → no bits), so every table is ONE
@@ -532,6 +547,12 @@ def embedding_near_dup_pairs(
     # Production (probabilistic) mode: score IN-ROW before the
     # cross-table dedup — see the shuffle-bytes note above; the many
     # salted groups provide the parallelism the degenerate mode lacks.
+    if rebucket is not None:
+        # auto mode: pin the expected bucket size at the target exactly
+        # (see docstring) — pmod keeps the key non-negative.
+        sigs = sigs.withColumn(
+            "sig", F.pmod(F.xxhash64("tbl", "sig"), F.lit(rebucket))
+        )
     banded = sigs.select(F.struct("_id", "_v").alias("doc"), "tbl", "sig")
     sim = cosine(F.col("p.id_a._v"), F.col("p.id_b._v")).cast("double")
     if score_round is not None:

@@ -82,6 +82,35 @@ def _events_ts(df: DataFrame) -> DataFrame:
 
 
 
+def _scratch(prefix: str) -> str:
+    """mkdtemp registered for atexit removal. Several queries return
+    DataFrames that lazily read sink/state parquet at driver collect
+    time, so in-function rmtree would pull the bytes out from under the
+    result; process-exit cleanup is the earliest safe point, and it
+    stops repeated runs under different pids from accumulating orphan
+    directories in /tmp (round-5 ADVICE). mkdtemp (not a pid-suffixed
+    fixed path) also guarantees two concurrent drivers — or a recycled
+    pid — can never cross-wire each other's stateful stores (round-6
+    ADVICE on q300's fingerprint-store lifecycle assertions)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _is_nanos_schema_error(e: Exception) -> bool:
+    """True iff ``e`` is the parquet schema-conversion failure the
+    TIMESTAMP(NANOS) testdata vintage raises at read.parquet. Anything
+    else (missing file, corrupt footer, permissions) must NOT trigger
+    the legacy-flag retry — that would mask the real error behind a
+    confusing second failure."""
+    msg = str(e)
+    return "TIMESTAMP(NANOS" in msg or "Illegal Parquet type" in msg
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC pinning lives in the `q` decorator (scoped around the whole
     # query build), NOT here: a set at read time would leak past the
@@ -97,7 +126,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         path = f"{sf_dir}/events.parquet"
         try:
             df = spark.read.parquet(path)
-        except Exception:
+        except Exception as e:
+            if not _is_nanos_schema_error(e):
+                raise
             with scoped_conf(
                 spark, "spark.sql.legacy.parquet.nanosAsLong", "true"
             ):
@@ -120,7 +151,9 @@ def events_compat(spark: SparkSession, sf_dir: str):
     try:
         spark.read.parquet(path)
         needs = False
-    except Exception:
+    except Exception as e:
+        if not _is_nanos_schema_error(e):
+            raise
         needs = True
     if needs:
         with scoped_conf(
@@ -287,6 +320,7 @@ __all__ = [
     "QUERIES",
     "ORACLES",
     "_events_ts",
+    "_scratch",
     "_t",
     "events_compat",
     "q",

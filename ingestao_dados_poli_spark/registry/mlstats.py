@@ -23,6 +23,7 @@ from ingestao_dados_poli_spark.registry._base import (
     F,
     SparkSession,
     Window,
+    _scratch,
     _t,
     q,
 )
@@ -1005,10 +1006,6 @@ def q300_dedup_mix_eval_pipeline(
     unpartitioned windows are over dozens of rows at any corpus
     size, and the cell products route through decimal(38,0) ahead
     of the BIGINT range."""
-    import atexit
-    import os as _os
-    import shutil as _shutil
-
     from ingestao_dados_poli_spark.operators import dedup as DD
     from ingestao_dados_poli_spark.sources import versioned as V
 
@@ -1022,12 +1019,11 @@ def q300_dedup_mix_eval_pipeline(
             (did + 50000).alias("doc_id"), "text", "lang", "source"
         )
     )
-    pid = _os.getpid()
-    store = f"/tmp/q300_fp_{pid}"
-    pub = f"/tmp/q300_pub_{pid}"
-    for d in (store, pub):
-        _shutil.rmtree(d, ignore_errors=True)
-        atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    # fresh mkdtemp dirs (never pid-suffixed fixed paths): pid recycling
+    # or a shared /tmp across concurrent drivers could cross-wire the
+    # fingerprint store and fail the versions==[1,2] lifecycle assertion
+    store = _scratch("q300_fp_")
+    pub = _scratch("q300_pub_")
     s1, _ = DD.dedup_ingest_batch(spark, b1, store, "text", "doc_id")
     s2, _ = DD.dedup_ingest_batch(spark, b2, store, "text", "doc_id")
     corpus = s1.unionByName(s2).select("doc_id", "lang", "source")

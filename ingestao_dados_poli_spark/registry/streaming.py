@@ -8,22 +8,7 @@ from `._base`, so importing this module populates QUERIES/ORACLES.
 """
 
 from ingestao_dados_poli_spark.registry._base import *  # noqa: F401,F403
-
-
-def _scratch(prefix: str) -> str:
-    """mkdtemp registered for atexit removal. Several streaming queries
-    return DataFrames that lazily read sink/state parquet at driver
-    collect time, so in-function rmtree would pull the bytes out from
-    under the result; process-exit cleanup is the earliest safe point,
-    and it stops repeated runs under different pids from accumulating
-    orphan directories in /tmp (round-5 ADVICE)."""
-    import atexit
-    import shutil
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+from ingestao_dados_poli_spark.registry._base import _scratch  # round-7: hoisted to _base
 
 
 # --------------------------------------------- 19. streaming end-to-end

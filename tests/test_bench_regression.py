@@ -24,6 +24,12 @@ import statistics
 _ROOT = pathlib.Path(__file__).parent.parent
 _RATIO = 2.0
 _ABS_DELTA = 0.5  # seconds — sub-second timings are too noisy to gate
+# Host-speed shifts outside this band are not plausible co-tenant noise
+# on this box (observed round-to-round medians: 0.85x-1.3x). Clamping
+# keeps the normalization from absorbing a GENUINE uniform regression —
+# e.g. a session-conf change slowing all 300 queries 1.9x would
+# otherwise pass the gate as "the host got slower".
+_SCALE_BAND = (0.6, 1.8)
 
 
 def test_no_cross_round_bench_regressions():
@@ -43,9 +49,15 @@ def test_no_cross_round_bench_regressions():
     # per-query ratio estimates that shift robustly (a real regression
     # in a handful of queries cannot move the median of ~300); the
     # gate then flags queries that moved >2x AGAINST the field.
-    scale = statistics.median(
+    ratios = [
         t_new / t_old for _, t_old, t_new in common if t_old >= 0.2
+    ]
+    assert ratios, (
+        "no common query with baseline >=0.2s between BENCH_baseline.json "
+        "and BENCH_local.json — the artifacts are disjoint; refreeze the "
+        "baseline with tools/freeze_bench_baseline.py"
     )
+    scale = min(max(statistics.median(ratios), _SCALE_BAND[0]), _SCALE_BAND[1])
     movers = {}
     for name, t_old, t_new in common:
         expected = scale * t_old

@@ -86,6 +86,34 @@ def test_events_compat_scopes_only_when_needed(spark, sf_dir, nanos_sf_dir):
     )
 
 
+def test_t_missing_events_raises_original_error(spark, tmp_path):
+    """The nanos fallback must fire ONLY on the TIMESTAMP(NANOS)
+    schema-conversion failure — a missing file (or any other reader
+    error) must surface the ORIGINAL exception, not a confusing second
+    failure from the legacy-flag retry (round-6 advice)."""
+    empty = tmp_path / "sfempty"
+    empty.mkdir()
+    with pytest.raises(Exception) as ei:
+        _t(spark, str(empty), "events")
+    msg = str(ei.value)
+    assert "PATH_NOT_FOUND" in msg or "Path does not exist" in msg, msg
+    # and the retry never ran, so the flag never flipped
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        == "false"
+    )
+
+
+def test_events_compat_missing_file_raises(spark, tmp_path):
+    empty = tmp_path / "sfempty2"
+    empty.mkdir()
+    with pytest.raises(Exception) as ei:
+        with events_compat(spark, str(empty)):
+            pass
+    msg = str(ei.value)
+    assert "PATH_NOT_FOUND" in msg or "Path does not exist" in msg, msg
+
+
 def test_q_decorator_restores_host_timezone(spark, sf_dir):
     """The UTC pin is scoped to the query build: a host session's own
     timezone must be back in force after the call (round-5 verdict

@@ -93,9 +93,16 @@ def test_write_clustered_improves_both_column_localities(spark, tmp_path):
     for c in ("x", "y"):
         s_plain = _per_file_span(spark, plain, c)
         s_clustered = _per_file_span(spark, clustered, c)
-        # 8 files of a z-ordered 2-d grid cover ~sqrt(1/8) of each axis;
-        # give slack but require a real improvement on BOTH columns.
-        assert s_clustered < 0.6 * s_plain, (c, s_clustered, s_plain)
+        # The plain row-order write must span ~the whole range per file
+        # (else the 0.65x bound below would be a hollow claim).
+        assert s_plain > 0.85, (c, s_plain)
+        # 8 files of a z-ordered 2-d grid cover ~sqrt(1/8) of each axis.
+        # Bound set from measured variance, not the ideal: z-cut
+        # boundaries come from repartitionByRange's RangePartitioner
+        # sampling, which shifts with session history (full-suite runs
+        # measured up to 0.6014 where isolated runs give ~0.55); 0.65
+        # still pins a real >=35% per-file span cut on BOTH columns.
+        assert s_clustered < 0.65 * s_plain, (c, s_clustered, s_plain)
 
 
 def test_write_clustered_constant_column(spark, tmp_path):

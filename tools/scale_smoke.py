@@ -369,12 +369,13 @@ def main() -> None:
             "this — the small tier broadcast the keep-set, the huge "
             "tier shuffled the corpus; the operator's true curve is "
             "linear in corpus bytes).",
-            "embed_neardup": "auto_num_planes quantizes to "
-            "ceil(log2(n/target)), so the expected bucket size — and "
-            "with it candidate pairs/doc — oscillates within "
-            "[target/2, target] between plane steps; per-doc shuffle "
-            "bytes breathe by up to ~2x across tiers but are bounded "
-            "by construction, not divergent.",
+            "embed_neardup": "auto mode rebuckets signatures into "
+            "exactly round(n/target) buckets (xxhash64(tbl,sig) mod B) "
+            "on top of the ceil(log2(n/target)) plane count, so the "
+            "expected bucket size — and with it candidate pairs/doc — "
+            "is pinned AT the target at every tier instead of "
+            "breathing within the power-of-two quantization band "
+            "(round 6 measured 1.64 -> 3.67 kB/doc from that band).",
         },
     }
     if huge_tier:
