@@ -64,6 +64,22 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def _range_sliced(spark, n: int, rows_per_task: int = 64) -> DataFrame:
+    """``spark.range(n)`` with the partition count sized to the data:
+    ``min(defaultParallelism, ceil(n / rows_per_task))``. The synthetic
+    generators feed mapInPandas stages, and a default 32-way range of a
+    256-row table hands each Python worker an 8-row batch — the
+    per-task Arrow round-trip dominates the work (measured: q40's
+    whole cost was task overhead, the sha256 math is microseconds).
+    At real scale the cap never binds (n/rows_per_task exceeds the
+    session parallelism immediately), so this only de-fragments the
+    config-sized test tables."""
+    n_parts = max(1, min(
+        spark.sparkContext.defaultParallelism, -(-n // rows_per_task)
+    ))
+    return spark.range(0, n, 1, n_parts)
+
+
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real decoder+encoder: derive ``dim``
     floats in [0,1) from sha256 of the bytes. Replace with a real model
@@ -195,7 +211,7 @@ def synthetic_ppm_media(
                 }
             )
 
-    return spark.range(n).mapInPandas(fn, schema=MEDIA_SCHEMA)
+    return _range_sliced(spark, n).mapInPandas(fn, schema=MEDIA_SCHEMA)
 
 
 def encode_wav_pcm16(samples, rate: int = 16000) -> bytes:
@@ -312,7 +328,7 @@ def synthetic_wav_media(
                 }
             )
 
-    return spark.range(n).mapInPandas(fn, schema=MEDIA_SCHEMA)
+    return _range_sliced(spark, n).mapInPandas(fn, schema=MEDIA_SCHEMA)
 
 
 def extract_image_features(
@@ -404,7 +420,7 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests (no codec libs needed).
 
     Payload bytes come from sha2 over the id — stable across runs."""
-    base = spark.range(n).select(
+    base = _range_sliced(spark, n).select(
         F.col("id").alias("media_id"),
         F.when(F.pmod("id", F.lit(3)) == 0, "image")
         .when(F.pmod("id", F.lit(3)) == 1, "audio")
@@ -480,7 +496,7 @@ def synthetic_ppm_blocks(
                 }
             )
 
-    return spark.range(2 * n_base).mapInPandas(fn, schema=MEDIA_SCHEMA)
+    return _range_sliced(spark, 2 * n_base).mapInPandas(fn, schema=MEDIA_SCHEMA)
 
 
 AHASH_SCHEMA = StructType(

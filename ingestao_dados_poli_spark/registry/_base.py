@@ -101,6 +101,41 @@ def _scratch(prefix: str) -> str:
     return d
 
 
+def _lit_df(spark: SparkSession, schema_ddl, rows: list[tuple]) -> DataFrame:
+    """Tiny driver-known DataFrame built as a pure-JVM literal plan
+    (``range(1)`` + ``inline(array(struct...))``), NOT
+    ``createDataFrame``: a parallelize-backed frame routes every
+    execution through a Python-RDD scan, and on this box a parquet/sink
+    write of such a frame measures an erratic 0.5-6 s PER WRITE (the
+    q290 sentinel — two rows — was the bench's single biggest line item
+    at ~5 s) while the identical literal plan writes in ~0.2 s flat.
+    The literal plan only wins while it stays SMALL: Catalyst analysis
+    cost grows with the struct-literal count (a 8k-cell CMS partial
+    merge measured 27 s as literals vs 2 s parallelized), so above
+    ~200 rows this falls back to createDataFrame — there the one-off
+    Python scan cost is amortized over real row volume anyway."""
+    from pyspark.sql.types import StructType
+
+    schema = (
+        schema_ddl
+        if isinstance(schema_ddl, StructType)
+        else StructType.fromDDL(schema_ddl)
+    )
+    if not rows or len(rows) > 200:
+        return spark.createDataFrame(rows, schema)
+    fields = schema.fields
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(row, fields)
+            ]
+        )
+        for row in rows
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
+
+
 def _is_nanos_schema_error(e: Exception) -> bool:
     """True iff ``e`` is the parquet schema-conversion failure the
     TIMESTAMP(NANOS) testdata vintage raises at read.parquet. Anything
@@ -320,6 +355,7 @@ __all__ = [
     "QUERIES",
     "ORACLES",
     "_events_ts",
+    "_lit_df",
     "_scratch",
     "_t",
     "events_compat",

@@ -935,9 +935,11 @@ def q293_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------ 166. dedup -> versioned publish -> mix -> drift (pipeline E2E)
 
-@q(
-    "q300_dedup_mix_eval_pipeline",
-    r"""
+# Shared by q300 (batch) and q301 (streaming twin, registry/streaming.py):
+# both run the SAME dedup→publish→mix→drift pipeline over the same two
+# planted ingest batches, so one DuckDB recomputation oracles both — the
+# streaming run must be batching-invariant down to the value hash.
+_PIPELINE_E2E_SQL = r"""
     WITH dn AS (SELECT doc_id, lang, source,
                        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                            AS fp
@@ -979,8 +981,10 @@ def q293_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((1000000 * abs(n_dedup * tot_r - n_raw * tot_d))
                 // (tot_d * tot_r) AS BIGINT) AS drift_micro
     FROM w ORDER BY lang, source
-    """,
-)
+    """
+
+
+@q("q300_dedup_mix_eval_pipeline", _PIPELINE_E2E_SQL)
 def q300_dedup_mix_eval_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1044,6 +1048,20 @@ def q300_dedup_mix_eval_pipeline(
     ded_cells = published.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_dedup")
     )
+    return _mix_drift_profile(raw_cells, ded_cells)
+
+
+def _mix_drift_profile(
+    raw_cells: DataFrame, ded_cells: DataFrame
+) -> DataFrame:
+    """Shared final stage of the pipeline queries (q300 batch, q301
+    streaming twin): full-outer cell join → temperature-scaled mixture
+    weights (alpha=0.5, q98's recipe) → per-cell drift of the deduped
+    mix vs the raw ingest mix in exact integer micro units
+    (cross-multiplied truncating division, q287's idiom). Inputs are
+    (lang, source, n_raw) and (lang, source, n_dedup) cell tables —
+    config-bounded cardinality, so the unpartitioned windows are over
+    dozens of rows at any corpus size."""
     cells = (
         raw_cells.join(ded_cells, ["lang", "source"], "full_outer")
         .select(

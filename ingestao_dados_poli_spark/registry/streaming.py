@@ -805,13 +805,27 @@ def q190_streaming_gated_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     work = _scratch("q190_")
     shard_dir = f"{work}/shards"
+    # ONE scan + partitioned write (was: four filtered scans, one per
+    # shard file). repartition("s") puts each shard value in one task,
+    # so every s=i dir holds exactly one file and maxFilesPerTrigger=1
+    # still yields the 4-micro-batch topology under test.
     shard = F.pmod(F.col("event_id"), F.lit(4))
-    for i in range(4):
-        part = ev.filter(shard == i)
-        if i == 2:  # the planted degraded batch
-            part = part.withColumn("event_type", F.lit(None).cast("string"))
-        part.coalesce(1).write.mode("overwrite").parquet(f"{shard_dir}/s={i}")
-    n_bad = ev.filter(shard == 2).count()
+    (
+        ev.withColumn("s", shard)
+        .withColumn(
+            "event_type",
+            # the planted degraded batch: shard 2's event_type nulled
+            F.when(F.col("s") == 2, F.lit(None).cast("string")).otherwise(
+                F.col("event_type")
+            ),
+        )
+        .repartition("s")
+        .write.mode("overwrite")
+        .partitionBy("s")
+        .parquet(shard_dir)
+    )
+    # footer-metadata count of the written shard — no events re-scan
+    n_bad = spark.read.parquet(f"{shard_dir}/s=2").count()
 
     state: list[DataFrame] = []
 
@@ -898,12 +912,21 @@ def q191_quarantine_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     work = _scratch("q191_")
     shard_dir = f"{work}/shards"
+    # ONE scan + partitioned write (see q190 — same shard topology)
     shard = F.pmod(F.col("event_id"), F.lit(4))
-    for i in range(4):
-        part = ev.filter(shard == i)
-        if i == 2:
-            part = part.withColumn("event_type", F.lit(None).cast("string"))
-        part.coalesce(1).write.mode("overwrite").parquet(f"{shard_dir}/s={i}")
+    (
+        ev.withColumn("s", shard)
+        .withColumn(
+            "event_type",
+            F.when(F.col("s") == 2, F.lit(None).cast("string")).otherwise(
+                F.col("event_type")
+            ),
+        )
+        .repartition("s")
+        .write.mode("overwrite")
+        .partitionBy("s")
+        .parquet(shard_dir)
+    )
 
     state: list[DataFrame] = []
 
@@ -1070,7 +1093,11 @@ def q205_streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination(300)
     assert len(state["mv"]) > 5, "expected MV deltas from multiple batches"
-    mv = spark.createDataFrame(state["mv"])
+    mv = _lit_df(
+        spark,
+        "o_orderpriority string, n_rows long, revenue_cents long",
+        [tuple(r) for r in state["mv"]],
+    )
     return mv.groupBy("o_orderpriority").agg(
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.sum("revenue_cents").cast("long").alias("revenue_cents"),
@@ -1158,9 +1185,10 @@ def q267_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"expected >= 2 micro-batches, got {len(partials)}"
             )
         merged = SK.cms_merge(
-            spark.createDataFrame(
-                [c for cells in partials.values() for c in cells],
+            _lit_df(
+                spark,
                 "depth int, bucket long, cnt long",
+                [c for cells in partials.values() for c in cells],
             )
         )
         return merged.select(
@@ -1249,9 +1277,10 @@ def q283_streaming_seasonal_anomaly(
                 f"expected >= 2 micro-batches, got {len(partials)}"
             )
         merged = (
-            spark.createDataFrame(
-                [c for cells in partials.values() for c in cells],
+            _lit_df(
+                spark,
                 "day date, hod int, c long",
+                [c for cells in partials.values() for c in cells],
             )
             .groupBy("day", "hod")
             .agg(F.sum("c").alias("c"))
@@ -1344,13 +1373,17 @@ def q290_streaming_left_outer_join(
             ev.coalesce(1).write.mode("append").parquet(tmp)
             # sentinel pair 2h past max event time, appended AFTER the
             # main file so the file source processes it last and the
-            # watermark sweeps every real match window
+            # watermark sweeps every real match window. Built via
+            # _lit_df (JVM literal), never createDataFrame: the
+            # Python-RDD-backed 2-row write measured an erratic 5-6 s
+            # — the single biggest line item in this query's cost.
             import datetime as _dt
 
             sent_ts = mx.mx + _dt.timedelta(hours=2)
-            spark.createDataFrame(
-                [(-1, sent_ts, "purchase"), (-1, sent_ts, "click")],
+            _lit_df(
+                spark,
                 ev.schema,
+                [(-1, sent_ts, "purchase"), (-1, sent_ts, "click")],
             ).coalesce(1).write.mode("append").parquet(tmp)
             schema = spark.read.parquet(tmp).schema
             src = (
@@ -1516,9 +1549,10 @@ def q297_streaming_drift_monitor(
                 f"expected >= 2 micro-batches, got {len(partials)}"
             )
         merged = (
-            spark.createDataFrame(
-                [c for cells in partials.values() for c in cells],
+            _lit_df(
+                spark,
                 "grp string, bin int, c long",
+                [c for cells in partials.values() for c in cells],
             )
             .groupBy("bin")
             .agg(
@@ -1568,3 +1602,115 @@ def q297_streaming_drift_monitor(
                 F.col("na") * F.col("nb"),
             ).alias("gap_micro"),
         ).orderBy("bin")
+
+
+# ------ 167. streaming dedup -> publish -> drift pipeline (q300's twin)
+
+@q("q301_streaming_pipeline_e2e", _ML._PIPELINE_E2E_SQL)
+def q301_streaming_pipeline_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q300's end-to-end training-data pipeline with the INGEST ARM
+    STREAMED: the same two planted batches (batch 2 carries cross-batch
+    duplicates of batch 1) arrive as real micro-batches through a file
+    source, each foreachBatch runs the fingerprint-store ingest
+    (q133's lifecycle — batch 2's dedup plan reads only 16-byte
+    fingerprints, never batch 1's text) and persists its survivors
+    keyed by batch_id (at-least-once safe: overwrite, never append);
+    after the drain, the survivor corpus is PUBLISHED through the
+    atomic-commit versioned table, read BACK from its bytes, and the
+    mix/drift stage (shared code with q300, `_ML._mix_drift_profile`)
+    computes mixture weights + drift cells. The oracle is q300's
+    DuckDB recomputation VERBATIM, so the streaming run must be
+    batching-invariant down to the value hash — a fingerprint lost
+    across the micro-batch boundary, a survivor double-folded on
+    retry, or a publish that dropped a row all hash-fail. Lifecycle
+    assertions pin the store at versions [1, 2] (one delta per
+    micro-batch) and the publish at version 1. Batch ORDER rides the
+    file source's modification-time ordering (batch 1's file is
+    written first), matching the oracle's seen-set direction; raw
+    ingest cells fold as per-batch partials keyed by batch_id, the
+    q267/q283 mergeable-state discipline."""
+    from ingestao_dados_poli_spark.operators import dedup as DD
+    from ingestao_dados_poli_spark.sources import versioned as V
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    did = F.col("doc_id")
+    b1 = docs.filter(did < 250)
+    b2 = docs.filter(did >= 250).unionByName(
+        docs.filter(did < 60).select(
+            (did + 50000).alias("doc_id"), "text", "lang", "source"
+        )
+    )
+    src_dir = _scratch("q301_src_")
+    store = _scratch("q301_fp_")
+    pub = _scratch("q301_pub_")
+    surv_dir = _scratch("q301_surv_")
+    ck = _scratch("q301_ck_")
+    # batch 1's file FIRST: the file source orders micro-batches by
+    # modification time, and the store's seen-set must grow in the
+    # same direction the oracle's `seen` CTE assumes
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+    b2.coalesce(1).write.mode("append").parquet(src_dir)
+
+    raw_partials: dict = {}
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        survivors, _ver = DD.dedup_ingest_batch(
+            s, batch_df, store, "text", "doc_id"
+        )
+        # keyed by batch_id and OVERWRITTEN: a retried batch replaces
+        # its own output instead of double-folding
+        survivors.select("doc_id", "lang", "source").write.mode(
+            "overwrite"
+        ).parquet(f"{surv_dir}/batch={int(batch_id)}")
+        raw_partials[int(batch_id)] = [
+            (r.lang, r.source, int(r.n))
+            for r in batch_df.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+
+    src = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    query = (
+        src.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+
+    got = V.committed_versions(spark, store)
+    if got != [1, 2] or len(raw_partials) != 2:
+        raise AssertionError(
+            f"streamed ingest drifted: store versions {got}, "
+            f"{len(raw_partials)} micro-batches (expected 2 of each)"
+        )
+    corpus = spark.read.parquet(f"{surv_dir}/batch=*").select(
+        "doc_id", "lang", "source"
+    )
+    pub_version = V.publish(spark, corpus, pub)
+    if pub_version != 1:
+        raise AssertionError(f"publish version {pub_version}, expected 1")
+    published = V.read_version(spark, pub, pub_version)
+
+    raw_cells = (
+        _lit_df(
+            spark,
+            "lang string, source string, n long",
+            [c for cells in raw_partials.values() for c in cells],
+        )
+        .groupBy("lang", "source")
+        .agg(F.sum("n").alias("n_raw"))
+    )
+    ded_cells = published.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_dedup")
+    )
+    return _ML._mix_drift_profile(raw_cells, ded_cells)

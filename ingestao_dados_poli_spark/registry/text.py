@@ -1133,8 +1133,11 @@ def q185_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ver, metric_names[i], int(res.get("unexpected_count", 0)))
             for i, res in enumerate(report["results"])
         ]
-        snap = spark.createDataFrame(
-            rows, "run long, metric string, violations long"
+        # _lit_df, not createDataFrame: publish() parquet-writes this
+        # snapshot, and a Python-RDD-backed tiny write costs an erratic
+        # 0.5-6 s on this box vs ~0.2 s for the JVM-literal plan
+        snap = _lit_df(
+            spark, "run long, metric string, violations long", rows
         )
         V.publish(spark, snap, hist)
     history = V.read_version(spark, hist, 1).unionByName(
