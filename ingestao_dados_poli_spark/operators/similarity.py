@@ -564,8 +564,15 @@ def embedding_near_dup_pairs(
             F.col("p.id_b._id").alias("id_b"),
             sim.alias("cos_sim"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # threshold BEFORE the cross-table dedup: the verify already ran
+        # in-row, so the dedup exchange need only carry pairs that PASS
+        # — candidates are ~bucket_size/2 per doc while true near-dups
+        # are a handful, so this is the difference between a constant
+        # ~2 kB/doc dedup shuffle and a near-zero one. Equivalent rows:
+        # a pair seen from two tables carries the identical score, so
+        # filter-then-dedup == dedup-then-filter.
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
