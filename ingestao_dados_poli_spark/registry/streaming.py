@@ -57,7 +57,7 @@ def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         agg = tumbling_counts(src, window_len="1 hour", watermark="10 minutes")
         name = f"q46_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
+        with state_partitions(spark, 2):
             query = (
                 agg.writeStream.format("memory")
                 .queryName(name)
@@ -129,7 +129,7 @@ def q75_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             src, window_len="1 hour", slide="30 minutes", watermark="10 minutes"
         )
         name = f"q75_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
+        with state_partitions(spark, 2):
             query = (
                 agg.writeStream.format("memory")
                 .queryName(name)
@@ -191,7 +191,7 @@ def q78_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         doubled = src().unionByName(src())
         deduped = dedup_stream(doubled, ["event_id"])
         name = f"q78_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
+        with state_partitions(spark, 2):
             query = (
                 deduped.writeStream.format("memory")
                 .queryName(name)
@@ -265,7 +265,7 @@ def q89_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         name = f"q89_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
+        with state_partitions(spark, 2):
             query = (
                 agg.writeStream.format("memory")
                 .queryName(name)
@@ -343,7 +343,7 @@ def q91_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
 
-    with state_partitions(spark, 8):
+    with state_partitions(spark, 2):
         query = (
             src.writeStream.foreachBatch(upsert)
             .option("checkpointLocation", f"{work}/ck_{uuid.uuid4().hex[:8]}")
@@ -420,7 +420,7 @@ def q92_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark="30 minutes",
         )
         name = f"q92_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
+        with state_partitions(spark, 2):
             query = (
                 joined.writeStream.format("memory")
                 .queryName(name)
@@ -490,7 +490,7 @@ def q129_streaming_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per call leaked one dir per run)
         ck = f"/tmp/q129_ck_{_os.getpid()}"
         _shutil.rmtree(ck, ignore_errors=True)
-        with state_partitions(spark, 8), rocksdb_state(
+        with state_partitions(spark, 2), rocksdb_state(
             spark, bounded_memory_mb=512
         ):
             query = (
@@ -575,7 +575,7 @@ def q152_streaming_session_window(
         )
         agg = session_window_counts(src, gap="30 minutes", watermark="10 minutes")
         name = f"q152_sink_{uuid.uuid4().hex[:8]}"
-        with state_partitions(spark, 8):
+        with state_partitions(spark, 2):
             query = (
                 agg.writeStream.format("memory")
                 .queryName(name)
@@ -648,7 +648,7 @@ def q154_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(shard_dir)
     )
-    with state_partitions(spark, 8):
+    with state_partitions(spark, 2):
         q_ = (
             src.writeStream.foreachBatch(fold)
             .option("checkpointLocation", f"{work}/ck")
@@ -746,7 +746,7 @@ def q182_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(shard_dir)
     )
-    with state_partitions(spark, 8):
+    with state_partitions(spark, 2):
         q_ = (
             src.writeStream.foreachBatch(enrich)
             .option("checkpointLocation", f"{work}/ck")
@@ -851,7 +851,7 @@ def q190_streaming_gated_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{shard_dir}/s=*")
     )
-    with state_partitions(spark, 8):
+    with state_partitions(spark, 2):
         q_ = (
             src.writeStream.foreachBatch(body)
             .option("checkpointLocation", f"{work}/ck")
@@ -952,7 +952,7 @@ def q191_quarantine_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{shard_dir}/s=*")
     )
-    with state_partitions(spark, 8):
+    with state_partitions(spark, 2):
         q_ = (
             src.writeStream.foreachBatch(body)
             .option("checkpointLocation", f"{work}/ck")
@@ -1084,7 +1084,7 @@ def q205_streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ingestao_dados_poli_spark.streaming.stream_ops import state_partitions
 
-    with state_partitions(spark, 8):
+    with state_partitions(spark, 2):
         query = (
             src.writeStream.foreachBatch(fold)
             .option("checkpointLocation", f"{work}/ck_{uuid.uuid4().hex[:8]}")
@@ -1409,11 +1409,13 @@ def q290_streaming_left_outer_join(
             # shard; at this stream's volume the 32-way batch default
             # spends the micro-batch committing empty stores (q92's
             # measured 7.4 -> 2.3 s lesson — 29.6 s here before
-            # scoping). Swept 8/4/2 at sf0.1: 8.1/3.6/3.3 s — the store
-            # COMMIT (files per store per shard per batch) dominates,
-            # so 4 shards; rows/shard stays ~10k, far from any memory
-            # bound, and production sizing scales shards with volume.
-            with SO.state_partitions(spark, 4):
+            # scoping). The store COMMIT (files per store per shard
+            # per batch) dominates at test volumes, so the whole
+            # streaming family runs 2 shards (round-7 sweep: q290
+            # 7.4/4.7 s at 4/2, q92 4.4/3.7/2.7 at 8/4/2); rows/shard
+            # stays ~20k, far from any memory bound, and production
+            # sizing scales shards with stream volume.
+            with SO.state_partitions(spark, 2):
                 query = (
                     joined.writeStream.format("parquet")
                     .option("path", sink)
