@@ -1148,6 +1148,12 @@ def prefix_filtered_jaccard(
     # Document frequency via a count window on the by-token exchange —
     # NOT a groupBy + join-back, which would shuffle the exploded table
     # twice more (once for the partial agg, once to re-join postings).
+    # (Slimming _m out of the exploded table and re-deriving it as a
+    # count window was A/B-measured byte-neutral: lz4 erases the
+    # per-doc-constant column, so the extra WindowExec bought nothing.
+    # The residual ~10 kB/doc floor is the prefix self-join plus the
+    # exact-verify joins carrying the hashed token SETS — information
+    # the lossless verify genuinely needs.)
     ranked = ex.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("_tk"))
     )
