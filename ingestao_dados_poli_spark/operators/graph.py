@@ -268,13 +268,20 @@ def pagerank_integer(
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).localCheckpoint(eager=True)
+    # nodes and out_deg are ~|V| rows but DERIVED from the |E|-row edge
+    # table; without their own lineage cuts every iteration's
+    # ranks-rebuild re-runs the distinct/groupBy over all edges —
+    # 2 extra full edge passes per round (measured ~35% of q131).
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    out_deg = e.groupBy(F.col("_s").alias("node")).agg(
-        F.count(F.lit(1)).alias("_deg")
+    out_deg = (
+        e.groupBy(F.col("_s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # scalar, config-cardinality driver value
     ranks = nodes.withColumn("mass", F.lit(start_mass).cast("long"))

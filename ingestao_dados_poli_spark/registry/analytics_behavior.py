@@ -475,9 +475,10 @@ def q174_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the main action: one pass; metrics ride it
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
-        [(int(m["n_rows"]), float(m["total"]), int(m["n_large"]))],
+    return _lit_df(
+        spark,
         "n_rows long, total double, n_large long",
+        [(int(m["n_rows"]), float(m["total"]), int(m["n_large"]))],
     )
 
 
@@ -1088,9 +1089,10 @@ def q213_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"HLL estimate {row['direct']} outside 5% of exact {row['exact']}"
         )
-    return spark.createDataFrame(
-        [(int(row["exact"]), True, True)],
+    return _lit_df(
+        spark,
         "n_exact long, merge_within_2pct boolean, est_within_5pct boolean",
+        [(int(row["exact"]), True, True)],
     )
 
 
@@ -1347,7 +1349,10 @@ def q216_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         if abs(est - exact) > 0.02 * max(exact, 50):
             raise AssertionError(f"theta {tag}: est {est} vs exact {exact}")
-    return spark.createDataFrame(
+    return _lit_df(
+        spark,
+        "n_a long, n_b long, n_inter long, n_union long, n_diff long,"
+        " sketch_within_2pct boolean",
         [
             (
                 int(row["n_a"]),
@@ -1358,8 +1363,6 @@ def q216_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 True,
             )
         ],
-        "n_a long, n_b long, n_inter long, n_union long, n_diff long,"
-        " sketch_within_2pct boolean",
     )
 
 
@@ -1453,7 +1456,10 @@ def q217_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         if abs(r - qq) > 0.03:
             raise AssertionError(f"kll quantile q{tag} has exact rank {r}")
     p25, p50, p75, p95 = row["pcts"]
-    return spark.createDataFrame(
+    return _lit_df(
+        spark,
+        "n_lines long, p25_cents double, p50_cents double, p75_cents double,"
+        " p95_cents double, sketch_rank_within_3pct boolean",
         [
             (
                 int(row["n"]),
@@ -1464,8 +1470,6 @@ def q217_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 True,
             )
         ],
-        "n_lines long, p25_cents double, p50_cents double, p75_cents double,"
-        " p95_cents double, sketch_rank_within_3pct boolean",
     )
 
 

@@ -1209,9 +1209,10 @@ def q285_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     intercept = lower_median_value(resid, "r")
-    return spark.createDataFrame(
-        [(n_weeks, n_pairs, slope, intercept)],
+    return _lit_df(
+        spark,
         "n_weeks long, n_pairs long, slope_micro long, intercept_micro long",
+        [(n_weeks, n_pairs, slope, intercept)],
     )
 
 
@@ -1508,9 +1509,10 @@ def q292_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     p25 = q_at((m + 3) // 4)
     p50 = q_at((m + 1) // 2)
     p75 = q_at((3 * m + 3) // 4)
-    return spark.createDataFrame(
-        [(m, p25, p50, p75)],
+    return _lit_df(
+        spark,
         "n_users long, p25_s long, p50_s long, p75_s long",
+        [(m, p25, p50, p75)],
     )
 
 

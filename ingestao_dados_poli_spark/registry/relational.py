@@ -718,9 +718,10 @@ def q48_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a literal-sized interval table; keyed range joins at scale go
     through range_join(partition_keys=...) instead."""
     li = _t(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
+    bands = _lit_df(
+        spark,
+        "band string, lo long, hi long",
         [("xs", 0, 10), ("s", 10, 20), ("m", 20, 30), ("l", 30, 40), ("xl", 40, 60)],
-        ["band", "lo", "hi"],
     )
     joined = R.range_join(li, F.broadcast(bands), "l_quantity", "lo", "hi")
     return joined.groupBy("band").agg(

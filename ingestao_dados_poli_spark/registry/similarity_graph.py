@@ -1153,7 +1153,7 @@ def q279_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, x[i - 1]) for i in range(1, d + 1)]
         + [(0, lam_div6), (-1, evr_micro)]
     )
-    return spark.createDataFrame(rows, "dim int, val long").orderBy("dim")
+    return _lit_df(spark, "dim int, val long", rows).orderBy("dim")
 
 
 # --------------------- 153. duplication source matrix (curation view)
@@ -1409,7 +1409,8 @@ def q294_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).count()
     permille = (1000 * n_closed) // n_wedges if n_wedges else 0
-    return spark.createDataFrame(
-        [(n_edges, n_wedges, n_closed, permille)],
+    return _lit_df(
+        spark,
         "n_edges long, n_wedges long, n_closed long, closure_permille long",
+        [(n_edges, n_wedges, n_closed, permille)],
     )

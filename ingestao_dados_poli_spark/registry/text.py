@@ -146,7 +146,7 @@ def q38_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (r["rule"], int(r.get("unexpected_count", 0))) for r in report["results"]
     ]
-    return spark.createDataFrame(rows, "rule string, unexpected long")
+    return _lit_df(spark, "rule string, unexpected long", rows)
 
 
 

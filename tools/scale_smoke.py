@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ingestao_dados_poli_spark.operators import corpus as CO
 from ingestao_dados_poli_spark.operators import dedup as DD
 from ingestao_dados_poli_spark.operators import fuzzy as FZ
+from ingestao_dados_poli_spark.operators import graph as G
 from ingestao_dados_poli_spark.operators import relational as R
 from ingestao_dados_poli_spark.operators import similarity as SIM
 from ingestao_dados_poli_spark.functions import text as TX
@@ -128,6 +129,43 @@ def synth_vecs(spark, n: int, dim: int = 32, dup_rate: float = 0.1):
     )
 
 
+def synth_edges(spark, n: int, block: int = 4):
+    """~n-row undirected edge list over n nodes: chains inside blocks
+    of ``block`` nodes (edge i->i+1 except across a block boundary),
+    so ~n*(block-1)/block edges and a graph DIAMETER fixed at block-1
+    at every tier — the dedup-graph regime (quasi-cliques / short
+    chains). A fixed diameter pins the iterative ops' round count, so
+    the per-edge shuffle curve isolates per-round join+agg cost from
+    iteration-count drift."""
+    return (
+        spark.range(n - 1)
+        .filter((F.col("id") + 1) % block != 0)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+
+
+def synth_clique_edges(spark, n: int, block: int = 4):
+    """K4 clique blocks over n nodes (n divisible by 4): 6 edges and 4
+    triangles per block — a BOUNDED-DEGREE graph (deg 3 everywhere),
+    the regime triangle counting's canonical orientation promises
+    linear wedge fan-out for. Per-edge shuffle bytes must stay flat as
+    blocks multiply; a superlinear curve here means the wedge join
+    stopped being degree-bounded."""
+    blk_end = (F.floor(F.col("id") / block) * block + block - 1).cast("long")
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.when(
+                    F.col("id") < blk_end,
+                    F.sequence(F.col("id") + 1, blk_end),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("dst"),
+        )
+    )
+
+
 def time_op(fn) -> float:
     t0 = time.time()
     fn().write.format("noop").mode("overwrite").save()
@@ -206,6 +244,19 @@ def main() -> None:
         lambda: SIM.embedding_near_dup_pairs(warm_vecs, dim=32, threshold=0.9)
     )
     warm_vecs.unpersist()
+    warm_g = synth_edges(spark, 500).cache()
+    warm_g.count()
+    for op in (
+        lambda: G.connected_components(warm_g, algorithm="flood", max_iter=8),
+        lambda: G.pagerank_integer(warm_g, iterations=3),
+        lambda: G.label_propagation(warm_g, rounds=2),
+    ):
+        time_op(op)
+    warm_g.unpersist()
+    warm_kg = synth_clique_edges(spark, 500).cache()
+    warm_kg.count()
+    time_op(lambda: G.triangle_count(warm_kg))
+    warm_kg.unpersist()
 
     def run(res: dict, name: str, fn) -> None:
         # time AND shuffle-write bytes per op: bytes are the honest
@@ -335,11 +386,41 @@ def main() -> None:
             extra_keys=["k"],
         ))
         iv.unpersist()
+        # iterative graph ops (CC min-label flood / integer PageRank /
+        # sync LPA): the synthetic graph's diameter is FIXED at 3 across
+        # tiers (see synth_edges), so every tier runs the same round
+        # count and per-edge bytes measure the per-round linear cost —
+        # the claim q65/q131/q211 ride on at 100 TB. The ops cut lineage
+        # with localCheckpoint internally; those materialization jobs'
+        # shuffles are inside the timed/diffed window.
+        g = synth_edges(spark, n).cache()
+        g.count()
+        run(res, "graph_cc", lambda: G.connected_components(
+            g, algorithm="flood", max_iter=8))
+        run(res, "graph_pagerank", lambda: G.pagerank_integer(
+            g, iterations=3))
+        run(res, "graph_lpa", lambda: G.label_propagation(g, rounds=2))
+        g.unpersist()
+        # wedge-join triangle counting on K4 clique blocks (degree 3
+        # everywhere): exactly n triangles by construction, asserted —
+        # and the quadratic-risk wedge intermediate must stay linear
+        # for bounded degree (canonical lo<hi orientation)
+        kg = synth_clique_edges(spark, n).cache()
+        kg.count()
+        run(res, "graph_triangles", lambda: G.triangle_count(kg))
+        n_tri = G.triangle_count(kg).collect()[0][0]  # 1-row scalar probe
+        if n_tri != n:
+            raise AssertionError(
+                f"triangle_count drifted at n={n}: {n_tri} (expect {n})"
+            )
+        kg.unpersist()
 
     all_ops = ("exact", "span_dedup", "inverted_index", "minhash",
                "minhash_hotbucket", "simhash", "jaccard", "prefix_jaccard",
                "boiler_hash", "boiler_str", "fuzzy", "embed_neardup",
-               "gram_matrix", "interval_join")
+               "gram_matrix", "interval_join",
+               "graph_cc", "graph_pagerank", "graph_lpa",
+               "graph_triangles")
     scaling = {
         op: round(results["big"][op] / max(results["small"][op], 0.01), 1)
         for op in all_ops
