@@ -124,6 +124,14 @@ def _lit_df(spark: SparkSession, schema_ddl, rows: list[tuple]) -> DataFrame:
     if not rows or len(rows) > 200:
         return spark.createDataFrame(rows, schema)
     fields = schema.fields
+    for row in rows:
+        # zip() would silently truncate a row/schema arity mismatch
+        # where createDataFrame raises — keep the loud failure
+        if len(row) != len(fields):
+            raise ValueError(
+                f"_lit_df row has {len(row)} values for {len(fields)} "
+                f"schema fields: {row!r}"
+            )
     structs = [
         F.struct(
             *[

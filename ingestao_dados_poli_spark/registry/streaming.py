@@ -765,6 +765,29 @@ def q182_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _write_degraded_shards(ev: DataFrame, shard_dir: str) -> None:
+    """events sharded on event_id % 4 with shard 2's event_type nulled
+    (the planted degraded batch), written in ONE scan as a partitioned
+    parquet dir: repartition("s") puts each shard value in one task so
+    every s=i dir holds exactly one file and maxFilesPerTrigger=1
+    yields the 4-micro-batch topology q190 and q191 both stream —
+    shared so the twins' shard topology can't silently diverge."""
+    shard = F.pmod(F.col("event_id"), F.lit(4))
+    (
+        ev.withColumn("s", shard)
+        .withColumn(
+            "event_type",
+            F.when(F.col("s") == 2, F.lit(None).cast("string")).otherwise(
+                F.col("event_type")
+            ),
+        )
+        .repartition("s")
+        .write.mode("overwrite")
+        .partitionBy("s")
+        .parquet(shard_dir)
+    )
+
+
 # ------------- 132. streaming MV maintenance behind the quality publish gate
 
 @q(
@@ -805,25 +828,7 @@ def q190_streaming_gated_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     work = _scratch("q190_")
     shard_dir = f"{work}/shards"
-    # ONE scan + partitioned write (was: four filtered scans, one per
-    # shard file). repartition("s") puts each shard value in one task,
-    # so every s=i dir holds exactly one file and maxFilesPerTrigger=1
-    # still yields the 4-micro-batch topology under test.
-    shard = F.pmod(F.col("event_id"), F.lit(4))
-    (
-        ev.withColumn("s", shard)
-        .withColumn(
-            "event_type",
-            # the planted degraded batch: shard 2's event_type nulled
-            F.when(F.col("s") == 2, F.lit(None).cast("string")).otherwise(
-                F.col("event_type")
-            ),
-        )
-        .repartition("s")
-        .write.mode("overwrite")
-        .partitionBy("s")
-        .parquet(shard_dir)
-    )
+    _write_degraded_shards(ev, shard_dir)
     # footer-metadata count of the written shard — no events re-scan
     n_bad = spark.read.parquet(f"{shard_dir}/s=2").count()
 
@@ -912,21 +917,7 @@ def q191_quarantine_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     work = _scratch("q191_")
     shard_dir = f"{work}/shards"
-    # ONE scan + partitioned write (see q190 — same shard topology)
-    shard = F.pmod(F.col("event_id"), F.lit(4))
-    (
-        ev.withColumn("s", shard)
-        .withColumn(
-            "event_type",
-            F.when(F.col("s") == 2, F.lit(None).cast("string")).otherwise(
-                F.col("event_type")
-            ),
-        )
-        .repartition("s")
-        .write.mode("overwrite")
-        .partitionBy("s")
-        .parquet(shard_dir)
-    )
+    _write_degraded_shards(ev, shard_dir)
 
     state: list[DataFrame] = []
 
@@ -1660,16 +1651,28 @@ def q301_streaming_pipeline_e2e(
     raw_partials: dict = {}
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        # at-least-once discipline, two cases. (1) A COMPLETED batch
+        # redelivered is skipped outright: raw_partials is written as
+        # the LAST step, so its presence proves the store version,
+        # survivors dir, and raw cells all landed — re-running would
+        # dedup the batch against its own fingerprints and overwrite
+        # the survivors dir with an empty set. (2) A batch that failed
+        # MIDWAY (store version published, survivors not yet written)
+        # re-ingests and publishes an EXTRA store version, which the
+        # versions==[1,2] lifecycle assertion below fails LOUDLY after
+        # the drain — an interrupted ingest can crash the query, never
+        # silently lose rows.
+        if bid in raw_partials:
+            return
         s = batch_df.sparkSession
         survivors, _ver = DD.dedup_ingest_batch(
             s, batch_df, store, "text", "doc_id"
         )
-        # keyed by batch_id and OVERWRITTEN: a retried batch replaces
-        # its own output instead of double-folding
         survivors.select("doc_id", "lang", "source").write.mode(
             "overwrite"
-        ).parquet(f"{surv_dir}/batch={int(batch_id)}")
-        raw_partials[int(batch_id)] = [
+        ).parquet(f"{surv_dir}/batch={bid}")
+        raw_partials[bid] = [
             (r.lang, r.source, int(r.n))
             for r in batch_df.groupBy("lang", "source")
             .agg(F.count(F.lit(1)).alias("n"))

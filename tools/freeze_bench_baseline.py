@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
         a = argv[i]
         if a == "--adjudicate":
             i += 1
+            if i >= len(argv):
+                print("--adjudicate needs qNNN=note, got nothing")
+                return 2
             a = argv[i]
             name, _, note = a.partition("=")
             if not note:

@@ -405,13 +405,14 @@ def main() -> None:
         # everywhere): exactly n triangles by construction, asserted —
         # and the quadratic-risk wedge intermediate must stay linear
         # for bounded degree (canonical lo<hi orientation)
-        kg = synth_clique_edges(spark, n).cache()
+        nk = n - n % 4  # K4 blocks need 4 | n; free-form CLI sizes don't
+        kg = synth_clique_edges(spark, nk).cache()
         kg.count()
         run(res, "graph_triangles", lambda: G.triangle_count(kg))
         n_tri = G.triangle_count(kg).collect()[0][0]  # 1-row scalar probe
-        if n_tri != n:
+        if n_tri != nk:
             raise AssertionError(
-                f"triangle_count drifted at n={n}: {n_tri} (expect {n})"
+                f"triangle_count drifted at n={nk}: {n_tri} (expect {nk})"
             )
         kg.unpersist()
 
