@@ -53,15 +53,14 @@ def test_no_cross_round_bench_regressions():
     # per-query ratio (clamped so a GENUINE uniform regression can't
     # hide as "the host got slower") and flags queries that moved
     # >2x AGAINST the field with >0.5s absolute delta.
-    common_gate = [
-        t_old
+    assert any(
+        t_old >= tool._MIN_BASE
         for name, t_old in base["queries"].items()
-        if name in cur["queries"] and t_old >= 0.2
-    ]
-    assert common_gate, (
-        "no common query with baseline >=0.2s between BENCH_baseline.json "
-        "and BENCH_local.json — the artifacts are disjoint; refreeze the "
-        "baseline with tools/freeze_bench_baseline.py"
+        if name in cur["queries"]
+    ), (
+        f"no common query with baseline >={tool._MIN_BASE}s between "
+        "BENCH_baseline.json and BENCH_local.json — the artifacts are "
+        "disjoint; refreeze the baseline with tools/freeze_bench_baseline.py"
     )
     movers = tool.movers_against_field(base["queries"], cur["queries"])
     assert not movers, (

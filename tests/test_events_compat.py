@@ -86,7 +86,28 @@ def test_events_compat_scopes_only_when_needed(spark, sf_dir, nanos_sf_dir):
     )
 
 
-def test_t_missing_events_raises_original_error(spark, tmp_path, monkeypatch):
+@pytest.fixture()
+def scoped_conf_calls(monkeypatch):
+    """Spy on the scoped_conf name _t/events_compat resolve: returns
+    the list of positional-arg tuples it was invoked with. The spy
+    still delegates, so behavior is unchanged — the tests only assert
+    on whether the retry path was ENTERED."""
+    import ingestao_dados_poli_spark.registry._base as B
+
+    calls: list[tuple] = []
+    real = B.scoped_conf
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(B, "scoped_conf", spy)
+    return calls
+
+
+def test_t_missing_events_raises_original_error(
+    spark, tmp_path, scoped_conf_calls
+):
     """The nanos fallback must fire ONLY on the TIMESTAMP(NANOS)
     schema-conversion failure — a missing file (or any other reader
     error) must surface the ORIGINAL exception, not a confusing second
@@ -95,37 +116,23 @@ def test_t_missing_events_raises_original_error(spark, tmp_path, monkeypatch):
     Asserting on the message alone is vacuous — a bare-except retry
     re-raises the SAME PATH_NOT_FOUND, and scoped_conf restores the
     flag on exit either way — so the test spies on scoped_conf and
-    requires the retry path was never ENTERED."""
-    import ingestao_dados_poli_spark.registry._base as B
-
-    calls: list[tuple] = []
-    real = B.scoped_conf
-
-    def spy(*a, **k):
-        calls.append(a)
-        return real(*a, **k)
-
-    monkeypatch.setattr(B, "scoped_conf", spy)
+    requires the retry path was never ENTERED, and separately that the
+    flag never leaked into the host session (a retry through a direct
+    conf.set would dodge the spy)."""
     empty = tmp_path / "sfempty"
     empty.mkdir()
     with pytest.raises(Exception) as ei:
         _t(spark, str(empty), "events")
     msg = str(ei.value)
     assert "PATH_NOT_FOUND" in msg or "Path does not exist" in msg, msg
-    assert calls == [], "legacy-flag retry ran on a non-nanos failure"
+    assert scoped_conf_calls == [], "legacy-flag retry ran on a non-nanos failure"
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        == "false"
+    )
 
 
-def test_events_compat_missing_file_raises(spark, tmp_path, monkeypatch):
-    import ingestao_dados_poli_spark.registry._base as B
-
-    calls: list[tuple] = []
-    real = B.scoped_conf
-
-    def spy(*a, **k):
-        calls.append(a)
-        return real(*a, **k)
-
-    monkeypatch.setattr(B, "scoped_conf", spy)
+def test_events_compat_missing_file_raises(spark, tmp_path, scoped_conf_calls):
     empty = tmp_path / "sfempty2"
     empty.mkdir()
     with pytest.raises(Exception) as ei:
@@ -133,7 +140,11 @@ def test_events_compat_missing_file_raises(spark, tmp_path, monkeypatch):
             pass
     msg = str(ei.value)
     assert "PATH_NOT_FOUND" in msg or "Path does not exist" in msg, msg
-    assert calls == [], "legacy-flag retry ran on a non-nanos failure"
+    assert scoped_conf_calls == [], "legacy-flag retry ran on a non-nanos failure"
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        == "false"
+    )
 
 
 def test_q_decorator_restores_host_timezone(spark, sf_dir):

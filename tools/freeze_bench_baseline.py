@@ -26,8 +26,9 @@ import subprocess
 import sys
 
 _RATIO = 2.0
-_ABS_DELTA = 0.5  # seconds — mirror tests/test_bench_regression.py
+_ABS_DELTA = 0.5  # seconds — sub-second timings are too noisy to gate
 _SCALE_BAND = (0.6, 1.8)
+_MIN_BASE = 0.2  # seconds — queries under this don't inform the host scale
 
 
 def movers_against_field(
@@ -40,7 +41,7 @@ def movers_against_field(
         for name, t_old in base_queries.items()
         if name in cur_queries
     ]
-    ratios = [t_new / t_old for _, t_old, t_new in common if t_old >= 0.2]
+    ratios = [t_new / t_old for _, t_old, t_new in common if t_old >= _MIN_BASE]
     if not ratios:
         return {}
     scale = min(max(statistics.median(ratios), _SCALE_BAND[0]), _SCALE_BAND[1])
