@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ingestao_dados_poli_spark.partitioning import fan_out
+
 
 def chunk_documents(
     df: DataFrame,
@@ -359,6 +361,9 @@ def boilerplate_ngrams(
     web text compresses worse than synthetic), very long n-grams, or a
     doc-frequency shuffle that spills.
     """
+    # NOTE(r07): fan_out here was A/B-measured a 1.35x REGRESSION on
+    # q94 (the repartition exchange costs more than the gram expansion
+    # wins back at this operator's volumes) — left as-is deliberately.
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
     ).filter(F.size("_w") >= n)
@@ -728,7 +733,11 @@ def repetition_profile(
     words = F.split(
         F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
     )
-    base = df.select(
+    # fan_out BEFORE the gram explosion: the tokenize + 3-way gram
+    # transform is the expensive stage, and an under-split source (one
+    # row group) would otherwise run it on a single core (guide §2.5
+    # input skew; no-op when the scan is already parallel).
+    base = fan_out(df.select(F.col(id_col), *[F.col(c) for c in carry_cols], F.col(text_col))).select(
         F.col(id_col), *[F.col(c) for c in carry_cols], words.alias("_w")
     ).withColumn("n_words", F.size("_w"))
 
@@ -823,7 +832,10 @@ def content_defined_chunks(
         "cast(conv(substring(md5(element_at(_w, i)), 1, 15), 16, 10)"
         " as bigint)"
     )
-    base = df.select(
+    # fan_out: the per-word md5 boundary scan + chunk slicing is the
+    # heavy stage; parallelize it instead of running on the scan's
+    # (possibly single) split (guide §2.5; no-op on parallel inputs).
+    base = fan_out(df.select(F.col(id_col), *[F.col(c) for c in carry_cols], F.col(text_col))).select(
         F.col(id_col), *[F.col(c) for c in carry_cols], words.alias("_w")
     ).where(F.expr("size(filter(_w, x -> x != ''))") > 0)
     bpos = (

@@ -84,7 +84,12 @@ def connected_components(
         )
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)  # reused every round: cut the source plan
+    # LAZY localCheckpoint (r07): every round re-reads sym, and the
+    # checkpoint's flat LogicalRDD both cuts lineage and gives the
+    # self-joins fresh leaf plans — but WITHOUT the former eager
+    # materialization action (one fewer driver job; the first round's
+    # probe materializes the blocks).
+    sym = sym.localCheckpoint(eager=False)
 
     if algorithm == "star":
         out = _cc_star(sym, max_iter)
@@ -125,11 +130,20 @@ def _cc_flood(
         neighbor = sym.join(
             labels, sym["a"] == labels["node"]
         ).select(F.col("b").alias("node"), "label")
+        # LAZY localCheckpoint + ONE scalar action per round (r07): the
+        # sum-collect both detects convergence AND materializes the
+        # checkpoint blocks, replacing the former eager-checkpoint +
+        # collect pair (two actions, ~2 extra jobs/round of pure driver
+        # latency). The checkpoint (not persist) is load-bearing: it
+        # truncates the round's LOGICAL plan to a flat LogicalRDD —
+        # labels appears twice per round, so an untruncated plan doubles
+        # per round and analysis goes exponential (measured: hang at
+        # ~20 rounds).
         labels = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -160,10 +174,14 @@ def _cc_star(sym: DataFrame, max_iter: int) -> DataFrame:
     (node → component-min) star per component."""
     # nodes that appear in any edge — re-attached at the end in case
     # contraction leaves a root with no outgoing edge
+    # LAZY localCheckpoint (r07): the fingerprint collect of each round
+    # is the single action that materializes the round's blocks; the
+    # checkpoint's flat LogicalRDD keeps per-round plans from compounding
+    # (see _cc_flood).
     endpoints = (
-        sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+        sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
     )
-    e = sym.filter(F.col("a") > F.col("b")).distinct().localCheckpoint(eager=True)
+    e = sym.filter(F.col("a") > F.col("b")).distinct().localCheckpoint(eager=False)
 
     prev_fp = None
     for _ in range(max_iter):
@@ -190,7 +208,7 @@ def _cc_star(sym: DataFrame, max_iter: int) -> DataFrame:
             .filter(F.col("a") > F.col("b"))
             .distinct()
         )
-        e = ss.localCheckpoint(eager=True)
+        e = ss.localCheckpoint(eager=False)
         fp = tuple(
             e.agg(
                 F.count(F.lit(1)),
@@ -261,27 +279,31 @@ def pagerank_integer(
     ``connected_components``. Returns (node, mass) — rank order =
     mass desc.
     """
-    # Materialize the edge list ONCE — every iteration joins it, and
-    # without the cut each round would recompute the (possibly
-    # expensive) edge derivation from scratch. Same lineage discipline
-    # as the ranks checkpoint below.
+    # Cache the edge list ONCE — every iteration joins it, and without
+    # the cut each round would recompute the (possibly expensive) edge
+    # derivation from scratch. r07: LAZY checkpoints — flat lineage
+    # and fresh leaf plans as before, but the ONLY driver action in
+    # the whole build is the n_nodes count below (which materializes e
+    # and nodes on the way); the former 4 eager materializations + 3
+    # per-iteration checkpoints were ~10 driver-latency-bound actions
+    # that AQE turned into 48 jobs (measured: q131 spent 3.2 s of its
+    # 6.4 s in inter-job gaps alone).
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # nodes and out_deg are ~|V| rows but DERIVED from the |E|-row edge
-    # table; without their own lineage cuts every iteration's
-    # ranks-rebuild re-runs the distinct/groupBy over all edges —
-    # 2 extra full edge passes per round (measured ~35% of q131).
+    # table; cached so no iteration re-runs the distinct/groupBy over
+    # all edges (2 extra full edge passes per round, ~35% of q131).
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     out_deg = (
         e.groupBy(F.col("_s").alias("node"))
         .agg(F.count(F.lit(1)).alias("_deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()  # scalar, config-cardinality driver value
     ranks = nodes.withColumn("mass", F.lit(start_mass).cast("long"))
@@ -320,6 +342,12 @@ def pagerank_integer(
                 .cast("long")
                 .alias("mass"),
             )
+            # EAGER checkpoint per iteration: ranks feeds the next
+            # round's plan TWICE (give -> contrib and give -> pool);
+            # without a materialized cut the two references recompute
+            # the whole chain concurrently — measured 2.9x slower with
+            # a lazy mark here (r07). Setup frames above stay lazy
+            # because n_nodes.count() materializes them once.
             .localCheckpoint(eager=True)
         )
     return ranks
@@ -387,15 +415,17 @@ def bounded_reachability(
     100 TB edge list terminate instead of blowing up path-count-
     exponentially.
     """
+    # LAZY checkpoints (r07): the isEmpty probe is the one action per
+    # round and materializes blocks as it reads (see _cc_flood).
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = e.select(
         F.col("_s").alias("src"), F.col("_d").alias("dst"), F.lit(1).alias("depth")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     reached = frontier
     for d in range(2, max_depth + 1):
         nxt = (
@@ -404,8 +434,10 @@ def bounded_reachability(
             .join(reached.select("src", "dst"), ["src", "dst"], "left_anti")
             .dropDuplicates(["src", "dst"])
         )
-        # checkpoint BEFORE the empty-probe so the probe reads the
-        # materialized blocks instead of recomputing the join twice
+        # EAGER checkpoint BEFORE the empty-probe: isEmpty touches only
+        # one partition, so a lazy mark would leave the rest
+        # unmaterialized for the next round's DOUBLE reference (join +
+        # reached union) to recompute concurrently (r07)
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
@@ -445,9 +477,11 @@ def label_propagation(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).filter(
         F.col("_s").isNotNull() & F.col("_d").isNotNull()
     )
+    # LAZY checkpoint: every round re-reads sym; no eager action
+    # needed (r07, see _cc_flood)
     sym = e.unionByName(
         e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     if nodes is None:
         nodes = sym.select(F.col("_s").alias("node")).distinct()
     else:
@@ -474,6 +508,10 @@ def label_propagation(
             .select(
                 "node", F.coalesce("_new", "label").alias("label")
             )
+            # EAGER checkpoint per round: labels feeds the next round
+            # twice (neighbor join + label join-back); a lazy mark lets
+            # both references recompute the chain concurrently —
+            # measured 6x slower (r07, see pagerank_integer).
             .localCheckpoint(eager=True)
         )
     return labels
@@ -510,7 +548,7 @@ def bounded_shortest_path(
         .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
         .groupBy("_s", "_d")
         .agg(F.min("_w").alias("_w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     best = e.select(
         F.col("_s").alias("src"),
@@ -530,6 +568,9 @@ def bounded_shortest_path(
             best.unionByName(extended)
             .groupBy("src", "dst")
             .agg(F.min("dist").alias("dist"))
+            # EAGER checkpoint per round: best feeds the next round
+            # twice (extend join + union); lazy marks recompute the
+            # chain per reference (r07, see pagerank_integer)
             .localCheckpoint(eager=True)
         )
     return best

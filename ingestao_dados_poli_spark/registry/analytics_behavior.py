@@ -1403,8 +1403,11 @@ def q217_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cached: the 2-column projection is read by exactly two jobs
     # (sketch build, then combined percentile+rank audit) — one disk
-    # scan instead of three, the rest served from memory
-    li = li.persist()
+    # scan instead of three, the rest served from memory. fan_out
+    # FIRST (r07): the cache inherits the scan's partitioning, and a
+    # one-row-group source would pin both the KLL build and the exact
+    # percentile's value-buffer sort to a single core (§2.5).
+    li = fan_out(li).persist()
     try:
         srow = (
             li.groupBy("slice")
@@ -1508,6 +1511,10 @@ def q218_topk_sketch_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.item").alias("event_type"),
             F.col("e.count").cast("long").alias("n_events"),
         )
+        # 5-row frame, lazily checkpointed (r07): the self-assert join
+        # below materializes it, and the returned orderBy reads the
+        # blocks — otherwise the events scan + sketch build ran twice.
+        .localCheckpoint(eager=False)
     )
     exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_exact")

@@ -1551,6 +1551,11 @@ def q221_file_governance_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
             "files_expected",
             F.ceil(F.col("n_rows") / F.lit(500)).cast("long"),
         )
+        # 5-row aggregate, lazily checkpointed (r07): the self-assert
+        # count below materializes it, and the returned frame reads the
+        # blocks — previously BOTH re-scanned the 300-small-file layout
+        # (two full listings + footer passes, ~40% of this query).
+        .localCheckpoint(eager=False)
     )
     bad = out.where(F.col("n_files") != F.col("files_expected")).count()
     if bad:

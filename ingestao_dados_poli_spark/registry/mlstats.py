@@ -25,6 +25,7 @@ from ingestao_dados_poli_spark.registry._base import (
     Window,
     _scratch,
     _t,
+    fan_out,
     q,
 )
 
@@ -553,6 +554,12 @@ def q274_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 5
         ).alias("fold"),
     )
+    # fan_out AFTER the md5 fold projection: parallelizes the hash work
+    # past the single-row-group scan AND makes the repartition exchange
+    # a shared subtree, so the model and test branches reuse one
+    # computed feat pass (ReusedExchange) instead of scanning + hashing
+    # twice (§2.4/§2.5).
+    feat = fan_out(feat)
     model = (
         feat.filter(F.col("fold") < 4)
         .groupBy("d", "qb")

@@ -628,7 +628,15 @@ def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` == DuckDB
     `quantile_cont`). The approx_percentile variant is the 100 TB path;
     exact is used here because it is oracle-checkable."""
-    li = _t(spark, sf_dir, "lineitem")
+    # fan_out: exact percentile's partial aggregate buffers every value
+    # of its partition — on the one-row-group scan that is the whole
+    # table in a single task; spreading the buffer build across cores
+    # parallelizes the sort work (§2.5).
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
@@ -1547,7 +1555,12 @@ def q96_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline stays codegen — contrast q21's per-call
     get_json_object string parsing. Oracle mirrors the same nested
     doc with DuckDB's JSON type."""
-    ev = _t(spark, sf_dir, "events")
+    # fan_out: the per-row to_json -> parse_json variant encode is the
+    # dominant cost and otherwise runs on the single under-split scan
+    # task (§2.5; no-op on already-parallel sources).
+    ev = fan_out(
+        _t(spark, sf_dir, "events").select("event_type", "user_id", "value", "props")
+    )
     v = F.parse_json(
         F.to_json(
             F.struct(

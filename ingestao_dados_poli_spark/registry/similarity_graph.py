@@ -1295,10 +1295,15 @@ def q296_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("vec_id"), F.lit(4)).alias("label_true"),
         F.col("embedding").alias("qv"),
     )
-    corpus = emb.filter(F.col("vec_id") >= 50).select(
-        "vec_id",
-        F.pmod(F.col("vec_id"), F.lit(4)).alias("label"),
-        F.col("embedding").alias("cv"),
+    # fan_out: the 64-dim cosine fold per (corpus x query) pair is the
+    # dominant cost; without it the whole cross join runs on the single
+    # under-split embeddings scan task (§2.5).
+    corpus = fan_out(
+        emb.filter(F.col("vec_id") >= 50).select(
+            "vec_id",
+            F.pmod(F.col("vec_id"), F.lit(4)).alias("label"),
+            F.col("embedding").alias("cv"),
+        )
     )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         "query_id",

@@ -1189,7 +1189,9 @@ def q186_source_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined (source, bigram) count shuffle and a window over
     the already-aggregated counts (window input is |distinct bigrams|,
     never |tokens|). Exact lexicographic tie-break, same as DuckDB's."""
-    docs = _t(spark, sf_dir, "documents")
+    # fan_out: the in-row bigram expansion is the expensive stage and a
+    # one-row-group source scan would run it on a single core (§2.5).
+    docs = fan_out(_t(spark, sf_dir, "documents").select("source", "text"))
     ws = F.split(F.col("text"), " ")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - 1),

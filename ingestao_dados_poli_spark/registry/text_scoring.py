@@ -1313,7 +1313,10 @@ def q291_lang_id_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per (truth, pred) cell implicitly via conditional sums
     against the broadcast class list; everything after the scan runs
     on |classes| rows."""
-    docs = _t(spark, sf_dir, "documents")
+    # fan_out: lang_id runs one regexp count per language marker set
+    # per doc — the dominant stage; spread it across cores instead of
+    # the single under-split scan task (§2.5).
+    docs = fan_out(_t(spark, sf_dir, "documents").select("lang", "text"))
     scored = docs.select(
         F.col("lang").alias("lang_true"),
         TX.lang_id("text").alias("lang_pred"),
