@@ -1144,6 +1144,15 @@ def prefix_filtered_jaccard(
             F.transform(F.array_distinct(tokens), lambda t: F.xxhash64(t))
         ).alias("_hs"),
     ).withColumn("_m", F.size("_hs"))
+    # EAGER checkpoint (r07): docs feeds THREE subtrees of the single
+    # final action (postings explode + the verify's sets_a/sets_b), and
+    # all three recomputed the tokenize+hash+distinct pass — the
+    # operator's dominant per-row CPU — because nothing materialized it
+    # (a lazy mark can't help: all references live in ONE job, so each
+    # would still compute it concurrently). Blocks hold exactly the
+    # hashed-set table the verify must read anyway; shuffle bytes are
+    # unchanged (the verify joins stay broadcast-candidate-side).
+    docs = docs.localCheckpoint(eager=True)
     ex = docs.select("_id", "_m", F.explode("_hs").alias("_tk"))
     # Document frequency via a count window on the by-token exchange —
     # NOT a groupBy + join-back, which would shuffle the exploded table

@@ -102,13 +102,29 @@ def fuzzy_pairs(
         cond &= F.col(c) == F.col(f"_b_{c}")
     cond &= F.abs(F.length("_text_a") - F.length("_text_b")) <= max_dist
 
+    # The dist>=0 filter below gets PUSHED into the join condition and
+    # PREPENDED to it, so whatever expression computes `dist` runs on
+    # every (block, band)-joined candidate BEFORE the cheap key/length
+    # conjuncts (measured in the plan: levenshtein was the first
+    # conjunct — the banded DP ran on 2x the pairs, including every
+    # key_a >= key_b mirror). Guarding the projected expression with
+    # the cheap conditions makes the PUSHED copy short-circuit: the
+    # when() evaluates key order + length prefilter first and only
+    # runs the DP on pairs that could survive (r07, guide §1.2/§7.2).
+    cheap = (F.col("key_a") < F.col("key_b")) & (
+        F.abs(F.length("_text_a") - F.length("_text_b")) <= max_dist
+    )
+    dist_expr = (
+        F.when(cheap, F.levenshtein("_text_a", "_text_b", max_dist))
+        .otherwise(F.lit(-1))
+    )
     pairs = (
         probe.join(build, cond)
         .select(
             *block,
             "key_a",
             "key_b",
-            F.levenshtein("_text_a", "_text_b", max_dist).alias("dist"),
+            dist_expr.alias("dist"),
         )
         .filter(F.col("dist") >= 0)
     )

@@ -1090,9 +1090,17 @@ def q64_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").alias("_exact_cd"),
         F.percentile("o_totalprice", F.lit(0.5)).alias("_p50"),
     )
+    # Sketch precision sized to the CONTRACT, not beyond it (r07): the
+    # approx values cross the oracle only as within-5% booleans, so
+    # accuracy 10000 / rsd 0.01 bought precision the query throws away
+    # (guide §1.2 "don't compute things you throw away"). KLL accuracy
+    # 2000 still bounds rank error to 0.05% of n; HLL rsd 0.02 keeps
+    # expected error 2.5x inside the 5% line (verified TRUE at
+    # sf0.001/0.01/0.1 — deterministic hashing, fixed data). Measured
+    # ~2x on the sketch agg stage's executor time.
     approx = orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_acd"),
-        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("_ap50"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_acd"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(2000)).alias("_ap50"),
     )
     agg = exact.join(approx, "o_orderpriority")
     return agg.select(

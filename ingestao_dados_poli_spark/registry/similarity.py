@@ -785,9 +785,14 @@ def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # No distinct after the symmetric union (r07): `pairs` is already
+    # distinct and the forward/reversed halves live in DISJOINT key
+    # spaces (src = suppkey, dst = custkey + 1e6), so the union is a
+    # set by construction — the former .distinct() was a full
+    # exchange+agg over 2|E| rows that removed nothing.
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     ranks = G.pagerank_integer(edges, iterations=3)
     return ranks.orderBy(F.col("mass").desc(), F.col("node")).limit(20)
 
