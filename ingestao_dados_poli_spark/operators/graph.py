@@ -32,6 +32,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _loop_partitions(df: DataFrame) -> int:
+    """Partition count for pinned loop-frame placement: the session's
+    shuffle-partition setting — scale-parameterized (clusters set it
+    ~2-3x total cores; locally it defaults to the core count).
+
+    Why pin at all (r07, measured): a loop-invariant frame that is
+    ``localCheckpoint``-ed takes whatever partitioning its LAST stage
+    had — and under AQE that stage was coalesced toward the advisory
+    byte size, which for the metadata-narrow frames these loops carry
+    (node ids, labels, integer masses) collapses to 1-2 partitions.
+    Every subsequent round then scans and exchange-writes the frame
+    from 1-2 tasks — the under-parallelized-scan waste class (guide
+    §2.5, input skew) paid once PER ROUND. An explicit
+    ``repartition(P, join_key)`` before the checkpoint pins the block
+    count (AQE never coalesces a user-specified repartition), keeping
+    every round's map side parallel; keying it by the loop's join key
+    costs nothing extra and is the co-located placement a bucketed /
+    non-AQE deployment would exploit outright.
+
+    A full AQE-off static-co-partitioning variant (exchange-free
+    per-round joins — checkpoints DO preserve hash placement without
+    AQE) was A/B-measured this round and REJECTED: the conf flip
+    invalidates session plan caches and the fixed-P tiny-task stages
+    cost more than the saved exchanges at bench scale (q194 2.3x,
+    q204 2.1x, q211 1.3x against HEAD). Numbers in
+    OPTIMIZATION_r07.md."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -84,12 +116,17 @@ def connected_components(
         )
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # LAZY localCheckpoint (r07): every round re-reads sym, and the
+    # LAZY localCheckpoint, pinned to P partitions on the join key
+    # (r07, see _loop_partitions): every round re-reads sym, and the
     # checkpoint's flat LogicalRDD both cuts lineage and gives the
-    # self-joins fresh leaf plans — but WITHOUT the former eager
-    # materialization action (one fewer driver job; the first round's
-    # probe materializes the blocks).
-    sym = sym.localCheckpoint(eager=False)
+    # self-joins fresh leaf plans; the explicit repartition keeps the
+    # per-round scans of sym parallel instead of inheriting an
+    # AQE-coalesced 1-2-block layout. No eager materialization action
+    # (the first round's probe materializes the blocks). A/B: q65
+    # 0.88x, q200 0.69x vs the unpinned checkpoint.
+    sym = sym.repartition(_loop_partitions(sym), "a").localCheckpoint(
+        eager=False
+    )
 
     if algorithm == "star":
         out = _cc_star(sym, max_iter)
@@ -288,12 +325,20 @@ def pagerank_integer(
     # per-iteration checkpoints were ~10 driver-latency-bound actions
     # that AQE turned into 48 jobs (measured: q131 spent 3.2 s of its
     # 6.4 s in inter-job gaps alone).
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint(eager=False)
-    # nodes and out_deg are ~|V| rows but DERIVED from the |E|-row edge
-    # table; cached so no iteration re-runs the distinct/groupBy over
-    # all edges (2 extra full edge passes per round, ~35% of q131).
+    #
+    # e is pinned to P partitions on "_s" (r07, see _loop_partitions):
+    # the per-round contribution join scans e once per iteration, and
+    # without the pin those scans inherit an AQE-coalesced 1-2-block
+    # layout. A/B: q131 0.91x vs the unpinned checkpoint.
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .repartition(_loop_partitions(edges), "_s")
+        .localCheckpoint(eager=False)
+    )
+    # nodes and out_deg are ~|V| rows but DERIVED from the |E|-row
+    # edge table; cached so no iteration re-runs the
+    # distinct/groupBy over all edges (2 extra full edge passes per
+    # round, ~35% of q131).
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
@@ -330,7 +375,9 @@ def pagerank_integer(
             .agg(F.sum("_give").alias("_in"))
         )
         pool = give.agg(
-            F.sum(F.col("mass") - F.col("_give") * F.col("_deg")).alias("_pool")
+            F.sum(
+                F.col("mass") - F.col("_give") * F.col("_deg")
+            ).alias("_pool")
         )
         share = F.expr(f"_pool div {n_nodes}")
         ranks = (
@@ -477,11 +524,17 @@ def label_propagation(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).filter(
         F.col("_s").isNotNull() & F.col("_d").isNotNull()
     )
-    # LAZY checkpoint: every round re-reads sym; no eager action
-    # needed (r07, see _cc_flood)
-    sym = e.unionByName(
-        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
-    ).localCheckpoint(eager=False)
+    # LAZY checkpoint, pinned to P partitions on the per-round join key
+    # (r07, see _loop_partitions): every round re-reads sym, and the
+    # pin keeps those scans parallel instead of inheriting an
+    # AQE-coalesced 1-2-block layout. A/B: q211 0.93x vs unpinned.
+    sym = (
+        e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .repartition(_loop_partitions(e), "_d")
+        .localCheckpoint(eager=False)
+    )
     if nodes is None:
         nodes = sym.select(F.col("_s").alias("node")).distinct()
     else:
