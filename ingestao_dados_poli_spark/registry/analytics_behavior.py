@@ -925,7 +925,15 @@ def q198_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    n_orders = items.select("l_orderkey").distinct().count()
+    # N rides the plan as a broadcast 1-row frame instead of a driver
+    # count(): the count was a separate ACTION re-running the full
+    # lineitem scan + distinct before the real job started (r07,
+    # guide §5 - the driver should do no data work; one plan, one pass)
+    n_orders = F.broadcast(
+        items.select(
+            F.count_distinct(F.col("l_orderkey")).alias("_n_orders")
+        )
+    )
     a = items.alias("a")
     b = items.alias("b")
     pairs = (
@@ -946,6 +954,7 @@ def q198_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(ca, "part_a")
         .join(cb, "part_b")
+        .crossJoin(n_orders)
         .select(
             "part_a",
             "part_b",
@@ -953,7 +962,8 @@ def q198_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_a").cast("long").alias("c_a"),
             F.col("c_b").cast("long").alias("c_b"),
             F.round(
-                F.lit(n_orders) * F.col("c_ab") / (F.col("c_a") * F.col("c_b")),
+                F.col("_n_orders") * F.col("c_ab")
+                / (F.col("c_a") * F.col("c_b")),
                 4,
             )
             .cast("double")
