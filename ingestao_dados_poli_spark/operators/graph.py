@@ -369,6 +369,15 @@ def pagerank_integer(
             .cast("long")
             .alias("_give"),
         )
+        # EAGER checkpoint of GIVE, not ranks (r07): give is the frame
+        # the round reads TWICE (-> contrib and -> pool); cutting HERE
+        # materializes the ranks⋈out_deg join exactly once per round,
+        # where the former ranks checkpoint left that join to recompute
+        # under both references. ranks itself then needs no checkpoint:
+        # its plan is flat over RDD leaves (nodes blocks, contrib over
+        # e+give blocks, broadcast pool), referenced once by the next
+        # round — no compounding, no double-evaluation.
+        give = give.localCheckpoint(eager=True)
         contrib = (
             e.join(give.select(F.col("node").alias("_s"), "_give"), "_s")
             .groupBy(F.col("_d").alias("node"))
@@ -380,22 +389,13 @@ def pagerank_integer(
             ).alias("_pool")
         )
         share = F.expr(f"_pool div {n_nodes}")
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(pool))
-            .select(
-                "node",
-                (F.coalesce(F.col("_in"), F.lit(0)) + share)
-                .cast("long")
-                .alias("mass"),
-            )
-            # EAGER checkpoint per iteration: ranks feeds the next
-            # round's plan TWICE (give -> contrib and give -> pool);
-            # without a materialized cut the two references recompute
-            # the whole chain concurrently — measured 2.9x slower with
-            # a lazy mark here (r07). Setup frames above stay lazy
-            # because n_nodes.count() materializes them once.
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib, "node", "left").crossJoin(
+            F.broadcast(pool)
+        ).select(
+            "node",
+            (F.coalesce(F.col("_in"), F.lit(0)) + share)
+            .cast("long")
+            .alias("mass"),
         )
     return ranks
 
