@@ -1532,7 +1532,17 @@ def q221_file_governance_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     (
-        od.repartition(F.col("o_orderpriority"))
+        # Explicit partition count (r07): a keyless-N repartition(col)
+        # is AQE-optimizable, and AQE coalesced the writer to ONE task
+        # writing all ~300 files serially (drill: one 3.7 s task = 75%
+        # of this query). With N pinned the 5 priorities land in
+        # parallel writer tasks; each priority still lives WHOLLY in
+        # one task, so the per-directory file split stays the same
+        # deterministic ceil(rows/500) the self-assert and oracle pin.
+        od.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("o_orderpriority"),
+        )
         .write.option("maxRecordsPerFile", 500)
         .partitionBy("o_orderpriority")
         .parquet(base)

@@ -781,7 +781,16 @@ def _write_degraded_shards(ev: DataFrame, shard_dir: str) -> None:
                 F.col("event_type")
             ),
         )
-        .repartition("s")
+        # Explicit partition count (r07, same fix as q221): keyless-N
+        # repartition(col) is AQE-optimizable and was coalesced to ONE
+        # writer task emitting all 4 shard files serially. Pinned, the
+        # shards write in parallel; each shard value still lives WHOLLY
+        # in one task, so every s=i dir keeps exactly one file and the
+        # 4-micro-batch topology is unchanged.
+        .repartition(
+            int(ev.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "s",
+        )
         .write.mode("overwrite")
         .partitionBy("s")
         .parquet(shard_dir)
