@@ -58,10 +58,9 @@ def _loop_partitions(df: DataFrame) -> int:
     cost more than the saved exchanges at bench scale (q194 2.3x,
     q204 2.1x, q211 1.3x against HEAD). Numbers in
     OPTIMIZATION_r07.md."""
-    try:
-        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        return df.sparkSession.sparkContext.defaultParallelism
+    from ingestao_dados_poli_spark.partitioning import shuffle_partitions
+
+    return shuffle_partitions(df.sparkSession)
 
 
 def connected_components(
@@ -315,6 +314,15 @@ def pagerank_integer(
     ``localCheckpoint`` cuts lineage each round like
     ``connected_components``. Returns (node, mass) — rank order =
     mass desc.
+
+    Contract note (r07 ADVICE): the returned frame is LAZY — a flat
+    plan over the final round's checkpointed ``give`` blocks (one
+    join + agg + 1-row crossJoin away from materialized leaves). A
+    caller that evaluates it more than once re-runs that final
+    join/agg per action; evaluate once, or ``localCheckpoint()`` the
+    result yourself if you need repeated actions. (q131 evaluates it
+    exactly once; an unconditional eager cut here would charge every
+    caller one extra driver action.)
     """
     # Cache the edge list ONCE — every iteration joins it, and without
     # the cut each round would recompute the (possibly expensive) edge

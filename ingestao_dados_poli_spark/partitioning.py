@@ -16,6 +16,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def shuffle_partitions(spark) -> int:
+    """The session's ``spark.sql.shuffle.partitions`` as an int, falling
+    back to ``defaultParallelism`` when the conf is absent or non-numeric
+    (e.g. a deployment that sets it to ``auto`` for an external AQE
+    policy). Shared by every explicit repartition-pin site so the
+    fallback semantics cannot drift between copies (r07 ADVICE)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism
+
+
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Ensure ``df`` has at least ``target``-way parallelism (default:
     the session's ``defaultParallelism``) before a compute-heavy stage.

@@ -46,7 +46,7 @@ from ingestao_dados_poli_spark.operators import relational as R
 
 from ingestao_dados_poli_spark.operators import similarity as SIM
 
-from ingestao_dados_poli_spark.partitioning import fan_out
+from ingestao_dados_poli_spark.partitioning import fan_out, shuffle_partitions
 
 from ingestao_dados_poli_spark.session import scoped_conf
 
@@ -357,6 +357,7 @@ __all__ = [
     "R",
     "SIM",
     "fan_out",
+    "shuffle_partitions",
     "scoped_conf",
     "Q",
     "null_counts",

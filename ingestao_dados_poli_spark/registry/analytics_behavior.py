@@ -928,7 +928,12 @@ def q198_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N rides the plan as a broadcast 1-row frame instead of a driver
     # count(): the count was a separate ACTION re-running the full
     # lineitem scan + distinct before the real job started (r07,
-    # guide §5 - the driver should do no data work; one plan, one pass)
+    # guide §5 - the driver should do no data work; one plan, one pass).
+    # count_distinct skips NULL keys where distinct().count() would
+    # count a null group — equivalent here because l_orderkey is a
+    # lineitem primary-key component (NOT NULL by the TPC-H schema,
+    # which the generator enforces); if this ever reads nullable keys,
+    # coalesce them first (r07 ADVICE).
     n_orders = F.broadcast(
         items.select(
             F.count_distinct(F.col("l_orderkey")).alias("_n_orders")

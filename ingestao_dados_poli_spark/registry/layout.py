@@ -1540,7 +1540,7 @@ def q221_file_governance_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
         # one task, so the per-directory file split stays the same
         # deterministic ceil(rows/500) the self-assert and oracle pin.
         od.repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            shuffle_partitions(spark),
             F.col("o_orderpriority"),
         )
         .write.option("maxRecordsPerFile", 500)

@@ -788,7 +788,7 @@ def _write_degraded_shards(ev: DataFrame, shard_dir: str) -> None:
         # in one task, so every s=i dir keeps exactly one file and the
         # 4-micro-batch topology is unchanged.
         .repartition(
-            int(ev.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            shuffle_partitions(ev.sparkSession),
             "s",
         )
         .write.mode("overwrite")
