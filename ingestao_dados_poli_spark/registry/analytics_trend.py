@@ -414,7 +414,18 @@ def q255_trailing_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     then each active-day covers the next 7 calendar days (x7 fan-out
     of the already-deduped table) and one distinct-count per covered
     day finishes it. Fan-out factor = window width, independent of
-    data volume. Output restricted to days with activity."""
+    data volume. Output restricted to days with activity.
+
+    r08 shape: ONE distinct-agg over the fanned-out table computes
+    BOTH series — wau = count_distinct(user) per covered day, dau =
+    count of k=0 rows (d is (user, day)-distinct, so the k=0 rows per
+    covered day ARE that day's distinct actives) — and the "days with
+    activity" restriction is dau >= 1 (a day is in the old `days` set
+    iff some user was active on it, i.e. iff a k=0 row lands on it).
+    The first cut ran 12 single-task jobs: a distinct-agg over the
+    already-distinct d, a redundant `days` distinct, and an identity
+    days⋈dau join (same key set by construction) — 3 exchanges + 2
+    joins removed with byte-identical output (guide §2.4)."""
     ev = _t(spark, sf_dir, "events")
     d = ev.select(
         "user_id",
@@ -424,18 +435,15 @@ def q255_trailing_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
         "day",
-    ).select("user_id", F.expr("date_add(day, k)").alias("cday"))
-    days = d.select("day").distinct()
-    wau = cov.groupBy("cday").agg(
-        F.count_distinct("user_id").alias("wau")
-    )
-    dau = d.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    ).select("user_id", "k", F.expr("date_add(day, k)").alias("cday"))
     return (
-        days.join(dau, "day")
-        .join(wau, days.day == wau.cday)
-        .select(
-            F.col("day").cast("string").alias("day"), "dau", "wau"
+        cov.groupBy("cday")
+        .agg(
+            F.count_distinct("user_id").alias("wau"),
+            F.count(F.when(F.col("k") == 0, 1)).alias("dau"),
         )
+        .filter(F.col("dau") >= 1)
+        .select(F.col("cday").cast("string").alias("day"), "dau", "wau")
         .orderBy("day")
     )
 
@@ -1164,38 +1172,40 @@ def q285_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_num = (F.lit(1000000).cast("decimal(38,0)")
              * (F.col("yb") - F.col("ya")).cast("decimal(38,0)"))
     s_den = (F.col("xb") - F.col("xa")).cast("decimal(38,0)")
-    pairs = (
-        a.join(b, F.col("xb") > F.col("xa"))
-        .select(
-            ((s_num - s_num % s_den) / s_den).cast("long").alias("slope")
-        )
-        .localCheckpoint()
+    # No checkpoint on pairs (r08): exactly one action reads it now (the
+    # slope median below), so an eager cut would only add a job.
+    pairs = a.join(b, F.col("xb") > F.col("xa")).select(
+        ((s_num - s_num % s_den) / s_den).cast("long").alias("slope")
     )
 
-    def lower_median_value(df: DataFrame, col: str) -> int:
-        """Exact lower median (k = (m+1) div 2) via cumulative counts
-        over the distinct-value histogram — never sorts raw rows; the
-        result is a 1-row scalar collect."""
-        m = df.count()
+    def lower_median(df: DataFrame, col: str) -> tuple[int, int]:
+        """(row count, exact lower median) in ONE driver action: the
+        distinct-value histogram's global-orderBy window computes the
+        running count AND the total in the same single-partition pass
+        (two frames, one sort), and k = (m+1) div 2 compares in-plan —
+        the separate df.count() the first cut ran per median was a
+        full extra pass over the raw rows (guide §5: this function
+        went from 2 actions + an upstream count to 1 action)."""
         sv = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        cum = sv.withColumn(
-            "cum",
-            F.sum("cnt").over(
-                Window.orderBy(col).rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            ),
+        run = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tot = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = sv.select(
+            col,
+            F.sum("cnt").over(run).alias("cum"),
+            F.sum("cnt").over(tot).alias("tot"),
         )
         [row] = (
-            cum.filter(F.col("cum") >= F.lit((m + 1) // 2))
-            .agg(F.min(col).alias("v"))
+            cum.filter("cum >= (tot + 1) div 2")
+            .agg(F.min(col).alias("v"), F.min("tot").alias("m"))
             .collect()
         )
-        return int(row.v)
+        return int(row.m), int(row.v)
 
-    n_weeks = idx.count()
-    n_pairs = pairs.count()
-    slope = lower_median_value(pairs, "slope")
+    n_pairs, slope = lower_median(pairs, "slope")
     # Same HUGEINT-vs-long exposure as the slope numerator: 1000000*y
     # is weekly cents ×10⁶ — stay in decimal(38,0) through the median
     # (the DuckDB twin stays in HUGEINT); int() on the scalar at the
@@ -1208,7 +1218,9 @@ def q285_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("x").cast("decimal(38,0)")
         ).alias("r")
     )
-    intercept = lower_median_value(resid, "r")
+    # resid has exactly one row per idx row, so its median's total IS
+    # n_weeks — the former idx.count() action is free here (r08).
+    n_weeks, intercept = lower_median(resid, "r")
     return _lit_df(
         spark,
         "n_weeks long, n_pairs long, slope_micro long, intercept_micro long",

@@ -1060,8 +1060,22 @@ def q205_streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_b = batch_df.filter(F.col("side") == "B").select(
             "o_orderkey", "cents"
         ).localCheckpoint(eager=True)
-        a_old = state["a"] if state["a"] is not None else s.createDataFrame([], d_a.schema)
-        b_old = state["b"] if state["b"] is not None else s.createDataFrame([], d_b.schema)
+        # Pure-JVM zero-row seeds (r08): createDataFrame([], schema) is
+        # a Python-parallelize RDD whose 32 empty slices each fork a
+        # Python worker — and the union chain re-scans them in EVERY
+        # later batch (drill: 65-task/53 core-s batch job, ~0.8 core-s
+        # per empty slice). range(0) plans as a JVM Range leaf: zero
+        # Python boundary, zero tasks of note, same zero rows.
+        def _empty(schema):
+            return s.range(0).select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+
+        a_old = state["a"] if state["a"] is not None else _empty(d_a.schema)
+        b_old = state["b"] if state["b"] is not None else _empty(d_b.schema)
         delta = R.incremental_join_delta(a_old, d_a, b_old, d_b, "o_orderkey")
         state["mv"].extend(
             delta.groupBy("o_orderpriority")

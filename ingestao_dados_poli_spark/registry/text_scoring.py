@@ -268,11 +268,20 @@ def q195_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     toks = docs.select("source", F.explode(ws).alias("word"))
-    dist = toks.groupBy(_bucket(F.col("word")).alias("bucket")).agg(
-        F.count(F.lit(1)).alias("r_n"),
-        F.sum(
-            F.when(F.col("source") == _Q195_TARGET_SRC, 1).otherwise(0)
-        ).alias("t_n"),
+    # Lazy checkpoint of the 16-row distribution (r08): two driver
+    # actions read it (the totals, then the log-ratios) and without the
+    # cut the SECOND one re-ran the whole tokenize+explode+agg pass —
+    # the q218 self-assert double-computation class (guide §5). The
+    # totals collect materializes the blocks; the lr collect reads them.
+    dist = (
+        toks.groupBy(_bucket(F.col("word")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("r_n"),
+            F.sum(
+                F.when(F.col("source") == _Q195_TARGET_SRC, 1).otherwise(0)
+            ).alias("t_n"),
+        )
+        .localCheckpoint(eager=False)
     )
     r_tot, t_tot = dist.agg(F.sum("r_n"), F.sum("t_n")).collect()[0]
     lr_rows = dist.select(
