@@ -157,6 +157,25 @@ def _bucket_pairs_capped(docs_col: Column, max_bucket_size: int) -> Column:
     return F.when(n <= F.lit(max_bucket_size), full).otherwise(degraded)
 
 
+_BPC_CACHE: dict[tuple[str, int], Column] = {}
+
+
+def _bucket_pairs_capped_by_name(col_name: str, max_bucket_size: int) -> Column:
+    """Memoized `_bucket_pairs_capped` over a NAMED column: the builder
+    assembles a few hundred py4j Column objects (~0.5 s of driver build
+    time per call, measured r08 cProfile on q124), and the resulting
+    tree is a pure function of (column name, cap) — an immutable
+    unresolved expression that every plan can share. The py4j gateway
+    JVM outlives SparkSession restarts in-process, so cached exprs stay
+    valid across sessions."""
+    key = (col_name, max_bucket_size)
+    c = _BPC_CACHE.get(key)
+    if c is None:
+        c = _bucket_pairs_capped(F.col(col_name), max_bucket_size)
+        _BPC_CACHE[key] = c
+    return c
+
+
 def salted_bucket_pairs(
     banded: DataFrame,
     group_keys: list[str],
@@ -240,7 +259,7 @@ def salted_bucket_pairs(
     return lagged.select(
         F.explode(
             F.concat(
-                _bucket_pairs_capped(F.col("_docs"), max_bucket_size), stitch
+                _bucket_pairs_capped_by_name("_docs", max_bucket_size), stitch
             )
         ).alias("p")
     )
@@ -278,7 +297,7 @@ def plain_bucket_pairs(
         .agg(F.collect_list(doc_col).alias("_docs"))
         .select(
             F.explode(
-                _bucket_pairs_capped(F.col("_docs"), max_bucket_size)
+                _bucket_pairs_capped_by_name("_docs", max_bucket_size)
             ).alias("p")
         )
     )
@@ -469,8 +488,29 @@ def minhash_signature(
 
 def minhash_bands(sig_col: Column | str, num_bands: int, rows_per_band: int) -> Column:
     """array<struct<band:int, bucket:bigint>> — hash each band of the
-    signature to one LSH bucket id."""
-    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    signature to one LSH bucket id.
+
+    Built as ONE ``F.expr`` SQL string, not num_bands × rows_per_band
+    Python Column objects: every ``F.xxx``/``getItem`` call is a py4j
+    round trip (~0.3 ms), and at 16 bands × 4 rows × 2 join sides this
+    builder alone cost ~1.1 s of driver build time per q124 call
+    (measured r08, cProfile: 6,711 round trips for the query build).
+    The parsed expression is identical — same xxhash64 args, same
+    struct fields — so every bucket id is unchanged."""
+    if isinstance(sig_col, str):
+        name = f"`{sig_col}`"
+        bands_sql = ", ".join(
+            "struct({b} as band, xxhash64({args}) as bucket)".format(
+                b=b,
+                args=", ".join(
+                    f"{name}[{b * rows_per_band + r}]"
+                    for r in range(rows_per_band)
+                ),
+            )
+            for b in range(num_bands)
+        )
+        return F.expr(f"array({bands_sql})")
+    sig = sig_col
     return F.array(
         *[
             F.struct(
