@@ -1446,45 +1446,112 @@ def q217_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()[0]
         )
-        # ONE follow-up scan computes the exact percentiles the output
-        # pins AND re-derives each sketch value's EXACT rank from the
-        # data — a stronger check than asking the sketch to grade its
-        # own homework, and no third pass
-        # ONE array-percentile agg: four scalar percentile() calls each
-        # keep their own value buffer and sort it (4x the work — measured
-        # 3.9s vs 1.0s at sf0.1); the array form sorts once
-        row = li.agg(
-            F.percentile(
-                "cents",
-                F.array(*[F.lit(x) for x in (0.25, 0.50, 0.75, 0.95)]),
-            ).alias("pcts"),
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.avg(
-                    (F.col("cents") <= F.lit(int(srow[f"v{tag}"])))
-                    .cast("double")
-                ).alias(f"r{tag}")
-                for tag in [25, 50, 75, 95]
-            ],
-        ).collect()[0]
+        # Exact percentiles by BUCKETED SELECTION (r08), not a global
+        # percentile() agg: the agg's final single-task merge folded 32
+        # per-partition value->count maps and sorted ~583k distinct
+        # values on ONE core (drill: a 1.26 s job = 40% of the query;
+        # at 100 TB that serial buffer is an OOM, not just a straggler).
+        # Selection plan — everything parallel, driver traffic bounded:
+        #  1. one map-side-combined groupBy over ~2.7k fixed-width value
+        #     buckets (cents div 4096) collects (bucket, count) plus the
+        #     4 exact rank counts for the sketch audit;
+        #  2. the cumulative bucket walk (driver, 2.7k rows) locates the
+        #     <=2 buckets bracketing each interpolation index;
+        #  3. one filtered pass over the cached projection fetches ONLY
+        #     those buckets' value histograms (~200 rows/bucket) and the
+        #     order statistics come off the sorted slice.
+        # Interpolation replicates Spark's percentile() formula —
+        # pos = p*(n-1); (hi-pos)*v[lo] + (pos-lo)*v[hi]; lo==hi ->
+        # v[lo] — verified bit-exact against F.percentile at sf0.001
+        # and sf0.01 (and the DuckDB oracle hash pins it at all SFs).
+        targets = [(0.25, 25), (0.5, 50), (0.75, 75), (0.95, 95)]
+        B = 4096
+        bh = (
+            li.groupBy(F.expr(f"cents div {B}").alias("b"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(
+                        F.when(
+                            F.col("cents") <= F.lit(int(srow[f"v{tag}"])), 1
+                        ).otherwise(0)
+                    ).alias(f"s{tag}")
+                    for _, tag in targets
+                ],
+            )
+            .collect()
+        )
+        bh.sort(key=lambda r: r["b"])
+        n = sum(r["cnt"] for r in bh)
+        ranks = {tag: sum(r[f"s{tag}"] for r in bh) / n for _, tag in targets}
+        # bracketing order-statistic indices (0-based), then the bucket
+        # holding each one via the cumulative walk
+        idxs = set()
+        import math as _math
+
+        positions = {}
+        for qq, tag in targets:
+            pos = qq * (n - 1)
+            positions[tag] = pos
+            idxs.add(_math.floor(pos))
+            idxs.add(_math.ceil(pos))
+        need_buckets = set()
+        by_idx = {}
+        cum = 0
+        it = iter(bh)
+        r = next(it)
+        for k in sorted(idxs):
+            while cum + r["cnt"] <= k:
+                cum += r["cnt"]
+                r = next(it)
+            by_idx[k] = (r["b"], k - cum)  # (bucket, local rank)
+            need_buckets.add(r["b"])
+        slice_hist = (
+            li.filter(
+                F.expr(f"cents div {B}").isin(*[int(b) for b in need_buckets])
+            )
+            .groupBy("cents")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
     finally:
         li.unpersist()
-    for qq, tag in [(0.25, 25), (0.5, 50), (0.75, 75), (0.95, 95)]:
-        r = row[f"r{tag}"]
+    # order statistics within the fetched buckets: walk each bucket's
+    # value histogram in cents order
+    per_bucket: dict[int, list] = {}
+    for row_ in sorted(slice_hist, key=lambda r: r["cents"]):
+        per_bucket.setdefault(row_["cents"] // B, []).append(row_)
+    val_at: dict[int, int] = {}
+    for k, (b, local) in by_idx.items():
+        c = 0
+        for row_ in per_bucket[b]:
+            c += row_["cnt"]
+            if c > local:
+                val_at[k] = row_["cents"]
+                break
+    pct = {}
+    for qq, tag in targets:
+        pos = positions[tag]
+        lo, hi = _math.floor(pos), _math.ceil(pos)
+        if lo == hi:
+            pct[tag] = float(val_at[lo])
+        else:
+            pct[tag] = (hi - pos) * val_at[lo] + (pos - lo) * val_at[hi]
+    for qq, tag in targets:
+        r = ranks[tag]
         if abs(r - qq) > 0.03:
             raise AssertionError(f"kll quantile q{tag} has exact rank {r}")
-    p25, p50, p75, p95 = row["pcts"]
     return _lit_df(
         spark,
         "n_lines long, p25_cents double, p50_cents double, p75_cents double,"
         " p95_cents double, sketch_rank_within_3pct boolean",
         [
             (
-                int(row["n"]),
-                float(p25),
-                float(p50),
-                float(p75),
-                float(p95),
+                int(n),
+                pct[25],
+                pct[50],
+                pct[75],
+                pct[95],
                 True,
             )
         ],
