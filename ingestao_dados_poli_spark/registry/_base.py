@@ -132,6 +132,56 @@ def _lit_df(spark: SparkSession, schema_ddl, rows: list[tuple]) -> DataFrame:
                 f"_lit_df row has {len(row)} values for {len(fields)} "
                 f"schema fields: {row!r}"
             )
+    # Fast path (r08): render the whole literal table as ONE SQL string
+    # (inline(array(named_struct(...)))) — a single py4j round trip —
+    # instead of rows x fields F.lit/cast/alias Column objects, each of
+    # which is ~3 gateway round trips (measured: q279's 66-row result
+    # spent 1.5 s here, 60% of its warm build). Values outside the safe
+    # primitive set fall back to the Column path below; parsed literals
+    # are bit-identical (ints/bools/strings exact; doubles rendered via
+    # repr, the shortest string that round-trips IEEE-exactly, with the
+    # D suffix forcing a parseDouble literal).
+    def _sql_val(v, f) -> str:
+        t = f.dataType.simpleString()
+        if v is None:
+            return f"CAST(NULL AS {t.upper()})"
+        if t == "boolean":
+            return "true" if v else "false"
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return f"CAST({int(v)} AS {t.upper()})"
+        if t in ("double", "float"):
+            fl = float(v)
+            if fl != fl or fl in (float("inf"), float("-inf")):
+                raise ValueError("non-finite")
+            return f"CAST({fl!r}D AS {t.upper()})"
+        if t == "string":
+            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+        if t == "date":
+            import datetime
+
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                # typed literal, not CAST(string): a string cast is
+                # nullable-by-construction and would drift the schema's
+                # nullability from the lit() path
+                return f"DATE '{v.isoformat()[:10]}'"
+        raise ValueError(f"no SQL literal rendering for {t}")
+
+    try:
+        structs_sql = ", ".join(
+            "named_struct({})".format(
+                ", ".join(
+                    f"'{f.name}', {_sql_val(v, f)}"
+                    for v, f in zip(row, fields)
+                )
+            )
+            for row in rows
+        )
+        return spark.range(1).select(
+            F.expr(f"inline(array({structs_sql}))")
+        )
+    except ValueError:
+        pass
     structs = [
         F.struct(
             *[
