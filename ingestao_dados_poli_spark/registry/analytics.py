@@ -784,6 +784,11 @@ def q122_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"/tmp/q122_jsonl_{_os.getpid()}"
     _shutil.rmtree(base, ignore_errors=True)
     out = _os.path.join(base, "data")
+    # NOTE (r08, measured): fan_out before this sink A/B-measured 1.34x
+    # AGAINST head — at 5k docs the repartition + 32 sink commits + a
+    # 32-file read-back cost more than the single-task encode saves
+    # (the q94 lesson). At real volume the source splits parallel on
+    # its own and the sink scales per-partition; left as-is.
     docs.write.format("jsonlsink").mode("append").option("path", out).save()
     with open(_os.path.join(out, "_MANIFEST")) as fh:
         committed = _json.load(fh)["files"]

@@ -923,6 +923,10 @@ def q198_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer counts — identical doubles on both engines — and the
     top-15 cut is tie-broken by the part-id pair."""
     li = _t(spark, sf_dir, "lineitem")
+    # NOTE (r08, measured): an eager localCheckpoint of `items` (it
+    # feeds 4 subtrees) A/B-measured 1.11x AGAINST head — AQE's stage
+    # reuse already dedupes the distinct's exchange across consumers,
+    # and the checkpoint adds a full materialization action. Left as-is.
     items = li.select("l_orderkey", "l_partkey").distinct()
     cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     # N rides the plan as a broadcast 1-row frame instead of a driver

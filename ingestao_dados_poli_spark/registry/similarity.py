@@ -1194,17 +1194,35 @@ def q163_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-clique carry no signal anyway. Value-oracled against DuckDB's
     three-way join formulation."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    # Pair expansion IN-ROW (r08, guide §2.4): the former lineitem
+    # self-join on l_orderkey shuffled+sorted BOTH sides for an SMJ and
+    # re-exchanged the pair stream for the groupBy. One groupBy(order)
+    # + collect_list + in-row expansion pays a single exchange of the
+    # raw rows; per-order line counts are tiny (~4), so the in-row pair
+    # fan-out is bounded. Multiset semantics match the join exactly:
+    # every LINE pair with suppkey_a < suppkey_b counts once — the
+    # sorted-array expansion emits all index pairs i<j, and the strict
+    # filter drops equal-supplier line pairs the join's a<b excluded.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_suppkey")).alias("_ss")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_ss"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ss"), i + F.lit(2), F.size(F.col("_ss"))),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            )
         )
+    )
+    edges = (
+        per_order.select(pair.alias("p"))
+        .filter(F.col("p.src") < F.col("p.dst"))
         .groupBy(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
+            F.col("p.src").alias("src"),
+            F.col("p.dst").alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 5)
