@@ -923,37 +923,39 @@ def q198_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer counts — identical doubles on both engines — and the
     top-15 cut is tie-broken by the part-id pair."""
     li = _t(spark, sf_dir, "lineitem")
-    # NOTE (r08, measured): an eager localCheckpoint of `items` (it
-    # feeds 4 subtrees) A/B-measured 1.11x AGAINST head — AQE's stage
-    # reuse already dedupes the distinct's exchange across consumers,
-    # and the checkpoint adds a full materialization action. Left as-is.
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    # N rides the plan as a broadcast 1-row frame instead of a driver
-    # count(): the count was a separate ACTION re-running the full
-    # lineitem scan + distinct before the real job started (r07,
-    # guide §5 - the driver should do no data work; one plan, one pass).
-    # count_distinct skips NULL keys where distinct().count() would
-    # count a null group — equivalent here because l_orderkey is a
-    # lineitem primary-key component (NOT NULL by the TPC-H schema,
-    # which the generator enforces); if this ever reads nullable keys,
-    # coalesce them first (r07 ADVICE).
-    n_orders = F.broadcast(
-        items.select(
-            F.count_distinct(F.col("l_orderkey")).alias("_n_orders")
+    # ONE exchange feeds everything (r08, guide §2.4): the former shape
+    # was distinct (2-phase exchange) -> items self-join on l_orderkey
+    # (SMJ: sort both sides) -> pair groupBy exchange, plus separate
+    # distinct-consuming subtrees for the per-part counts and the order
+    # normalizer. groupBy(l_orderkey) + in-row dedup (array_distinct)
+    # replaces the distinct AND the self-join: baskets are ~4 items, so
+    # the sorted-array index-pair expansion is bounded in-row, and the
+    # per-part counts / order count derive from the SAME per-order
+    # aggregate (AQE stage reuse shares its exchange). Pair semantics
+    # identical: distinct parts per order, all pairs part_a < part_b.
+    # (An eager localCheckpoint of the old `items` A/B-measured 1.11x
+    # AGAINST head — materialization cost > the reuse win; rejected.)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias(
+            "_ps"
         )
     )
-    a = items.alias("a")
-    b = items.alias("b")
+    # N rides the plan as a broadcast 1-row frame instead of a driver
+    # count() (r07, guide §5): count_distinct(l_orderkey) == the
+    # per-order row count (l_orderkey is a PK component, NOT NULL).
+    n_orders = F.broadcast(
+        per_order.select(F.count(F.lit(1)).alias("_n_orders"))
+    )
+    cnt = (
+        per_order.select(F.explode("_ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        per_order.select(F.explode(DD._pairs_in_group(F.col("_ps"))).alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.id_a").alias("part_a"),
+            F.col("p.id_b").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 3)
