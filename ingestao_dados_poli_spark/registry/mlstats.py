@@ -531,6 +531,20 @@ def q274_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, one scan each side. Unseen test cells drop at the inner
     join (a real holdout would route them to a prior)."""
     li = _t(spark, sf_dir, "lineitem")
+    # fan_out BEFORE the md5/fold projection (r08): a projection built
+    # below the repartition executes at scan parallelism (plan-checked:
+    # Project(md5) sat under the Exchange — 600k md5+conv calls on the
+    # 3 scan tasks, a 1.3 s stage); shuffling the 5 raw columns first
+    # runs the hash work 32-way above the exchange.
+    li = fan_out(
+        li.select(
+            "l_discount",
+            "l_quantity",
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
     feat = li.select(
         F.round(F.col("l_discount") * 100).cast("int").alias("d"),
         F.floor(F.col("l_quantity") / 10).cast("int").alias("qb"),
@@ -554,37 +568,54 @@ def q274_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 5
         ).alias("fold"),
     )
-    # fan_out AFTER the md5 fold projection: parallelizes the hash work
-    # past the single-row-group scan AND makes the repartition exchange
-    # a shared subtree, so the model and test branches reuse one
-    # computed feat pass (ReusedExchange) instead of scanning + hashing
-    # twice (§2.4/§2.5).
-    feat = fan_out(feat)
-    model = (
-        feat.filter(F.col("fold") < 4)
-        .groupBy("d", "qb")
+    # ONE pass over feat (r08): the r07 intent of sharing the
+    # repartition exchange between model and test branches never
+    # materialized — Catalyst pushes the fold<4 / fold==4 filters BELOW
+    # the repartition, the subtrees stop being equal, and ReusedExchange
+    # cannot fire (drill: two full ~1 s scan+md5 passes; an eager
+    # checkpoint barrier A/B-measured 1.08x against — materialization
+    # costs more than the saved scan). Instead both folds aggregate in
+    # the SAME 66-cell groupBy with conditional sums, and the reliability
+    # diagram folds over cells: per test row, p_hat/bin/y depend only on
+    # its (d, qb) cell, so sum(p_hat) over test rows = sum(p_hat*test_n)
+    # over cells, count = sum(test_n), sum(y) = sum(test_y) — identical
+    # integers, identical truncating divisions. Inner-join semantics
+    # kept: cells with no train rows drop (train_n >= 1), cells with no
+    # test rows produce no bin contribution (test_n >= 1).
+    is_tr = F.col("fold") < 4
+    is_te = F.col("fold") == 4
+    cells = (
+        feat.groupBy("d", "qb")
         .agg(
+            F.sum(F.when(is_tr, 1).otherwise(0)).alias("train_n"),
+            F.sum(F.when(is_tr, F.col("y")).otherwise(0)).alias("train_y"),
+            F.sum(F.when(is_te, 1).otherwise(0)).alias("test_n"),
+            F.sum(F.when(is_te, F.col("y")).otherwise(0)).alias("test_y"),
+        )
+        .filter((F.col("train_n") >= 1) & (F.col("test_n") >= 1))
+        .withColumn(
+            "p_hat_micro",
             _truncdiv(
-                F.lit(1000000).cast(_DEC) * F.sum("y").cast(_DEC),
-                F.count(F.lit(1)).cast(_DEC),
-            ).alias("p_hat_micro")
+                F.lit(1000000).cast(_DEC) * F.col("train_y").cast(_DEC),
+                F.col("train_n").cast(_DEC),
+            ),
         )
     )
-    test = feat.filter(F.col("fold") == 4).join(
-        F.broadcast(model), ["d", "qb"]
-    )
-    binned = test.withColumn("bin", F.expr("p_hat_micro div 100000"))
+    binned = cells.withColumn("bin", F.expr("p_hat_micro div 100000"))
     return (
         binned.groupBy(F.col("bin").cast("int").alias("bin"))
         .agg(
-            F.count(F.lit(1)).alias("n_test"),
+            F.sum("test_n").alias("n_test"),
             _truncdiv(
-                F.sum("p_hat_micro").cast(_DEC),
-                F.count(F.lit(1)).cast(_DEC),
+                F.sum(
+                    F.col("p_hat_micro").cast(_DEC)
+                    * F.col("test_n").cast(_DEC)
+                ),
+                F.sum("test_n").cast(_DEC),
             ).alias("mean_pred_micro"),
             _truncdiv(
-                F.lit(1000000).cast(_DEC) * F.sum("y").cast(_DEC),
-                F.count(F.lit(1)).cast(_DEC),
+                F.lit(1000000).cast(_DEC) * F.sum("test_y").cast(_DEC),
+                F.sum("test_n").cast(_DEC),
             ).alias("obs_micro"),
         )
         .orderBy("bin")
