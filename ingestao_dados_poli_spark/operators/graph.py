@@ -291,6 +291,7 @@ def pagerank_integer(
     start_mass: int = 1_000_000,
     damping_num: int = 17,
     damping_den: int = 20,
+    no_dangling: bool = False,
 ) -> DataFrame:
     """Iterative PageRank in EXACT integer arithmetic — the mass-passing
     formulation that makes an iterative float algorithm byte-identical
@@ -323,6 +324,18 @@ def pagerank_integer(
     result yourself if you need repeated actions. (q131 evaluates it
     exactly once; an unconditional eager cut here would charge every
     caller one extra driver action.)
+
+    ``no_dangling=True`` (r08) is a CALLER GUARANTEE that every node
+    has at least one out-edge AND one in-edge — true by construction
+    for symmetrized edge lists (every undirected edge contributes both
+    directions, q131's graph). Under it the node universe IS the
+    out-degree key set, so the operator skips the nodes build (a full
+    union+distinct pass over 2|E| rows), the per-round dangling-mass
+    branch, and the per-round all-nodes LEFT re-join (2 exchanges per
+    iteration) — byte-identical results on qualifying graphs (pinned
+    by tests/test_graph.py), WRONG results if the guarantee is
+    violated (a node with no out-edge silently vanishes instead of
+    pooling its mass). Leave it False unless the graph is symmetric.
     """
     # Cache the edge list ONCE — every iteration joins it, and without
     # the cut each round would recompute the (possibly expensive) edge
@@ -347,36 +360,55 @@ def pagerank_integer(
     # edge table; cached so no iteration re-runs the
     # distinct/groupBy over all edges (2 extra full edge passes per
     # round, ~35% of q131).
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
     out_deg = (
         e.groupBy(F.col("_s").alias("node"))
         .agg(F.count(F.lit(1)).alias("_deg"))
         .localCheckpoint(eager=False)
     )
-    n_nodes = nodes.count()  # scalar, config-cardinality driver value
-    ranks = nodes.withColumn("mass", F.lit(start_mass).cast("long"))
-    for _ in range(iterations):
-        with_deg = ranks.join(out_deg, "node", "left")
-        # per-edge integer give; dangling nodes (null degree) give 0
-        give = with_deg.select(
-            F.col("node"),
-            F.col("mass"),
-            F.coalesce(F.col("_deg"), F.lit(0)).alias("_deg"),
-            F.when(
-                F.col("_deg").isNotNull(),
-                F.expr(
-                    f"(mass * {damping_num}) div ({damping_den} * _deg)"
-                ),
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("_give"),
+    if no_dangling:
+        # out_deg's key set IS the node universe (caller guarantee):
+        # no separate nodes pass, no dangling branch.
+        nodes = out_deg.select("node")
+        n_nodes = out_deg.count()
+        ranks = nodes.withColumn("mass", F.lit(start_mass).cast("long"))
+    else:
+        nodes = (
+            e.select(F.col("_s").alias("node"))
+            .unionByName(e.select(F.col("_d").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
+        n_nodes = nodes.count()  # scalar, config-cardinality driver value
+        ranks = nodes.withColumn("mass", F.lit(start_mass).cast("long"))
+    for _ in range(iterations):
+        if no_dangling:
+            # inner join: every rank node has a degree row; give is the
+            # unconditional integer quotient
+            give = ranks.join(out_deg, "node").select(
+                F.col("node"),
+                F.col("mass"),
+                F.col("_deg"),
+                F.expr(f"(mass * {damping_num}) div ({damping_den} * _deg)")
+                .cast("long")
+                .alias("_give"),
+            )
+        else:
+            with_deg = ranks.join(out_deg, "node", "left")
+            # per-edge integer give; dangling nodes (null degree) give 0
+            give = with_deg.select(
+                F.col("node"),
+                F.col("mass"),
+                F.coalesce(F.col("_deg"), F.lit(0)).alias("_deg"),
+                F.when(
+                    F.col("_deg").isNotNull(),
+                    F.expr(
+                        f"(mass * {damping_num}) div ({damping_den} * _deg)"
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("_give"),
+            )
         # EAGER checkpoint of GIVE, not ranks (r07): give is the frame
         # the round reads TWICE (-> contrib and -> pool); cutting HERE
         # materializes the ranks⋈out_deg join exactly once per round,
@@ -397,14 +429,22 @@ def pagerank_integer(
             ).alias("_pool")
         )
         share = F.expr(f"_pool div {n_nodes}")
-        ranks = nodes.join(contrib, "node", "left").crossJoin(
-            F.broadcast(pool)
-        ).select(
-            "node",
-            (F.coalesce(F.col("_in"), F.lit(0)) + share)
-            .cast("long")
-            .alias("mass"),
-        )
+        if no_dangling:
+            # contrib already covers every node (all nodes have
+            # in-edges): the all-nodes LEFT re-join is an identity
+            ranks = contrib.crossJoin(F.broadcast(pool)).select(
+                "node",
+                (F.col("_in") + share).cast("long").alias("mass"),
+            )
+        else:
+            ranks = nodes.join(contrib, "node", "left").crossJoin(
+                F.broadcast(pool)
+            ).select(
+                "node",
+                (F.coalesce(F.col("_in"), F.lit(0)) + share)
+                .cast("long")
+                .alias("mass"),
+            )
     return ranks
 
 

@@ -793,7 +793,10 @@ def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = G.pagerank_integer(edges, iterations=3)
+    # no_dangling: the union of pairs with their reversals gives every
+    # node both an out- and an in-edge by construction (r08) — skips
+    # the nodes pass and the per-round all-nodes re-join
+    ranks = G.pagerank_integer(edges, iterations=3, no_dangling=True)
     return ranks.orderBy(F.col("mass").desc(), F.col("node")).limit(20)
 
 

@@ -111,6 +111,31 @@ def test_pagerank_integer_hand_computed(spark):
     assert 3000 - 9 <= total <= 3000
 
 
+def test_pagerank_no_dangling_matches_general_path(spark):
+    """no_dangling=True (r08 fast path: skips the nodes pass, the
+    dangling branch, and the per-round all-nodes re-join) must be
+    byte-identical to the general path on a qualifying graph — here a
+    SYMMETRIZED edge list, the guarantee's canonical construction
+    (q131's shape)."""
+    directed = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 2), (5, 1)]
+    sym = directed + [(b, a) for a, b in directed]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    for iters in (1, 3):
+        general = {
+            r.node: r.mass
+            for r in G.pagerank_integer(
+                edges, iterations=iters, start_mass=1000
+            ).collect()
+        }
+        fast = {
+            r.node: r.mass
+            for r in G.pagerank_integer(
+                edges, iterations=iters, start_mass=1000, no_dangling=True
+            ).collect()
+        }
+        assert fast == general
+
+
 def test_triangle_count_known_graphs(spark):
     from ingestao_dados_poli_spark.operators import graph as G
 
