@@ -28,7 +28,7 @@ data collection beyond one number.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -588,9 +588,6 @@ def label_propagation(
     else:
         nodes = nodes.select(F.col(node_col).alias("node"))
     labels = nodes.withColumn("label", F.col("node"))
-    w = Window.partitionBy("node").orderBy(
-        F.col("_c").desc(), F.col("label").asc()
-    )
     for _ in range(rounds):
         neigh = (
             sym.join(
@@ -599,10 +596,26 @@ def label_propagation(
             .groupBy(F.col("_s").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
+        # argmax by (count DESC, label ASC) as min(struct(-count,
+        # label)) — struct ordering is field-by-field, so the smallest
+        # negated count picks the most frequent label and the label
+        # field breaks ties toward the SMALLEST (r08; replaces a
+        # row_number window: same two exchanges, but the second pass
+        # is a partially-aggregable hash agg instead of a per-node
+        # sort, and map-side combine caps the second shuffle at one
+        # row per (map partition, node)). Count is a long, so the
+        # negation is safe for any orderable label type.
         winner = (
-            neigh.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", F.col("label").alias("_new"))
+            neigh.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_c")).alias("_negc"),
+                        F.col("label").alias("_l"),
+                    )
+                ).alias("_m")
+            )
+            .select("node", F.col("_m._l").alias("_new"))
         )
         labels = (
             labels.join(winner, "node", "left")

@@ -139,32 +139,31 @@ def q200_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
     )
-    w = Window.partitionBy("component").orderBy(
-        F.col("price_cents").desc(), F.col("p_partkey").asc()
-    )
-    canonical = (
-        members.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "component",
-            F.col("p_partkey").alias("canonical_partkey"),
-            F.col("p_name").alias("canonical_name"),
-        )
-    )
-    rolled = members.groupBy("component").agg(
+    # ONE aggregation computes survivorship AND the rollup (r08): the
+    # canonical record is argmin by (price DESC, partkey ASC), i.e.
+    # min(struct(-price_cents, p_partkey, p_name)) — struct ordering is
+    # field-by-field and p_partkey is unique, so the name field never
+    # decides and the pick is exactly the old row_number()==1 window
+    # row. Replaces: the per-component sort window, a second shuffle
+    # subtree over members, and the rolled⋈canonical join-back — the
+    # members join is now computed once and feeds one hash agg.
+    golden = members.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.sum("price_cents").cast("long").alias("total_price_cents"),
+        F.min(
+            F.struct(
+                (-F.col("price_cents")).alias("_np"),
+                F.col("p_partkey").alias("_k"),
+                F.col("p_name").alias("_n"),
+            )
+        ).alias("_c"),
     )
-    return (
-        rolled.join(canonical, "component")
-        .filter(F.col("n_members") >= 3)
-        .select(
-            "component",
-            "canonical_partkey",
-            "canonical_name",
-            "n_members",
-            "total_price_cents",
-        )
+    return golden.filter(F.col("n_members") >= 3).select(
+        "component",
+        F.col("_c._k").alias("canonical_partkey"),
+        F.col("_c._n").alias("canonical_name"),
+        "n_members",
+        "total_price_cents",
     )
 
 

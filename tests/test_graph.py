@@ -278,3 +278,31 @@ def test_label_propagation_sync_deterministic(spark):
     # neighborhood includes bridge node 3, but two round-1 votes for
     # label 1 (10 and 3 adopt it) can't outnumber its triangle
     assert labels[11] == labels[12]
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    """Vote ties must resolve to the SMALLEST candidate label — the
+    semantics the q211 oracle unrolls as row_number() ORDER BY c DESC,
+    label ASC, now computed via min(struct(-count, label)) (r08).
+    Node 5 sees neighbors {1, 2}: one vote each for labels 1 and 2
+    after round 1 — the tie must go to 1, never 2."""
+    edges = [(5, 1), (5, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    labels = {
+        r.node: r.label
+        for r in G.label_propagation(df, rounds=1).collect()
+    }
+    assert labels[5] == 1
+    # and a frequency win must beat a smaller minority label:
+    # node 9 sees {1, 7, 8}; after the labels start as ids, 9 adopts
+    # the minority-smallest only on ties — two votes for label 7
+    # (nodes 7 and 8 both relabeled 7 needs 2 rounds) — keep round 1
+    # simple: 9's neighbor labels are {1, 7, 7} via duplicate edges
+    df2 = spark.createDataFrame(
+        [(9, 7), (9, 7), (9, 1)], ["src", "dst"]
+    )
+    labels2 = {
+        r.node: r.label
+        for r in G.label_propagation(df2, rounds=1).collect()
+    }
+    assert labels2[9] == 7
