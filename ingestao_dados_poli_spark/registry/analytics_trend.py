@@ -869,29 +869,75 @@ def q264_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-cardinality rows, never raw rows — the q248 derivation
     specialized to the 50% crossing point. Pure integer comparison
     (2*cumw >= total), no interpolation, no floats."""
-    li = _t(spark, sf_dir, "lineitem")
-    h = li.groupBy(
+    li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100)
         .cast("long")
         .alias("cents"),
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
-    wc = (
-        Window.partitionBy("flag")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        F.col("l_quantity").cast("long").alias("w"),
     )
-    c = h.withColumn("cw", F.sum("w").over(wc)).withColumn(
-        "tw", F.sum("w").over(Window.partitionBy("flag"))
+    # Exact weighted median by BUCKETED SELECTION (r08, the q217
+    # discipline): the old form exchanged the full (flag, cents)
+    # distinct-value histogram (~580k cells) and ran the cumulative
+    # window as ONE sorted scan per flag — 3 tasks each sorting ~190k
+    # cells serially, and at 100 TB that per-group sort is a straggler
+    # by construction. Selection plan, everything map-side-combined and
+    # parallel, driver traffic bounded by bucket counts, not rows:
+    #  1. one groupBy over (flag, cents div 4096) — per-flag weight
+    #     mass per fixed-width value bucket (collect bounded by
+    #     #flags x value_range/4096, ~7.5k rows here);
+    #  2. driver walk per flag finds the single bucket where the
+    #     cumulative weight crosses half the total (pure integer
+    #     comparison, same 2*cum >= total rule);
+    #  3. one filtered pass fetches ONLY the crossing buckets' exact
+    #     (cents, weight) cells (<= 4096 cents values per flag) and the
+    #     driver walks them in cents order to the crossing cell.
+    # Same integers, same tie semantics (smallest cents whose 2*cumw
+    # reaches the total); the oracle hash pins it at every SF.
+    B = 4096
+    bh = (
+        li.groupBy("flag", F.expr(f"cents div {B}").alias("b"))
+        .agg(F.sum("w").alias("bw"))
+        .collect()
     )
-    return (
-        c.filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy("flag")
-        .agg(
-            F.min("cents").cast("long").alias("wmedian_cents"),
-            F.max("tw").cast("long").alias("total_weight"),
-        )
-        .orderBy("flag")
+    per_flag: dict[str, list] = {}
+    for r in bh:
+        per_flag.setdefault(r["flag"], []).append((r["b"], r["bw"]))
+    crossing: dict[str, tuple[int, int]] = {}
+    totals: dict[str, int] = {}
+    for flag, cells in per_flag.items():
+        cells.sort()
+        tw = sum(bw for _, bw in cells)
+        totals[flag] = tw
+        cum = 0
+        for b, bw in cells:
+            if 2 * (cum + bw) >= tw:
+                crossing[flag] = (b, cum)
+                break
+            cum += bw
+    conds = [
+        f"(flag = '{flag}' AND cents div {B} = {b})"
+        for flag, (b, _) in sorted(crossing.items())
+    ]
+    cells_rows = (
+        li.filter(F.expr(" OR ".join(conds)))
+        .groupBy("flag", "cents")
+        .agg(F.sum("w").alias("w"))
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in cells_rows:
+        by_flag.setdefault(r["flag"], []).append((r["cents"], r["w"]))
+    out: list[tuple] = []
+    for flag in sorted(totals):
+        cum = crossing[flag][1]
+        for cents, w in sorted(by_flag[flag]):
+            cum += w
+            if 2 * cum >= totals[flag]:
+                out.append((flag, cents, totals[flag]))
+                break
+    return _lit_df(
+        spark, "flag string, wmedian_cents bigint, total_weight bigint", out
     )
 
 
